@@ -1,0 +1,27 @@
+"""rayqual — a Ray-Data-native data-quality / quality-filter engine.
+
+A from-scratch re-expression of the validation contract of
+DISHDevEx/dp-data-quality (reference at /root/reference, PySpark+pandas)
+as an idiomatic Ray Data engine, generalized into a language-ID +
+quality-filter + PII/toxicity-scrub pipeline over Parquet tables of
+source-code files (see SURVEY.md and BASELINE.json:north_rule).
+
+Layout:
+  rules/      per-row validation kernels (reference rulebook parity) + heuristics
+  functions/  vectorized text functions: stats, hashing, langid, n-gram LM, scrub
+  stages/     map_batches stage callables (stateless fns + actor-pool classes)
+  sources/    readers / format dispatch / nested-JSON flatten
+  ops/        distributed operators: dedup (exact/minhash/simhash/embedding),
+              similarity search, multimodal plumbing
+  pipelines/  end-to-end pipelines: quality gate (flagship), validation report
+  state/      per-partition lineage manifests + resume
+
+No module in this package calls ray.init()/ray.shutdown(); sessions are
+owned by the caller (tests' conftest, bench.py, or the driver).
+"""
+
+from rayqual.config import RuleConfig, TableMeta
+from rayqual.schema import CODE_FILE_SCHEMA, REPORT_COLUMNS
+
+__all__ = ["RuleConfig", "TableMeta", "CODE_FILE_SCHEMA", "REPORT_COLUMNS"]
+__version__ = "0.1.0"

@@ -1,0 +1,170 @@
+"""Configuration objects: the metadata table (schema-as-data) and the
+flagship pipeline's RuleConfig.
+
+The reference drives validation from a *metadata table* — one row per
+expected column with name / declared datatype / length limit
+(reference read_data.py:79-137, validation_rulebook.py:203-210,486-488).
+Here that becomes ``TableMeta``, a small driver-side object captured by
+closure into map_batches functions (Ray ships it to workers once per
+task/actor — no shuffle, no re-read).
+
+The generalized quality-gate pipeline is driven by ``RuleConfig``:
+thresholds for the heuristic rules, scrubber toggles, and langid /
+perplexity gates. Defaults are tuned on the synthetic corpus
+(rayqual/gen.py) and shared verbatim by the pure-Python oracle
+(rayqual/oracle.py) so keep/drop parity is well-defined.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ColumnMeta:
+    """One metadata row (reference read_data.py:131-133)."""
+
+    name: str
+    data_type: str | None = None       # reference Data_Type vocabulary
+    length_total: float | None = None  # Data_Type_Length_Total
+    nullable: bool | None = None
+    is_pii: bool | None = None
+
+
+class TableMeta:
+    """The reference's metadata table: declared logical schema.
+
+    Column matching is case-insensitive (reference
+    validation_rulebook.py:55-56 uppercases both sides).
+    """
+
+    def __init__(self, columns: list[ColumnMeta]):
+        self.columns = list(columns)
+        self._by_lower = {c.name.lower(): c for c in self.columns}
+
+    @classmethod
+    def from_pairs(cls, pairs: list[tuple[str, str | None]], lengths: dict[str, float] | None = None) -> "TableMeta":
+        lengths = lengths or {}
+        return cls(
+            [ColumnMeta(name=n, data_type=t, length_total=lengths.get(n)) for n, t in pairs]
+        )
+
+    @classmethod
+    def from_csv(cls, path: str) -> "TableMeta":
+        """Load a metadata CSV with the reference's column layout
+        (Attribute_Name, Data_Type, Data_Type_Length_Total, ...)."""
+        import pyarrow.csv as pacsv
+
+        tbl = pacsv.read_csv(path)
+        names = tbl.column("Attribute_Name").to_pylist()
+        types = (
+            tbl.column("Data_Type").to_pylist() if "Data_Type" in tbl.column_names else [None] * len(names)
+        )
+        lengths = (
+            tbl.column("Data_Type_Length_Total").to_pylist()
+            if "Data_Type_Length_Total" in tbl.column_names
+            else [None] * len(names)
+        )
+        cols = []
+        for n, t, l in zip(names, types, lengths):
+            lf = None
+            if l is not None and l != "":
+                try:
+                    lf = float(l)
+                except (TypeError, ValueError):
+                    lf = None
+            cols.append(ColumnMeta(name=str(n), data_type=t, length_total=lf))
+        return cls(cols)
+
+    def attribute_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def get(self, column: str) -> ColumnMeta | None:
+        return self._by_lower.get(column.lower())
+
+    def length_limit(self, column: str) -> float | None:
+        """Length limit for string/varchar checks; None when missing/NaN
+        (reference validation_rulebook.py:486-495: NaN limit ⇒ no failures)."""
+        c = self.get(column)
+        if c is None or c.length_total is None:
+            return None
+        if isinstance(c.length_total, float) and math.isnan(c.length_total):
+            return None
+        return c.length_total
+
+    def datatype_columns(self) -> dict[str, list[str]]:
+        """Group column names by declared datatype (reference
+        validation_rulebook.py:192-212). Keys are the raw Data_Type strings."""
+        out: dict[str, list[str]] = {}
+        for c in self.columns:
+            if c.data_type is None:
+                continue
+            out.setdefault(c.data_type, []).append(c.name)
+        return out
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Thresholds for the generalized quality-gate pipeline.
+
+    Every rule has an id (string) used in verdict columns and reports.
+    The same values drive both the Ray pipeline and the single-process
+    oracle — BASELINE.md's F1 gate compares the two implementations,
+    not two configs.
+    """
+
+    # size rules (chars)
+    min_chars: int = 16
+    max_chars: int = 1_000_000
+
+    # line-shape rules
+    max_line_len: int = 4000
+    max_mean_line_len: float = 400.0
+
+    # character-composition rules
+    min_alnum_ratio: float = 0.25
+
+    # repetition: distinct char-8-gram shingles / total shingles
+    shingle_size: int = 8
+    min_distinct_shingle_ratio: float = 0.20
+
+    # language-ID gate: drop when prediction != declared lang AND the
+    # winning score beats the declared lang's score by this log margin
+    langid_margin: float = 40.0
+    langid_sample_bytes: int = 4096
+
+    # perplexity gate (bits/char under the char-trigram LM)
+    max_bits_per_char: float = 6.2
+    ppl_sample_bytes: int = 4096
+
+    # scrubber
+    scrub_enabled: bool = True
+
+    # exact dedup (content sha256); keep the row with the smallest
+    # (repo, path, commit) key per group — reference V17 keeps an
+    # arbitrary representative (validation_rulebook.py:122); we pin the
+    # min key for determinism.
+    exact_dedup: bool = True
+
+    # reference-quirk compatibility (SURVEY.md §7.3): reproduce the
+    # double-check negative-range bug and float32 boundary rounding.
+    strict_reference_compat: bool = True
+
+    # languages the langid model knows (order = class index)
+    languages: tuple[str, ...] = ("python", "javascript", "java", "c", "go", "markdown", "text")
+
+    ordered_rule_ids: tuple[str, ...] = (
+        "null_content",
+        "min_chars",
+        "max_chars",
+        "max_line_len",
+        "mean_line_len",
+        "alnum_ratio",
+        "repetition",
+        "langid_mismatch",
+        "perplexity",
+    )
+
+
+DEFAULT_CONFIG = RuleConfig()

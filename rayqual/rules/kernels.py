@@ -1,0 +1,371 @@
+"""Vectorized per-row validation kernels — reference-rulebook parity.
+
+Each kernel takes a pyarrow array (any chunking) and returns a numpy
+boolean FAIL mask aligned with the input rows. Null values pass every
+datatype kernel (they fail only ``null_fail``) — the reference drops
+nulls before checking (e.g. reference validation_rulebook.py:247).
+
+Semantics are ported from DISHDevEx/dp-data-quality
+``validation_rulebook.py`` (cited per kernel), with the Spark-isms made
+explicit:
+
+* Spark ``rlike`` is a *search* (Java ``Matcher.find``): anchored
+  patterns behave like full matches, unanchored patterns match
+  substrings (this is why ``2e8`` passes the numeric check via the
+  unanchored scientific regex, reference :253).
+* Java possessive quantifiers (``?+``) are translated to plain greedy
+  quantifiers — same accepted language for these patterns, and RE2
+  (Arrow / DuckDB) rejects possessive syntax.
+* Spark's string→integral cast accepts an optional fractional part and
+  truncates it (``'1.0'`` → 1 passes the integer check,
+  tests/test_datatype_validation.py:26) but rejects exponent forms
+  (``'2e8'`` → null → fails, same test). String→float/double casts
+  accept exponents. Out-of-range casts yield null ⇒ fail.
+* float check casts to float32 and compares against float64 literals —
+  boundary behavior is decided by float32 rounding
+  (reference :443-463, tests :57-69). Reproduced via numpy.
+* double check's negative range is self-contradictory (reference
+  :399-402,416-420): every negative value fails. Reproduced verbatim
+  (tests :71-81); pass ``strict_reference_compat=False`` for the sane
+  semantics.
+
+All kernels are pure Arrow/numpy — no Ray, no Python row loops — so
+they fuse into a single ``map_batches(batch_format="pyarrow")`` pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# Regexes (reference validation_rulebook.py:251-253,288-290,548,577-585,
+# 649-650,169-172), translated where Java-regex features are not RE2-safe.
+# --------------------------------------------------------------------------
+
+REGEX1_CHARSET = r"^[\deE.+-]+$"                    # :251 — charset gate
+REGEX2_NUMERIC = r"^[-+]?\d+[.]?\d*$"               # :252 — `?+` → `?`
+REGEX2_INTEGER = r"^[-+]?\d+[.]?[0]?$"              # :289 — `?+` → `?`
+REGEX3_SCIENTIFIC = r"[+-]?\d(\.\d+)?[Ee][+-]?\d+"  # :253 — deliberately UNANCHORED
+
+# Spark string→integral cast acceptance (digits with optional truncated
+# fraction; no exponents). See module docstring.
+_CAST_INTEGRAL = r"^[+-]?\d+(\.\d*)?$"
+
+# reference :548 uses a lookahead `(\.(?!$)|$)`; RE2 has no lookahead.
+# Equivalent lookahead-free form: exactly 4 octets joined by dots.
+IPV4_REGEX_RE2 = (
+    r"^((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)\.){3}(25[0-5]|(2[0-4]|1\d|[1-9]|)\d)$"
+)
+IPV4_REGEX_REFERENCE = r"^(((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)(\.(?!$)|$)){4})$"
+
+# reference :577-585 — RE2-safe as written; rlike is unanchored, so a
+# valid-IPv6 *substring* (e.g. '::') is enough to pass — reproduced.
+IPV6_REGEX = (
+    "(([0-9a-fA-F]{1,4}:){7,7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:)"
+    "{1,7}:|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,5}(:"
+    "[0-9a-fA-F]{1,4}){1,2}|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}|([0"
+    "-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}|([0-9a-fA-F]{1,4}:){1,2}(:[0-9"
+    "a-fA-F]{1,4}){1,5}|[0-9a-fA-F]{1,4}:((:[0-9a-fA-F]{1,4}){1,6})|:((:[0-9a-fA-"
+    "F]{1,4}){1,7}|:)|fe80:(:[0-9a-fA-F]{0,4}){0,4}%[0-9a-zA-Z]{1,}|::(ffff(:0{1,"
+    r"4}){0,1}:){0,1}((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])\.){3,3}(25[0-5]|(2["
+    r"0-4]|1{0,1}[0-9]){0,1}[0-9])|([0-9a-fA-F]{1,4}:){1,4}:((25[0-5]|(2[0-4]|1{0,"
+    r"1}[0-9]){0,1}[0-9])\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9]))"
+)
+
+# reference :649-650 — both deliberately UNANCHORED (substring search);
+# note `[-|/]` includes a literal pipe and the trailing `\d{1,3}` is
+# required, which makes '...00:00:01.000000' pass by splitting the
+# seconds digits (tests :147-161).
+TIMESTAMP_REGEX_YMD = r"\d{1,4}[-|/]?\d{1,2}[-|/]?\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
+TIMESTAMP_REGEX_DMY = r"\d{1,2}[-|/]?\d{1,2}[-|/]?\d{1,4} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
+
+# reference :169-172. The email class `[\w-\.]` (Java: \w, literal '-',
+# '.') is rewritten `[\w.-]` — identical language, RE2-safe.
+PHONE_REGEX = r"^(\+\d{1,2}\s)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}$"
+EMAIL_REGEX = r"^[\w.-]+@([\w-]+\.)+[\w-]{2,4}$"
+EMAIL_REGEX_REFERENCE = r"^[\w-\.]+@([\w-]+\.)+[\w-]{2,4}$"
+
+# Spark numeric limits (reference :281-282,321-322,360-361,399-402,443-446)
+INT_MIN, INT_MAX = -2147483648, 2147483647
+SHORT_MIN, SHORT_MAX = -32768, 32767
+LONG_MIN, LONG_MAX = -9223372036854775808, 9223372036854775807
+FLOAT_LO_POS, FLOAT_HI_POS = 1.175494351e-38, 3.402823466e38
+DOUBLE_LO_POS, DOUBLE_HI_POS = 2.225e-307, 1.79769e308
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def as_string_array(values) -> pa.Array:
+    """Render any arrow/python sequence as a flat utf8 array (the
+    reference validates the *string form* of values; non-strings arrive
+    via Spark's implicit cast-to-string, e.g. the int epoch vectors)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values)
+    if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        return values
+    return pc.cast(values, pa.string())
+
+
+def _search(arr: pa.Array, pattern: str) -> np.ndarray:
+    """Spark ``rlike`` semantics: regex *search*; null → False."""
+    m = pc.match_substring_regex(arr, pattern)
+    return m.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _nonnull(arr: pa.Array) -> np.ndarray:
+    return pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _to_float64(arr: pa.Array) -> np.ndarray:
+    """Parse string array to float64, NaN on failure (Spark cast-to-
+    double semantics for the post-regex-gate survivors)."""
+    s = pd.Series(arr.to_numpy(zero_copy_only=False))
+    return pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+
+
+def _integral_in_range(arr: pa.Array, lo: int, hi: int) -> np.ndarray:
+    """Exact Spark string→integral cast success mask: value matches
+    ``_CAST_INTEGRAL`` and its truncated integer part fits [lo, hi].
+
+    Exactness matters at the int64 boundary (e.g.
+    '9223372036854775809' must overflow → fail, tests :45-55), where a
+    float64 round-trip would be wrong — so compare sign + digit-string
+    against the bound's digit-string instead of parsing to float.
+    """
+    castable = _search(arr, _CAST_INTEGRAL)
+    s = pd.Series(arr.to_numpy(zero_copy_only=False)).astype("string")
+    # strip fraction, keep sign + integer digits
+    intpart = s.str.replace(r"\..*$", "", regex=True)
+    neg = intpart.str.startswith("-").fillna(False).to_numpy(dtype=bool)
+    digits = intpart.str.replace(r"^[+-]", "", regex=True).str.lstrip("0").fillna("")
+    # empty after stripping zeros == value 0
+    digits = digits.where(digits != "", "0")
+    dlen = digits.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+    def fits(bound: int, mask: np.ndarray) -> np.ndarray:
+        b = str(abs(bound))
+        ok = np.zeros(len(s), dtype=bool)
+        shorter = dlen < len(b)
+        equal = dlen == len(b)
+        ok[mask & shorter] = True
+        if (mask & equal).any():
+            le = (digits <= b).fillna(False).to_numpy(dtype=bool)
+            ok[mask & equal & le] = True
+        return ok
+
+    in_range = np.where(neg, fits(lo, neg), fits(hi, ~neg))
+    return castable & in_range
+
+
+def _numeric_regex_gate(arr: pa.Array, integer_form: bool) -> np.ndarray:
+    """The shared regex gate (reference :251-257): charset AND
+    (plain/decimal form OR scientific-notation substring)."""
+    regex2 = REGEX2_INTEGER if integer_form else REGEX2_NUMERIC
+    return _search(arr, REGEX1_CHARSET) & (
+        _search(arr, regex2) | _search(arr, REGEX3_SCIENTIFIC)
+    )
+
+
+# --------------------------------------------------------------------------
+# generic kernels (reference GenericRulebook)
+# --------------------------------------------------------------------------
+
+
+def null_fail(values) -> np.ndarray:
+    """V3 (reference :129-147): fail where null."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values)
+    return pc.is_null(values).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def sensitive_fail(values) -> np.ndarray:
+    """V16 (reference :150-179): non-null values matching the phone OR
+    email pattern fail (they *contain* PII)."""
+    arr = as_string_array(values)
+    return _nonnull(arr) & (_search(arr, PHONE_REGEX) | _search(arr, EMAIL_REGEX))
+
+
+def duplicate_fail_ids(table: pa.Table, row_id: str = "ROW_ID") -> list:
+    """V17 (reference :107-127): exact duplicates over all columns whose
+    name does not contain 'ROW_ID' (substring match, reference :119-120).
+    The reference keeps an arbitrary representative per group; we pin
+    the minimum ROW_ID for determinism (SURVEY.md §2.3).
+
+    Driver-side helper for small tables / per-group use; the
+    distributed version is ops/dedup.py:exact_dedup.
+    """
+    cols = [c for c in table.column_names if "ROW_ID" not in c]
+    if not cols:
+        return []
+    df = table.select(cols + [row_id]).to_pandas()
+    ids = df[row_id]
+    keep = df.groupby(cols, dropna=False, sort=False)[row_id].transform("min")
+    return ids[ids != keep].tolist()
+
+
+# --------------------------------------------------------------------------
+# datatype kernels (reference DatatypeRulebook)
+# --------------------------------------------------------------------------
+
+
+def numeric_fail(values) -> np.ndarray:
+    """V4 (reference :232-262)."""
+    arr = as_string_array(values)
+    return _nonnull(arr) & ~_numeric_regex_gate(arr, integer_form=False)
+
+
+def _integral_fail(values, lo: int, hi: int) -> np.ndarray:
+    arr = as_string_array(values)
+    gate = _numeric_regex_gate(arr, integer_form=True)
+    return _nonnull(arr) & ~(gate & _integral_in_range(arr, lo, hi))
+
+
+def integer_fail(values) -> np.ndarray:
+    """V5 (reference :264-302)."""
+    return _integral_fail(values, INT_MIN, INT_MAX)
+
+
+def short_fail(values) -> np.ndarray:
+    """V6 (reference :343-380)."""
+    return _integral_fail(values, SHORT_MIN, SHORT_MAX)
+
+
+def long_fail(values) -> np.ndarray:
+    """V7 (reference :304-341)."""
+    return _integral_fail(values, LONG_MIN, LONG_MAX)
+
+
+def float_fail(values) -> np.ndarray:
+    """V8 (reference :426-467): cast to float32, then magnitude window
+    against float64 literals — float32 rounding decides the boundaries
+    (tests :57-69: '1.175494352e-38' fails, '0.0' passes)."""
+    arr = as_string_array(values)
+    gate = _numeric_regex_gate(arr, integer_form=False)
+    with np.errstate(over="ignore"):
+        v32 = _to_float64(arr).astype(np.float32).astype(np.float64)
+    ok = (
+        ((v32 >= FLOAT_LO_POS) & (v32 <= FLOAT_HI_POS))
+        | ((v32 <= -FLOAT_LO_POS) & (v32 >= -FLOAT_HI_POS))
+        | (v32 == 0.0)
+    )
+    ok &= ~np.isnan(v32)
+    return _nonnull(arr) & ~(gate & ok)
+
+
+def double_fail(values, strict_reference_compat: bool = True) -> np.ndarray:
+    """V9 (reference :382-424). The reference's negative branch requires
+    ``v >= -2.225e-307 AND v <= -1.79769e308`` — unsatisfiable, so every
+    negative value fails (tests :71-81). Reproduced when
+    ``strict_reference_compat`` (default)."""
+    arr = as_string_array(values)
+    gate = _numeric_regex_gate(arr, integer_form=False)
+    v = _to_float64(arr)
+    pos_ok = (v >= DOUBLE_LO_POS) & (v <= DOUBLE_HI_POS)
+    if strict_reference_compat:
+        neg_ok = np.zeros_like(pos_ok)  # the reference's contradiction
+    else:
+        neg_ok = (v <= -DOUBLE_LO_POS) & (v >= -DOUBLE_HI_POS)
+    ok = (pos_ok | neg_ok | (v == 0.0)) & ~np.isnan(v)
+    return _nonnull(arr) & ~(gate & ok)
+
+
+def string_length_fail(values, length_limit) -> np.ndarray:
+    """V10/V11 (reference :469-527): fail where len(trim(value)) exceeds
+    the metadata length limit; no limit (None/NaN) ⇒ no failures.
+    Spark ``trim`` strips ASCII spaces only — matched via utf8_trim."""
+    if length_limit is None or (isinstance(length_limit, float) and np.isnan(length_limit)):
+        return np.zeros(len(values), dtype=bool)
+    arr = as_string_array(values)
+    trimmed = pc.utf8_trim(arr, " ")
+    too_long = pc.greater(pc.utf8_length(trimmed), int(length_limit))
+    return _nonnull(arr) & too_long.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def ipv4_fail(values) -> np.ndarray:
+    """V12 (reference :529-555), lookahead-free RE2 equivalent regex."""
+    arr = as_string_array(values)
+    return _nonnull(arr) & ~_search(arr, IPV4_REGEX_RE2)
+
+
+def ipv6_fail(values) -> np.ndarray:
+    """V13 (reference :557-593) — pattern unanchored, like rlike."""
+    arr = as_string_array(values)
+    return _nonnull(arr) & ~_search(arr, IPV6_REGEX)
+
+
+def epoch_fail(values) -> np.ndarray:
+    """V14 (reference :595-630): string length ≤10 → seconds branch
+    (string→bigint cast must succeed); >10 → milliseconds branch
+    (string→double cast of value/1000 must succeed)."""
+    arr = as_string_array(values)
+    nonnull = _nonnull(arr)
+    length = pc.utf8_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+    seconds = length <= 10
+    pass_sec = _search(arr, _CAST_INTEGRAL)
+    v = _to_float64(arr)
+    pass_ms = ~np.isnan(v) & np.isfinite(v)
+    ok = np.where(seconds, pass_sec, pass_ms)
+    return nonnull & ~ok
+
+
+def timestamp_fail(values) -> np.ndarray:
+    """V15 (reference :632-658): fail when neither (unanchored) pattern
+    matches anywhere in the value."""
+    arr = as_string_array(values)
+    return _nonnull(arr) & ~(
+        _search(arr, TIMESTAMP_REGEX_YMD) | _search(arr, TIMESTAMP_REGEX_DMY)
+    )
+
+
+# --------------------------------------------------------------------------
+# registry (reference :660-687 dispatch + quality_report.py:57-88 messages)
+# --------------------------------------------------------------------------
+
+#: Data_Type string → (validation_id, kernel). 'ip' aliases 'ipv4'
+#: (reference :681); unknown datatypes are skipped by callers.
+DATATYPE_KERNELS = {
+    "numeric": (4, numeric_fail),
+    "integer": (5, integer_fail),
+    "short": (6, short_fail),
+    "long": (7, long_fail),
+    "float": (8, float_fail),
+    "double": (9, double_fail),
+    "string": (10, string_length_fail),
+    "varchar": (11, string_length_fail),
+    "ipv4": (12, ipv4_fail),
+    "ip": (12, ipv4_fail),
+    "ipv6": (13, ipv6_fail),
+    "epoch": (14, epoch_fail),
+    "timestamp": (15, timestamp_fail),
+}
+
+#: validation_id → (category, message) (reference quality_report.py:68-86)
+CATEGORY_MESSAGE = {
+    1: ("Generic Validation", "Column not present in Metadata"),
+    2: ("Generic Validation", "Column not present in Data"),
+    3: ("Generic Validation", "Null value"),
+    4: ("Datatype Specific", "Expected numeric datatype"),
+    5: ("Datatype Specific", "Expected integer datatype"),
+    6: ("Datatype Specific", "Expected short datatype"),
+    7: ("Datatype Specific", "Expected long datatype"),
+    8: ("Datatype Specific", "Expected float datatype"),
+    9: ("Datatype Specific", "Expected double datatype"),
+    10: ("Datatype Specific", "Exceeded length limitation"),
+    11: ("Datatype Specific", "Exceeded length limitation"),
+    12: ("Datatype Specific", "Expected IPv4 datatype"),
+    13: ("Datatype Specific", "Expected IPv6 datatype"),
+    14: ("Datatype Specific", "Expected epoch datatype"),
+    15: ("Datatype Specific", "Expected timestamp datatype"),
+    16: ("Sensitive Validation", "Encountered sensitive information"),
+    17: ("Generic Validation", "Duplicate row"),
+}

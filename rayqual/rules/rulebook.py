@@ -1,0 +1,153 @@
+"""Reference-API-compatible rulebook over in-memory Arrow tables.
+
+Mirrors the per-rule library surface of the reference
+(``rulebook.integer_check(df, column) -> (validation_id, column,
+fail_row_ids)``, reference tests/test_datatype_validation.py:13-30) so
+the reference's inline golden vectors port verbatim. Column lookup is
+case-insensitive, matching Spark's resolver (the reference tests pass
+'string' for a column named 'String').
+
+This is the *driver-side / per-batch* surface; the distributed path
+fuses the same kernels into one map_batches pass
+(rayqual/pipelines/validation_report.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.config import TableMeta
+from rayqual.rules import kernels as K
+
+
+def _resolve_column(table: pa.Table, name: str) -> str:
+    for c in table.column_names:
+        if c.lower() == name.lower():
+            return c
+    raise KeyError(name)
+
+
+class DatatypeRulebook:
+    """Per-rule validation over a pyarrow Table with a ROW_ID column."""
+
+    def __init__(self, metadata: TableMeta | None = None, strict_reference_compat: bool = True):
+        self.metadata = metadata or TableMeta([])
+        self.strict_reference_compat = strict_reference_compat
+
+    # -- helpers ----------------------------------------------------------
+
+    def _fail_ids(self, table: pa.Table, column: str, fail_mask: np.ndarray, row_id: str = "ROW_ID") -> list:
+        ids = table.column(_resolve_column(table, row_id)).to_numpy(zero_copy_only=False)
+        return list(ids[fail_mask])
+
+    def _values(self, table: pa.Table, column: str) -> pa.Array:
+        return K.as_string_array(table.column(_resolve_column(table, column)))
+
+    def _run(self, table, column, vid, kernel, **kw):
+        mask = kernel(self._values(table, column), **kw)
+        return vid, column, self._fail_ids(table, column, mask)
+
+    # -- generic checks ---------------------------------------------------
+
+    def null_check(self, table: pa.Table, column: str):
+        """V3 — reference validation_rulebook.py:129-147."""
+        col = table.column(_resolve_column(table, column))
+        mask = K.null_fail(col)
+        return 3, column, self._fail_ids(table, column, mask)
+
+    def sensitive_information_check(self, table: pa.Table, column: str):
+        """V16 — reference validation_rulebook.py:150-179."""
+        return self._run(table, column, 16, K.sensitive_fail)
+
+    def duplicate_check(self, table: pa.Table):
+        """V17 — reference validation_rulebook.py:107-127."""
+        return K.duplicate_fail_ids(table), 17, "PRIMARY_KEY_VALUE"
+
+    # -- datatype checks --------------------------------------------------
+
+    def numeric_check(self, table, column):
+        return self._run(table, column, 4, K.numeric_fail)
+
+    def integer_check(self, table, column):
+        return self._run(table, column, 5, K.integer_fail)
+
+    def short_check(self, table, column):
+        return self._run(table, column, 6, K.short_fail)
+
+    def long_check(self, table, column):
+        return self._run(table, column, 7, K.long_fail)
+
+    def float_check(self, table, column):
+        return self._run(table, column, 8, K.float_fail)
+
+    def double_check(self, table, column):
+        return self._run(table, column, 9, K.double_fail,
+                         strict_reference_compat=self.strict_reference_compat)
+
+    def string_check(self, table, column):
+        """V10 — length limit from metadata Data_Type_Length_Total
+        (reference validation_rulebook.py:469-497)."""
+        limit = self.metadata.length_limit(column)
+        mask = K.string_length_fail(self._values(table, column), limit)
+        return 10, column, self._fail_ids(table, column, mask)
+
+    def varchar_check(self, table, column):
+        """V11 — duplicate of V10 with its own id (reference :499-527)."""
+        limit = self.metadata.length_limit(column)
+        mask = K.string_length_fail(self._values(table, column), limit)
+        return 11, column, self._fail_ids(table, column, mask)
+
+    def ipv4_check(self, table, column):
+        return self._run(table, column, 12, K.ipv4_fail)
+
+    def ipv6_check(self, table, column):
+        return self._run(table, column, 13, K.ipv6_fail)
+
+    def epoch_check(self, table, column):
+        return self._run(table, column, 14, K.epoch_fail)
+
+    def timestamp_check(self, table, column):
+        return self._run(table, column, 15, K.timestamp_fail)
+
+    # -- dispatch (reference :660-687) ------------------------------------
+
+    def datatype_validation_functions(self, datatype: str):
+        function_dict = {
+            "integer": self.integer_check,
+            "float": self.float_check,
+            "double": self.double_check,
+            "long": self.long_check,
+            "short": self.short_check,
+            "numeric": self.numeric_check,
+            "string": self.string_check,
+            "varchar": self.varchar_check,
+            "ipv4": self.ipv4_check,
+            "ip": self.ipv4_check,
+            "ipv6": self.ipv6_check,
+            "epoch": self.epoch_check,
+            "timestamp": self.timestamp_check,
+        }
+        return function_dict.get(datatype, None)
+
+    # -- schema diffs (reference :45-89) ----------------------------------
+
+    def validate_data_columns(self, data_columns: list[str]):
+        meta = [c.upper() for c in self.metadata.attribute_names()]
+        data = [c.upper() for c in data_columns]
+        return [c for c in data if c not in meta], 1, "COLUMN_NAME"
+
+    def validate_metadata_columns(self, data_columns: list[str]):
+        meta = [c.upper() for c in self.metadata.attribute_names()]
+        data = [c.upper() for c in data_columns]
+        return [c for c in meta if c not in data], 2, "COLUMN_NAME"
+
+    def validate_columns(self, data_columns: list[str]) -> list[str]:
+        meta = [c.upper() for c in self.metadata.attribute_names()]
+        data = [c.upper() for c in data_columns]
+        return [c for c in meta if c in data]
+
+
+def column_name_preprocess(names: list[str]) -> list[str]:
+    """Reference validation_rulebook.py:33-43: '-'→'_', strip '@'."""
+    return [n.replace("-", "_").replace("@", "") for n in names]

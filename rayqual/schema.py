@@ -1,0 +1,62 @@
+"""Canonical Arrow schemas for the engine.
+
+The engine's canonical input (BASELINE.json:input_hint) is a Parquet
+table of source-code files; the report schema mirrors the reference's
+11-column quality report (reference quality_report.py:105-107,237-239,
+README.md:18-28) with the cloud-specific columns kept for parity.
+"""
+
+import pyarrow as pa
+
+# Flagship input: one row per source file (input_hint).
+CODE_FILE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+# Columns appended by the verdict/scrub/score stages.
+VERDICT_COLUMNS = [
+    ("content_sha256", pa.string()),   # sha256 of ORIGINAL content (pass-through invariant)
+    ("scrubbed_content", pa.string()),
+    ("keep", pa.bool_()),
+    ("drop_reasons", pa.string()),     # comma-joined rule ids that fired
+    ("pred_lang", pa.string()),
+    ("lang_conf", pa.float64()),
+    ("ppl_bits_per_char", pa.float64()),
+]
+
+# Reference report schema (reference quality_report.py:170-172 plus the
+# DQ_REPORT_ID added at save time, :207).
+REPORT_COLUMNS = [
+    "DQ_REPORT_ID",
+    "AWS_ACCOUNT_NAME",
+    "S3_BUCKET",
+    "TABLE_NAME",
+    "COLUMN_NAME",
+    "VALIDATION_CATEGORY",
+    "VALIDATION_ID",
+    "VALIDATION_MESSAGE",
+    "PRIMARY_KEY_COLUMN",
+    "PRIMARY_KEY_VALUE",
+    "TIMESTAMP",
+]
+
+REPORT_SCHEMA = pa.schema(
+    [
+        ("AWS_ACCOUNT_NAME", pa.string()),
+        ("S3_BUCKET", pa.string()),
+        ("TABLE_NAME", pa.string()),
+        ("COLUMN_NAME", pa.string()),
+        ("VALIDATION_CATEGORY", pa.string()),
+        ("VALIDATION_ID", pa.int32()),
+        ("VALIDATION_MESSAGE", pa.string()),
+        ("PRIMARY_KEY_COLUMN", pa.string()),
+        ("PRIMARY_KEY_VALUE", pa.string()),
+        ("TIMESTAMP", pa.string()),
+    ]
+)

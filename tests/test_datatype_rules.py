@@ -1,0 +1,258 @@
+"""Golden-vector conformance tests for the datatype rulebook.
+
+Vectors ported VERBATIM from the reference's
+tests/test_datatype_validation.py:18-161 (same values, same expected
+(validation_id, column, fail_row_id) triples) — they encode every
+boundary quirk: float32 rounding, the double-negative bug, empty-string
+failure, '2e8' failing integer but passing double, timestamp
+digit-splitting, unanchored IPv6 substring matches.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayqual.config import ColumnMeta, TableMeta
+from rayqual.rules import DatatypeRulebook
+from rayqual.rules import kernels as K
+
+
+def tbl(rows, columns):
+    return pa.Table.from_pandas(pd.DataFrame(rows, columns=columns))
+
+
+@pytest.fixture(scope="module")
+def rulebook():
+    meta = TableMeta(
+        [
+            ColumnMeta("String", data_type="string", length_total=float("nan")),
+            ColumnMeta("VARCHAR", data_type="varchar", length_total=5.0),
+        ]
+    )
+    return DatatypeRulebook(metadata=meta)
+
+
+def test_integer_check(rulebook):
+    t = tbl(
+        [[0, "-1"], [1, "2"], [2, ""], [3, "-2147483649"], [4, "2147483648"], [5, "2e8"], [6, "1.0"]],
+        ["ROW_ID", "integers"],
+    )
+    assert rulebook.integer_check(t, "integers") == (5, "integers", [2, 3, 4, 5])
+
+
+def test_short_check(rulebook):
+    t = tbl([[0, "32768"], [1, "-32769"], [2, "1"], [3, "1.0"], [4, "2e8"]], ["ROW_ID", "shorts"])
+    assert rulebook.short_check(t, "shorts") == (6, "shorts", [0, 1, 4])
+
+
+def test_long_check(rulebook):
+    t = tbl(
+        [[0, "9223372036854775809"], [1, "-9223372036854775809"], [2, "1"], [3, "1.0"], [4, "2e8"]],
+        ["ROW_ID", "longs"],
+    )
+    assert rulebook.long_check(t, "longs") == (7, "longs", [0, 1, 4])
+
+
+def test_long_boundary_exact():
+    # exact int64 bounds must pass; one-past must fail (string-compare path)
+    t = tbl(
+        [[0, "9223372036854775807"], [1, "-9223372036854775808"], [2, "9223372036854775808"]],
+        ["ROW_ID", "longs"],
+    )
+    rb = DatatypeRulebook()
+    assert rb.long_check(t, "longs") == (7, "longs", [2])
+
+
+def test_float_check(rulebook):
+    t = tbl(
+        [
+            [0, "1.175494352e-38"],
+            [1, "3.402823467e38"],
+            [2, "-1.175494351e-38"],
+            [3, "1.0"],
+            [4, "-3.402823466e38"],
+            [5, "0.0"],
+        ],
+        ["ROW_ID", "floats"],
+    )
+    assert rulebook.float_check(t, "floats") == (8, "floats", [0, 1, 2, 4])
+
+
+def test_double_check(rulebook):
+    t = tbl(
+        [[0, "9223372036854775809"], [1, "-9223372036854775809"], [2, "1"], [3, "1.0"], [4, "2e8"]],
+        ["ROW_ID", "doubles"],
+    )
+    assert rulebook.double_check(t, "doubles") == (9, "doubles", [1])
+
+
+def test_double_check_negatives_all_fail(rulebook):
+    # the reference's self-contradictory negative range (validation_rulebook.py:399-402)
+    t = tbl([[0, "-1.0"], [1, "-2e10"], [2, "5.0"]], ["ROW_ID", "doubles"])
+    assert rulebook.double_check(t, "doubles") == (9, "doubles", [0, 1])
+    sane = DatatypeRulebook(strict_reference_compat=False)
+    assert sane.double_check(t, "doubles") == (9, "doubles", [])
+
+
+def test_string_check(rulebook):
+    t = tbl([[0, "monkey"], [1, "stringy string"]], ["ROW_ID", "String"])
+    # column arg deliberately lower-case: Spark resolver is case-insensitive
+    assert rulebook.string_check(t, "string") == (10, "string", [])
+
+
+def test_varchar_check(rulebook):
+    t = tbl([[0, "monkey"], [1, "stringy string"], [2, "cat"]], ["ROW_ID", "VARCHAR"])
+    assert rulebook.varchar_check(t, "varchar") == (11, "varchar", [0, 1])
+
+
+def test_ipv4_check(rulebook):
+    t = tbl([[0, "1 . 2 . 3 . 4"], [1, "01 . 102 . 103 . 104"]], ["ROW_ID", "IPv4addresses"])
+    assert rulebook.ipv4_check(t, "IPv4addresses") == (12, "IPv4addresses", [0, 1])
+
+
+def test_ipv4_positive_cases(rulebook):
+    t = tbl(
+        [[0, "1.2.3.4"], [1, "255.255.255.255"], [2, "256.1.1.1"], [3, "1.2.3."], [4, "0.0.0.0"], [5, "1.2.3"]],
+        ["ROW_ID", "ips"],
+    )
+    assert rulebook.ipv4_check(t, "ips") == (12, "ips", [2, 3, 5])
+
+
+def test_ipv6_check(rulebook):
+    t = tbl(
+        [
+            [0, "2001 : db8: 3333 : 4444 : 5555 : 6666 : 7777 : 8888"],
+            [1, "2001 : db8 : 3333 : 4444 : CCCC : DDDD : EEEE : FFFF"],
+            [2, ": :"],
+            [3, "2001: db8: :"],
+            [4, ": : 1234 : 5678"],
+            [5, "2001 : db8: : 1234 : 5678"],
+            [6, "2001:0db8:0001:0000:0000:0ab9:C0A8:0102"],
+            [7, "2001:db8:1::ab9:C0A8:102"],
+        ],
+        ["ROW_ID", "IPv6addresses"],
+    )
+    assert rulebook.ipv6_check(t, "IPv6addresses") == (13, "IPv6addresses", [0, 1, 2, 3, 4, 5])
+
+
+def test_epoch_check(rulebook):
+    # reference vector uses *int* values — Spark renders them as strings
+    t = tbl(
+        [[1, 0], [2, 1675295204357], [3, 1675295204631], [4, 1675001470307], [6, 1680195228], [5, 1676408186]],
+        ["ROW_ID", "epochs"],
+    )
+    assert rulebook.epoch_check(t, "epochs") == (14, "epochs", [])
+
+
+def test_epoch_check_invalid():
+    t = tbl([[0, "not-a-time"], [1, "1680195228"], [2, "16801952281112abc"]], ["ROW_ID", "epochs"])
+    rb = DatatypeRulebook()
+    assert rb.epoch_check(t, "epochs") == (14, "epochs", [0, 2])
+
+
+def test_timestamp_check(rulebook):
+    t = tbl(
+        [
+            [1, "0"],
+            [2, "1970-01-01 00:00:01.000000"],
+            [3, "12:1:2000"],
+            [4, "12:31:1999"],
+            [5, "1985/09/25 17:45:30.005"],
+            [6, "1680210134"],
+            [7, "25/11/22 06:43:14"],
+        ],
+        ["ROW_ID", "timestamps"],
+    )
+    assert rulebook.timestamp_check(t, "timestamps") == (15, "timestamps", [1, 3, 4, 6])
+
+
+def test_numeric_check(rulebook):
+    t = tbl(
+        [[0, "1.5"], [1, "2e8"], [2, "abc"], [3, ""], [4, "-3.14"], [5, "1.2.3"], [6, "+7"]],
+        ["ROW_ID", "nums"],
+    )
+    assert rulebook.numeric_check(t, "nums") == (4, "nums", [2, 3, 5])
+
+
+def test_nulls_pass_datatype_checks():
+    # nulls fail only the null check (reference drops them first, :247)
+    t = pa.table({"ROW_ID": [0, 1, 2], "v": pa.array(["1", None, "abc"])})
+    rb = DatatypeRulebook()
+    assert rb.integer_check(t, "v") == (5, "v", [2])
+    assert rb.null_check(t, "v") == (3, "v", [1])
+
+
+def test_ipv4_re2_rewrite_equals_reference_lookahead_regex():
+    """Property check: the RE2-safe IPv4 regex accepts exactly the same
+    strings as the reference's lookahead version (run under Python re)."""
+    import re
+
+    ref = re.compile(K.IPV4_REGEX_REFERENCE)
+    ours = re.compile(K.IPV4_REGEX_RE2)
+    cases = [
+        "1.2.3.4", "0.0.0.0", "255.255.255.255", "256.1.1.1", "1.2.3.", ".1.2.3.4",
+        "1.2.3", "1.2.3.4.5", "01.2.3.4", "1..2.3", "10.200.30.40", "25.24.1.9",
+        "199.99.9.0", "249.250.251.252", "1.2.3.4 ", " 1.2.3.4", "300.1.1.1", "1.2.3.04",
+    ]
+    for i in range(0, 300, 7):
+        cases.append(f"{i % 300}.{(i * 3) % 260}.{(i * 7) % 300}.{(i * 13) % 260}")
+    for c in cases:
+        assert bool(ref.search(c)) == bool(ours.search(c)), c
+
+
+def test_email_class_rewrite_matches_java_semantics():
+    """Java parses the reference's `[\\w-\\.]` as {word chars, '-', '.'}
+    (a range from a class escape is illegal, so '-' is literal); Python
+    re refuses to compile it at all. Our `[\\w.-]` encodes that set
+    explicitly — verify acceptance against hand-labeled cases."""
+    import re
+
+    ours = re.compile(K.EMAIL_REGEX)
+    accept = ["a@b.co", "a.b-c@d-e.fg.hi", "-@-.xy", "x_y.z@w.lo", "user@sub.domain.org", "u@d.com"]
+    reject = ["a@b", "a@@b.co", "a b@c.de", "x@y.toolongtld", "u@d.c", "plain text"]
+    for c in accept:
+        assert ours.search(c), c
+    for c in reject:
+        assert not ours.search(c), c
+
+
+def test_sensitive_information_check(rulebook):
+    t = tbl(
+        [
+            [0, "alice@example.com"],
+            [1, "(303) 555-1234"],
+            [2, "+1 303-555-1234"],
+            [3, "just text"],
+            [4, "3035551234"],
+        ],
+        ["ROW_ID", "CONTACT"],
+    )
+    assert rulebook.sensitive_information_check(t, "CONTACT") == (16, "CONTACT", [0, 1, 2])
+
+
+def test_duplicate_check():
+    t = pa.table(
+        {
+            "a": ["x", "y", "x", "x", "z"],
+            "b": [1, 2, 1, 9, 3],
+            "ROW_ID": [1, 2, 3, 4, 5],
+        }
+    )
+    rb = DatatypeRulebook()
+    dup_ids, vid, indicator = rb.duplicate_check(t)
+    assert (dup_ids, vid, indicator) == ([3], 17, "PRIMARY_KEY_VALUE")
+
+
+def test_schema_diffs():
+    meta = TableMeta.from_pairs([("A", "integer"), ("B", "string"), ("DUMMY", None)])
+    rb = DatatypeRulebook(metadata=meta)
+    data_cols = ["a", "b", "EXTRA"]
+    assert rb.validate_data_columns(data_cols) == (["EXTRA"], 1, "COLUMN_NAME")
+    assert rb.validate_metadata_columns(data_cols) == (["DUMMY"], 2, "COLUMN_NAME")
+    assert rb.validate_columns(data_cols) == ["A", "B"]
+
+
+def test_column_name_preprocess():
+    from rayqual.rules.rulebook import column_name_preprocess
+
+    assert column_name_preprocess(["a-b", "@c", "d@e-f"]) == ["a_b", "c", "de_f"]
