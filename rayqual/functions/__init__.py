@@ -1,0 +1,11 @@
+from rayqual.functions.textstats import StringBytes, text_stats
+from rayqual.functions.hashing import sha256_array, minhash_signatures, simhash64, rolling_fingerprint
+
+__all__ = [
+    "StringBytes",
+    "text_stats",
+    "sha256_array",
+    "minhash_signatures",
+    "simhash64",
+    "rolling_fingerprint",
+]

@@ -1,0 +1,140 @@
+"""Hashing primitives: per-row sha256, minhash signatures, simhash,
+rolling-hash fingerprints. All operate on Arrow string arrays via the
+StringBytes zero-copy view; per-row work is C-level (hashlib / numpy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.functions.textstats import StringBytes, shingle_hashes, string_bytes
+
+_U64 = np.uint64
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# fixed seeded affine parameters for minhash permutations (SplitMix-derived)
+def _minhash_params(num_perm: int, seed: int = 0x9E3779B97F4A7C15) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed & 0x7FFFFFFF)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * _U64(2) + _U64(1)  # odd
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def sha256_array(arr) -> pa.Array:
+    """Hex sha256 of every row (null → null). The per-row invariant
+    column required by BASELINE.json:input_hint."""
+    sb = string_bytes(arr)
+    mv = memoryview(sb.data)
+    out: list[str | None] = []
+    for i in range(sb.n_docs):
+        if sb.null_mask[i]:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(mv[sb.starts[i]: sb.ends[i]]).hexdigest())
+    return pa.array(out, type=pa.string())
+
+
+def _doc_shingles(sb: StringBytes, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes, doc_of_hash, shingle_counts_per_doc) for k-byte windows,
+    windows crossing document boundaries removed."""
+    n = sb.n_docs
+    b = sb.concat_bytes()
+    h = shingle_hashes(b, k)
+    if len(h) == 0:
+        return h, np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), sb.lengths)
+    d_start = doc_ids[: len(h)]
+    valid = d_start == doc_ids[k - 1:]
+    h, d = h[valid], d_start[valid]
+    counts = np.bincount(d, minlength=n).astype(np.int64)
+    return h, d, counts
+
+
+def minhash_signatures(arr, num_perm: int = 64, shingle_size: int = 12) -> np.ndarray:
+    """[n_docs, num_perm] uint64 minhash signatures over byte-shingle
+    sets. Empty docs (no windows) get all-max signatures (match nothing).
+    Deterministic: fixed permutation parameters."""
+    sb = string_bytes(arr)
+    n = sb.n_docs
+    h, d, counts = _doc_shingles(sb, shingle_size)
+    sig = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    a, b = _minhash_params(num_perm)
+    starts = np.cumsum(counts) - counts
+    nonempty = counts > 0
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = h * a[p] + b[p]
+            # xorshift mix to decorrelate high bits
+            hp = hp ^ (hp >> _U64(31))
+            mins = np.minimum.reduceat(hp, np.minimum(starts, len(hp) - 1))
+            sig[nonempty, p] = mins[nonempty]
+    return sig
+
+
+def minhash_band_keys(sig: np.ndarray, bands: int = 8) -> np.ndarray:
+    """[n_docs, bands] uint64 LSH bucket keys: hash of each band's rows.
+    Docs sharing any band key are near-dup candidates."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            acc = np.full(n, _U64(1469598103934665603), dtype=np.uint64)
+            for j in range(bi * r, (bi + 1) * r):
+                acc = (acc ^ sig[:, j]) * _U64(1099511628211)
+            out[:, bi] = acc
+    return out
+
+
+def simhash64(arr, shingle_size: int = 8) -> np.ndarray:
+    """64-bit simhash per doc over byte-shingle hashes: bit j is the
+    sign of the sum of (+1/-1) over shingles' bit j. Empty docs → 0."""
+    sb = string_bytes(arr)
+    n = sb.n_docs
+    h, d, counts = _doc_shingles(sb, shingle_size)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h) == 0:
+        return out
+    total = counts.astype(np.float64)
+    for j in range(64):
+        bitsum = np.bincount(d, weights=((h >> _U64(j)) & _U64(1)).astype(np.float64), minlength=n)
+        # majority of ones → bit set (ties → unset, deterministic)
+        out |= (_U64(1) << _U64(j)) * (2.0 * bitsum > total).astype(np.uint64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(len(x) if hasattr(x, "__len__") else 1, dtype=np.int64)
+    v = np.atleast_1d(x).copy()
+    for _ in range(64):
+        cnt += (v & _U64(1)).astype(np.int64)
+        v >>= _U64(1)
+    return cnt
+
+
+def rolling_fingerprint(arr, shingle_size: int = 16, num_mins: int = 4) -> np.ndarray:
+    """Winnowing-style document fingerprint: the ``num_mins`` smallest
+    shingle hashes XOR-folded into one uint64 (0 for empty docs).
+    Stable under content reordering of large blocks; cheap identity for
+    lineage manifests and quick near-identity probes."""
+    sb = string_bytes(arr)
+    n = sb.n_docs
+    h, d, counts = _doc_shingles(sb, shingle_size)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h) == 0:
+        return out
+    order = np.lexsort((h, d))
+    ds, hs = d[order], h[order]
+    pos_in_doc = np.arange(len(ds)) - (np.cumsum(counts) - counts)[ds]
+    take = pos_in_doc < num_mins
+    mult = _U64(1099511628211)
+    with np.errstate(over="ignore"):
+        contrib = (hs[take] ^ (hs[take] >> _U64(29))) * mult
+        np.bitwise_xor.at(out, ds[take], contrib)
+    return out

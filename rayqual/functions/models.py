@@ -1,0 +1,153 @@
+"""Self-contained langid + perplexity models (no downloads).
+
+* ``LangIdModel`` — a fastText-style linear classifier over hashed byte
+  n-grams (n=2,3): weights are per-class log-probabilities of hashed
+  n-gram buckets, trained deterministically from the in-repo seed
+  corpus (functions/seed_corpus.py). Inference is fully vectorized
+  across a batch: all documents' bytes are scored in one pass via
+  bincount reductions — no Python per-row loop.
+
+* ``CharLM`` — a char-trigram language model with add-k smoothing over
+  hashed contexts (KenLM-style in spirit: fixed-order n-gram scoring,
+  counts built deterministically). Scores bits-per-char; random or
+  binary-ish content scores high and is dropped by the perplexity rule.
+
+Scoring definitions are the spec shared with the pure-Python oracle:
+identical hashing, identical summation order (2-gram total + 3-gram
+total, document-position order), float64 throughout.
+
+Models are built once per process and cached (``get_models``); Ray
+actors build them in ``__init__`` — once per actor, never per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from rayqual.functions.seed_corpus import SEED_SNIPPETS
+from rayqual.functions.textstats import StringBytes, string_bytes
+
+N_BUCKETS = 1 << 15  # hashed feature space for both models
+_B = np.int64(N_BUCKETS)
+
+
+def gram_hashes(b: np.ndarray, n: int) -> np.ndarray:
+    """Bucket ids of all byte n-grams of ``b`` (positional, len-n+1)."""
+    m = len(b) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(n):
+        h = h * np.int64(257) + b[j: j + m].astype(np.int64)
+        h %= _B
+    return h
+
+
+class LangIdModel:
+    def __init__(self, languages: tuple[str, ...]):
+        self.languages = tuple(languages)
+        L = len(self.languages)
+        self.w2 = np.zeros((N_BUCKETS, L), dtype=np.float64)
+        self.w3 = np.zeros((N_BUCKETS, L), dtype=np.float64)
+        for li, lang in enumerate(self.languages):
+            text = "\n".join(SEED_SNIPPETS[lang])
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            for n, w in ((2, self.w2), (3, self.w3)):
+                h = gram_hashes(b, n)
+                counts = np.bincount(h, minlength=N_BUCKETS).astype(np.float64)
+                total = counts.sum()
+                w[:, li] = np.log((counts + 0.1) / (total + 0.1 * N_BUCKETS))
+
+    def score_batch(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (scores [n_docs, L], n_grams [n_docs]) — total
+        log-probability of each doc's first ``sample_bytes`` bytes under
+        each language."""
+        n = sb.n_docs
+        L = len(self.languages)
+        scores = np.zeros((n, L), dtype=np.float64)
+        if n == 0:
+            return scores, np.zeros(0, dtype=np.int64)
+        lens = np.minimum(sb.lengths, sample_bytes)
+        # build the sampled concat buffer
+        b = np.concatenate(
+            [sb.data[s: s + l] for s, l in zip(sb.starts, lens)]
+        ) if n else np.empty(0, dtype=np.uint8)
+        doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        n_grams = np.zeros(n, dtype=np.int64)
+        for ng, w in ((2, self.w2), (3, self.w3)):
+            h = gram_hashes(b, ng)
+            if len(h) == 0:
+                continue
+            d = doc_ids[: len(h)]
+            valid = d == doc_ids[ng - 1:]
+            hv, dv = h[valid], d[valid]
+            n_grams += np.bincount(dv, minlength=n).astype(np.int64)
+            vals = w[hv]  # [m, L]
+            for li in range(L):
+                scores[:, li] += np.bincount(dv, weights=vals[:, li], minlength=n)
+        return scores, n_grams
+
+    def predict(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(pred_idx, margin_top2, scores). Ties → lowest index."""
+        scores, _ = self.score_batch(sb, sample_bytes)
+        pred = np.argmax(scores, axis=1)
+        top = scores[np.arange(len(pred)), pred]
+        tmp = scores.copy()
+        tmp[np.arange(len(pred)), pred] = -np.inf
+        second = tmp.max(axis=1) if scores.shape[1] > 1 else np.full(len(pred), -np.inf)
+        return pred, top - second, scores
+
+
+class CharLM:
+    def __init__(self):
+        text = "\n".join("\n".join(v) for v in SEED_SNIPPETS.values())
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        h3 = gram_hashes(b, 3)
+        h2 = gram_hashes(b, 2)[: len(h3)] if len(h3) else np.empty(0, dtype=np.int64)
+        self.c3 = np.bincount(h3, minlength=N_BUCKETS).astype(np.float64)
+        self.c2 = np.bincount(h2, minlength=N_BUCKETS).astype(np.float64)
+        self.k = 0.5
+        self.vocab = 256.0
+
+    def bits_per_char(self, sb: StringBytes, sample_bytes: int) -> np.ndarray:
+        """Mean -log2 P(c_i | c_{i-2} c_{i-1}) over each doc's first
+        ``sample_bytes`` bytes; 0.0 for docs shorter than 3 bytes."""
+        n = sb.n_docs
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return out
+        lens = np.minimum(sb.lengths, sample_bytes)
+        b = np.concatenate([sb.data[s: s + l] for s, l in zip(sb.starts, lens)])
+        doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        h3 = gram_hashes(b, 3)
+        if len(h3) == 0:
+            return out
+        h2 = gram_hashes(b, 2)[: len(h3)]
+        d = doc_ids[: len(h3)]
+        valid = d == doc_ids[2:]
+        h3v, h2v, dv = h3[valid], h2[valid], d[valid]
+        p = (self.c3[h3v] + self.k) / (self.c2[h2v] + self.k * self.vocab)
+        bits = -np.log2(p)
+        totals = np.bincount(dv, weights=bits, minlength=n)
+        counts = np.bincount(dv, minlength=n)
+        nz = counts > 0
+        out[nz] = totals[nz] / counts[nz]
+        return out
+
+
+@functools.lru_cache(maxsize=4)
+def get_models(languages: tuple[str, ...]) -> tuple[LangIdModel, CharLM]:
+    """Build (or fetch cached) models for this process."""
+    return LangIdModel(languages), CharLM()
+
+
+def predict_language(text: str, languages: tuple[str, ...], sample_bytes: int = 4096) -> str:
+    """Single-string convenience (oracle / debugging)."""
+    model, _ = get_models(languages)
+    import pyarrow as pa
+
+    sb = string_bytes(pa.array([text], type=pa.string()))
+    pred, _, _ = model.predict(sb, sample_bytes)
+    return languages[int(pred[0])]

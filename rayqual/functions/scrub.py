@@ -1,0 +1,102 @@
+"""PII / secret / toxicity scrubber — a compiled-regex replacement
+chain over Arrow string batches.
+
+Patterns are RE2-safe (no lookaround, no possessive quantifiers) so the
+hot path runs entirely in ``pyarrow.compute.replace_substring_regex``
+(vectorized, C++); the oracle applies the identical chain with Python
+``re`` — the patterns are written to behave identically in both
+engines, and tests assert byte equality of the outputs.
+
+Generalizes the reference's sensitive-information check (reference
+validation_rulebook.py:150-179, which only *detects* anchored
+phone/email values) into unanchored detection + rewriting, per
+BASELINE.json:north_star (emails, keys, IPs, profanity lexicon).
+
+Chain order matters (e.g. private-key blocks before emails) and is part
+of the spec: SCRUB_CHAIN below is the single source of truth.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# a deliberately small, clearly-marked profanity lexicon; the rule is a
+# placeholder for a real toxicity wordlist — the *plumbing* (vectorized
+# boundary-aware replacement + per-row counts) is the deliverable.
+_PROFANITY = r"(?:fuck\w*|shit\w*|bitch\w*|asshole\w*|bastard|motherfucker\w*|dumbass)"
+
+#: (name, pattern, replacement) — applied strictly in order.
+SCRUB_CHAIN: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        r"(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    ("phone", r"(?:\+[0-9]{1,2}[ ])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "<PHONE>"),
+    (
+        "secret",
+        r"(?i)(api[_-]?key|secret|token|passwd|password)(\s*[:=]\s*)[\"'][^\"'\n]{6,}[\"']",
+        '\\1\\2"<SECRET>"',
+    ),
+    ("profanity", r"(?i)\b" + _PROFANITY + r"\b", "<PROFANITY>"),
+]
+
+#: patterns whose *match count* is reported as pii_count (detection
+#: before any rewriting; profanity counted separately as toxicity_count)
+_PII_NAMES = ("private_key", "aws_key", "email", "ipv4", "phone", "secret")
+
+
+def scrub_batch(arr) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Apply the chain to a string array. Returns
+    (scrubbed, pii_count[int64], toxicity_count[int64]); null → null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, type=pa.string())
+    n = len(arr)
+    pii = np.zeros(n, dtype=np.int64)
+    tox = np.zeros(n, dtype=np.int64)
+    out = arr
+    for name, pattern, repl in SCRUB_CHAIN:
+        counts = pc.count_substring_regex(out, pattern).fill_null(0).to_numpy(zero_copy_only=False)
+        if name in _PII_NAMES:
+            pii += counts
+        else:
+            tox += counts
+        if counts.any():
+            out = pc.replace_substring_regex(out, pattern, repl)
+    return out, pii, tox
+
+
+# ---- oracle-side (pure Python re) — same chain, same order -------------
+
+_COMPILED = [(name, re.compile(pat), repl.replace("\\1", r"\1").replace("\\2", r"\2"))
+             for name, pat, repl in SCRUB_CHAIN]
+
+
+def scrub_text(text: str | None) -> tuple[str | None, int, int]:
+    """Single-string scrub with Python re — the oracle's implementation."""
+    if text is None:
+        return None, 0, 0
+    pii = tox = 0
+    for name, rx, repl in _COMPILED:
+        found = len(rx.findall(text))
+        if name in _PII_NAMES:
+            pii += found
+        else:
+            tox += found
+        if found:
+            text = rx.sub(repl, text)
+    return text, pii, tox

@@ -1,0 +1,88 @@
+"""Deterministic in-repo seed corpus for the langid classifier and the
+char-n-gram LM. Fully self-contained (no downloads): short original
+snippets per language, written for this repo. The models trained from
+these are deterministic — same bytes, same counts, same weights in
+every process (driver, Ray workers, oracle).
+"""
+
+PYTHON = [
+    "import os\nimport sys\n\ndef main(argv):\n    parser = argparse.ArgumentParser()\n    parser.add_argument('--input', type=str, required=True)\n    args = parser.parse_args(argv)\n    return args\n",
+    "class Config:\n    def __init__(self, path):\n        with open(path) as f:\n            self.data = json.load(f)\n\n    def get(self, key, default=None):\n        return self.data.get(key, default)\n",
+    "def fibonacci(n):\n    a, b = 0, 1\n    for _ in range(n):\n        a, b = b, a + b\n    return a\n\nif __name__ == '__main__':\n    print(fibonacci(10))\n",
+    "import numpy as np\n\ndef normalize(x):\n    mean = np.mean(x, axis=0)\n    std = np.std(x, axis=0)\n    return (x - mean) / (std + 1e-8)\n",
+    "async def fetch_all(urls):\n    async with aiohttp.ClientSession() as session:\n        tasks = [fetch(session, url) for url in urls]\n        return await asyncio.gather(*tasks)\n",
+    "from dataclasses import dataclass\n\n@dataclass\nclass Point:\n    x: float\n    y: float\n\n    def dist(self, other):\n        return ((self.x - other.x) ** 2 + (self.y - other.y) ** 2) ** 0.5\n",
+    "try:\n    result = process(data)\nexcept ValueError as err:\n    logging.exception('failed to process: %s', err)\n    raise\nfinally:\n    cleanup()\n",
+    "def test_addition():\n    assert add(2, 3) == 5\n    assert add(-1, 1) == 0\n\n\ndef test_empty_list():\n    with pytest.raises(IndexError):\n        first([])\n",
+    "for i, row in enumerate(reader):\n    if not row:\n        continue\n    key, value = row[0], row[1:]\n    counts[key] = counts.get(key, 0) + len(value)\n",
+    "with open(path, 'rb') as f:\n    header = f.read(16)\n    if header[:4] != MAGIC:\n        raise IOError(f'bad magic in {path}')\n",
+]
+
+JAVASCRIPT = [
+    "const express = require('express');\nconst app = express();\n\napp.get('/health', (req, res) => {\n  res.json({ status: 'ok' });\n});\n\napp.listen(3000);\n",
+    "export function debounce(fn, ms) {\n  let timer = null;\n  return (...args) => {\n    clearTimeout(timer);\n    timer = setTimeout(() => fn(...args), ms);\n  };\n}\n",
+    "async function loadUser(id) {\n  const resp = await fetch(`/api/users/${id}`);\n  if (!resp.ok) throw new Error(`HTTP ${resp.status}`);\n  return resp.json();\n}\n",
+    "const items = data\n  .filter((x) => x.active)\n  .map((x) => ({ id: x.id, name: x.name.toLowerCase() }))\n  .sort((a, b) => a.name.localeCompare(b.name));\n",
+    "class EventBus {\n  constructor() {\n    this.handlers = new Map();\n  }\n  on(event, handler) {\n    const list = this.handlers.get(event) || [];\n    list.push(handler);\n    this.handlers.set(event, list);\n  }\n}\n",
+    "document.querySelectorAll('.item').forEach((el) => {\n  el.addEventListener('click', () => {\n    el.classList.toggle('selected');\n  });\n});\n",
+    "module.exports = {\n  entry: './src/index.js',\n  output: { filename: 'bundle.js' },\n  module: { rules: [{ test: /\\.jsx?$/, use: 'babel-loader' }] },\n};\n",
+    "let total = 0;\nfor (const order of orders) {\n  total += order.price * order.qty;\n}\nconsole.log(`total: ${total.toFixed(2)}`);\n",
+    "useEffect(() => {\n  const id = setInterval(tick, 1000);\n  return () => clearInterval(id);\n}, []);\n",
+]
+
+JAVA = [
+    "public class Main {\n    public static void main(String[] args) {\n        System.out.println(\"Hello, world\");\n    }\n}\n",
+    "import java.util.List;\nimport java.util.stream.Collectors;\n\npublic final class Names {\n    public static List<String> upper(List<String> in) {\n        return in.stream().map(String::toUpperCase).collect(Collectors.toList());\n    }\n}\n",
+    "@Override\npublic boolean equals(Object o) {\n    if (this == o) return true;\n    if (!(o instanceof Point)) return false;\n    Point p = (Point) o;\n    return x == p.x && y == p.y;\n}\n",
+    "private static final Logger LOGGER = LoggerFactory.getLogger(Service.class);\n\npublic void process(Request request) throws ServiceException {\n    try {\n        validator.validate(request);\n    } catch (ValidationException e) {\n        LOGGER.warn(\"invalid request: {}\", e.getMessage());\n        throw new ServiceException(e);\n    }\n}\n",
+    "public interface Repository<T, ID> {\n    Optional<T> findById(ID id);\n    List<T> findAll();\n    T save(T entity);\n    void deleteById(ID id);\n}\n",
+    "for (Map.Entry<String, Integer> entry : counts.entrySet()) {\n    if (entry.getValue() > threshold) {\n        result.add(entry.getKey());\n    }\n}\n",
+    "ExecutorService pool = Executors.newFixedThreadPool(8);\nFuture<Integer> future = pool.submit(() -> compute(input));\nint value = future.get(30, TimeUnit.SECONDS);\npool.shutdown();\n",
+]
+
+C = [
+    "#include <stdio.h>\n#include <stdlib.h>\n\nint main(int argc, char **argv) {\n    if (argc < 2) {\n        fprintf(stderr, \"usage: %s <file>\\n\", argv[0]);\n        return 1;\n    }\n    return 0;\n}\n",
+    "static void *xmalloc(size_t n) {\n    void *p = malloc(n);\n    if (!p) {\n        perror(\"malloc\");\n        exit(1);\n    }\n    return p;\n}\n",
+    "struct node {\n    int value;\n    struct node *next;\n};\n\nstatic struct node *push(struct node *head, int v) {\n    struct node *n = xmalloc(sizeof *n);\n    n->value = v;\n    n->next = head;\n    return n;\n}\n",
+    "for (size_t i = 0; i < len; i++) {\n    sum += buf[i];\n    if (buf[i] == '\\n')\n        lines++;\n}\n",
+    "#define MAX(a, b) ((a) > (b) ? (a) : (b))\n#define ARRAY_SIZE(x) (sizeof(x) / sizeof((x)[0]))\n",
+    "int fd = open(path, O_RDONLY);\nif (fd < 0) {\n    perror(path);\n    return -1;\n}\nssize_t n = read(fd, buf, sizeof buf);\nclose(fd);\n",
+    "switch (opcode) {\ncase OP_ADD:\n    push(vm, pop(vm) + pop(vm));\n    break;\ncase OP_HALT:\n    return VM_OK;\ndefault:\n    return VM_BAD_OPCODE;\n}\n",
+]
+
+GO = [
+    "package main\n\nimport (\n\t\"fmt\"\n\t\"os\"\n)\n\nfunc main() {\n\tif len(os.Args) < 2 {\n\t\tfmt.Fprintln(os.Stderr, \"usage: prog <arg>\")\n\t\tos.Exit(1)\n\t}\n}\n",
+    "func (s *Server) handleGet(w http.ResponseWriter, r *http.Request) {\n\tid := r.URL.Query().Get(\"id\")\n\titem, err := s.store.Get(id)\n\tif err != nil {\n\t\thttp.Error(w, err.Error(), http.StatusNotFound)\n\t\treturn\n\t}\n\tjson.NewEncoder(w).Encode(item)\n}\n",
+    "type Worker struct {\n\tjobs    chan Job\n\tresults chan Result\n\twg      sync.WaitGroup\n}\n\nfunc (w *Worker) Run(ctx context.Context) {\n\tdefer w.wg.Done()\n\tfor {\n\t\tselect {\n\t\tcase job := <-w.jobs:\n\t\t\tw.results <- job.Do()\n\t\tcase <-ctx.Done():\n\t\t\treturn\n\t\t}\n\t}\n}\n",
+    "func sum(xs []int) int {\n\ttotal := 0\n\tfor _, x := range xs {\n\t\ttotal += x\n\t}\n\treturn total\n}\n",
+    "if err := row.Scan(&u.ID, &u.Name, &u.Email); err != nil {\n\treturn nil, fmt.Errorf(\"scan user: %w\", err)\n}\n",
+    "var (\n\tErrNotFound = errors.New(\"not found\")\n\tErrTimeout  = errors.New(\"timeout\")\n)\n",
+]
+
+MARKDOWN = [
+    "# Project Title\n\nA short description of the project.\n\n## Installation\n\n```bash\npip install project\n```\n\n## Usage\n\nSee the [docs](https://example.org/docs) for details.\n",
+    "## Contributing\n\n1. Fork the repository\n2. Create a feature branch\n3. Open a pull request\n\n> Please run the tests before submitting.\n",
+    "| Option | Default | Description |\n|--------|---------|-------------|\n| `--verbose` | false | print more output |\n| `--jobs` | 4 | parallel workers |\n",
+    "### Changelog\n\n- **1.2.0** — added streaming mode\n- **1.1.0** — fixed memory leak in parser\n- **1.0.0** — initial release\n",
+    "## FAQ\n\n**Q: Does it support Windows?**\n\nA: Yes, from version 2.0 onward. See issue #42 for details.\n",
+    "# Architecture\n\nThe system consists of three layers:\n\n* the ingestion layer reads raw events\n* the processing layer validates and enriches them\n* the storage layer writes parquet partitions\n",
+]
+
+TEXT = [
+    "The quarterly report shows steady growth across all regions. Revenue increased by twelve percent compared to the previous year, while operating costs remained flat.\n",
+    "Please find attached the meeting notes from Tuesday. The main decisions were to postpone the launch until the security review completes and to hire two more engineers.\n",
+    "Once upon a time there was a small village near the mountains. Every winter the river froze and the children skated across it on their way to school.\n",
+    "This document describes the procedure for requesting access to the building after hours. Employees must submit a request form at least two days in advance.\n",
+    "The weather forecast predicts light rain in the morning followed by clear skies in the afternoon. Temperatures will range between ten and eighteen degrees.\n",
+    "In conclusion, the study found no significant correlation between the two variables. Further research with a larger sample size is recommended.\n",
+]
+
+SEED_SNIPPETS: dict[str, list[str]] = {
+    "python": PYTHON,
+    "javascript": JAVASCRIPT,
+    "java": JAVA,
+    "c": C,
+    "go": GO,
+    "markdown": MARKDOWN,
+    "text": TEXT,
+}

@@ -1,0 +1,219 @@
+"""Vectorized per-document text statistics over Arrow string buffers.
+
+The hot-path trick used throughout the engine: an Arrow string array is
+one contiguous UTF-8 byte buffer plus offsets. All per-document stats
+(line shapes, character classes, shingles, token counts) are computed
+with numpy over that single buffer — zero Python per-row work, zero
+copies of the content — then reduced per document with
+``np.bincount`` over a position→document index map.
+
+Definitions (shared verbatim with the pure-Python oracle in
+rayqual/oracle.py — these ARE the spec):
+
+* byte-based: ratios and line lengths are over UTF-8 bytes.
+* lines: split on b'\\n'; a trailing newline yields a trailing empty
+  line (like Python ``str.split``); a document has
+  ``n_newlines + 1`` lines.
+* alnum ratio: bytes in [0-9A-Za-z] / total bytes (0.0 for empty).
+* tokens: maximal runs of non-whitespace bytes
+  (whitespace = {\\t \\n \\v \\f \\r space}).
+* shingles: all k-byte windows (k = config.shingle_size), hashed with a
+  fixed 64-bit polynomial (K = 1099511628211, wrap mod 2^64);
+  distinct ratio = distinct hashes / windows, 1.0 when no windows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SHINGLE_K = 1099511628211  # FNV-1a prime; rolling polynomial base
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True
+_ALNUM_BYTES = np.zeros(256, dtype=bool)
+_ALNUM_BYTES[48:58] = True
+_ALNUM_BYTES[65:91] = True
+_ALNUM_BYTES[97:123] = True
+
+
+@dataclass
+class StringBytes:
+    """Zero-copy view of a string array: one byte buffer + per-doc spans."""
+
+    data: np.ndarray    # uint8, the whole concatenated buffer slice
+    starts: np.ndarray  # int64 [n]
+    ends: np.ndarray    # int64 [n]
+    null_mask: np.ndarray  # bool [n] — True where input row was null
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.starts)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self.ends - self.starts
+
+    def doc_ids(self) -> np.ndarray:
+        """Position→document index for every byte in ``data[starts[0]:ends[-1]]``
+        ... built for the *spanned* region; use with ``self.span()``."""
+        return np.repeat(np.arange(self.n_docs, dtype=np.int64), self.lengths)
+
+    def concat_bytes(self) -> np.ndarray:
+        """Bytes of all docs back to back (copies only when the array
+        was sliced with gaps — normal case is a view)."""
+        if self.n_docs == 0:
+            return np.empty(0, dtype=np.uint8)
+        if (self.starts[1:] == self.ends[:-1]).all():
+            return self.data[self.starts[0]: self.ends[-1]]
+        return np.concatenate([self.data[s:e] for s, e in zip(self.starts, self.ends)])
+
+
+def string_bytes(arr) -> StringBytes:
+    """Build a StringBytes view from a pyarrow string array (nulls → empty)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, type=pa.string())
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        arr = pc.cast(arr, pa.string())
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8)
+        if buffers[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return StringBytes(data=data, starts=offsets[:-1], ends=offsets[1:], null_mask=null_mask)
+
+
+def _per_doc_sum(mask_or_weights: np.ndarray, sb: StringBytes) -> np.ndarray:
+    """Sum a per-byte quantity per document (positions = concat region)."""
+    n = sb.n_docs
+    if len(mask_or_weights) == 0:
+        return np.zeros(n, dtype=np.float64)
+    return np.bincount(sb.doc_ids(), weights=mask_or_weights, minlength=n)
+
+
+def shingle_hashes(b: np.ndarray, k: int) -> np.ndarray:
+    """64-bit polynomial hash of every k-byte window of ``b`` (len-k+1
+    windows; empty when len < k). Vectorized, wraps mod 2^64."""
+    n = len(b) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h += b[j: j + n].astype(np.uint64) * mult
+            mult = np.uint64(mult * np.uint64(SHINGLE_K))
+    return h
+
+
+def distinct_shingle_ratio(sb: StringBytes, k: int) -> np.ndarray:
+    """Per-doc distinct/total ratio of k-byte shingle hashes; 1.0 when a
+    doc has no windows (shorter than k)."""
+    n = sb.n_docs
+    out = np.ones(n, dtype=np.float64)
+    if n == 0:
+        return out
+    b = sb.concat_bytes()
+    h = shingle_hashes(b, k)
+    if len(h) == 0:
+        return out
+    # window i is valid iff bytes i..i+k-1 are in the same doc
+    lens = sb.lengths
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    d_start = doc_ids[: len(h)]
+    d_end = doc_ids[k - 1:]
+    valid = d_start == d_end
+    d = d_start[valid]
+    hv = h[valid]
+    totals = np.bincount(d, minlength=n)
+    if len(d) == 0:
+        return out
+    order = np.lexsort((hv, d))
+    ds, hs = d[order], hv[order]
+    new = np.ones(len(ds), dtype=bool)
+    new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    distinct = np.bincount(ds, weights=new, minlength=n)
+    nz = totals > 0
+    out[nz] = distinct[nz] / totals[nz]
+    return out
+
+
+def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
+    """All per-doc stats in one pass. Returns a dict of float64/int64
+    arrays: n_chars, n_bytes, n_lines, max_line_len, mean_line_len,
+    alnum_ratio, token_count, distinct_shingle_ratio, is_null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, type=pa.string())
+    sb = string_bytes(arr)
+    n = sb.n_docs
+    n_chars = pc.utf8_length(arr.fill_null("") if arr.null_count else arr).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    lens = sb.lengths
+
+    b = sb.concat_bytes()
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    nl = b == 10
+    n_newlines = np.bincount(doc_ids, weights=nl, minlength=n).astype(np.int64) if len(b) else np.zeros(n, dtype=np.int64)
+    n_lines = n_newlines + 1
+
+    alnum = np.bincount(doc_ids, weights=_ALNUM_BYTES[b], minlength=n) if len(b) else np.zeros(n)
+    alnum_ratio = np.where(lens > 0, alnum / np.maximum(lens, 1), 0.0)
+
+    # line lengths: line starts = doc starts + (positions after newlines)
+    if len(b):
+        nl_pos = np.flatnonzero(nl)
+        nl_doc = doc_ids[nl_pos]
+        cl = np.cumsum(lens)
+        doc_start_pos = cl - lens  # concat-space start of each doc
+        doc_end_pos = cl
+        line_starts = np.concatenate([doc_start_pos, nl_pos + 1])
+        line_docs = np.concatenate([np.arange(n, dtype=np.int64), nl_doc])
+        nxt = np.searchsorted(nl_pos, line_starts, side="left")
+        cand = np.where(nxt < len(nl_pos), nl_pos[np.minimum(nxt, max(len(nl_pos) - 1, 0))], np.iinfo(np.int64).max)
+        line_ends = np.minimum(cand, doc_end_pos[line_docs])
+        line_len = line_ends - line_starts
+        max_line = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_line, line_docs, line_len)
+        mean_line = (lens - n_newlines) / n_lines
+
+        ws = _WS_BYTES[b]
+        prev_ws = np.empty(len(b), dtype=bool)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        prev_ws[doc_start_pos[doc_start_pos < len(b)]] = True
+        token_start = ~ws & prev_ws
+        token_count = np.bincount(doc_ids, weights=token_start, minlength=n).astype(np.int64)
+    else:
+        max_line = np.zeros(n, dtype=np.int64)
+        mean_line = np.zeros(n, dtype=np.float64)
+        token_count = np.zeros(n, dtype=np.int64)
+
+    return {
+        "n_chars": n_chars,
+        "n_bytes": lens.astype(np.int64),
+        "n_lines": n_lines,
+        "max_line_len": max_line,
+        "mean_line_len": mean_line.astype(np.float64),
+        "alnum_ratio": alnum_ratio.astype(np.float64),
+        "token_count": token_count,
+        "distinct_shingle_ratio": distinct_shingle_ratio(sb, shingle_size),
+        "is_null": sb.null_mask,
+    }
