@@ -37,7 +37,11 @@ SCRUB_CHAIN: list[tuple[str, str, str]] = [
         "<PRIVATE_KEY>",
     ),
     ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # quantifiers bounded (RFC-ish limits) so the oracle's Python-re
+    # pass stays linear on adversarial runs (e.g. a 1 MB single-char
+    # run); RE2 is linear either way and both engines match the same
+    # spans for these patterns.
+    ("email", r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,128}\.[A-Za-z]{2,24}", "<EMAIL>"),
     (
         "ipv4",
         r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"

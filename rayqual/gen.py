@@ -1,0 +1,188 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md F1).
+
+Generates the flagship input shape — (repo, path, commit, lang,
+content) — with injected violations: nulls, empty files, exact
+duplicates, PII (emails/phones/IPs/AWS-key-shaped strings), profanity,
+very long lines, binary-ish blobs, highly repetitive text, undersized /
+oversized files, and ~5% wrong declared language.
+
+Fully deterministic: row ``i`` of seed ``s`` has identical bytes no
+matter how generation is batched or parallelized (per-index Philox
+streams), so a Ray-parallel generation (`ray.data.range(n).map_batches`)
+equals a local loop. Zipf-ish repo skew: one "monorepo" owns ~45% of
+rows to exercise the salted-key rollup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.functions.seed_corpus import SEED_SNIPPETS
+
+LANGS = ("python", "javascript", "java", "c", "go", "markdown", "text")
+_EXT = {
+    "python": ".py", "javascript": ".js", "java": ".java", "c": ".c",
+    "go": ".go", "markdown": ".md", "text": ".txt",
+}
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega handler worker buffer "
+    "stream index offset cursor packet frame token bucket shard replica"
+).split()
+
+# repo skew: repo00 is the monorepo (~45% of rows)
+_REPO_CUM = np.concatenate([[0.45], 0.45 + np.cumsum(np.full(19, 0.55 / 19))])
+
+# fixed pool of duplicate contents (duplicate groups are pool entries)
+_DUP_POOL_SIZE = 24
+
+# injected-violation probability bands (cumulative over u in [0,1))
+_P_NULL = 0.010
+_P_EMPTY = 0.020
+_P_DUP = 0.050
+_P_LONGLINE = 0.065
+_P_BINARY = 0.080
+_P_REPET = 0.100
+_P_TINY = 0.110
+_P_OVERSIZE = 0.112
+_P_PII = 0.142
+_P_PROFANITY = 0.152
+# else: clean file
+
+_P_WRONG_LANG = 0.05
+
+
+def _dup_pool() -> list[str]:
+    out = []
+    for i in range(_DUP_POOL_SIZE):
+        lang = LANGS[i % len(LANGS)]
+        sn = SEED_SNIPPETS[lang]
+        out.append(f"// dup pool {i}\n" + sn[i % len(sn)] + sn[(i + 1) % len(sn)])
+    return out
+
+
+_DUP_POOL = _dup_pool()
+
+
+def _clean_content(rng: np.random.Generator, lang: str) -> str:
+    sn = SEED_SNIPPETS[lang]
+    k = int(rng.integers(2, 7))
+    picks = rng.integers(0, len(sn), size=k)
+    parts = []
+    for p in picks:
+        parts.append(sn[int(p)])
+        # unique-ifying comment line with random tokens
+        w1 = _WORDS[int(rng.integers(0, len(_WORDS)))]
+        w2 = _WORDS[int(rng.integers(0, len(_WORDS)))]
+        tag = int(rng.integers(0, 1 << 30))
+        parts.append(f"# note {w1} {w2} {tag:08x}\n")
+    return "".join(parts)
+
+
+def _pii_lines(rng: np.random.Generator) -> str:
+    user = _WORDS[int(rng.integers(0, len(_WORDS)))]
+    n1 = int(rng.integers(200, 999))
+    n2 = int(rng.integers(200, 999))
+    n3 = int(rng.integers(1000, 9999))
+    ip = ".".join(str(int(rng.integers(1, 255))) for _ in range(4))
+    key = "AKIA" + "".join("ABCDEFGHIJKLMNOP0123"[int(c)] for c in rng.integers(0, 20, 16))
+    kinds = [
+        f"# contact: {user}@example.com\n",
+        f"# phone: ({n1}) {n2}-{n3}\n",
+        f"HOST = '{ip}'\n",
+        f"AWS_KEY = {key}\n",
+        f'password = "hunter{n3}secret"\n',
+    ]
+    picks = rng.integers(0, len(kinds), size=int(rng.integers(1, 4)))
+    return "".join(kinds[int(p)] for p in picks)
+
+
+def generate_row(seed: int, idx: int) -> dict:
+    """Row ``idx`` of the corpus for ``seed`` — pure function."""
+    rng = np.random.default_rng([seed, idx])
+    u_repo, u_kind, u_lang, u_wrong = rng.random(4)
+
+    repo_id = int(np.searchsorted(_REPO_CUM, u_repo, side="right"))
+    repo = f"repo{repo_id:02d}"
+    lang = LANGS[int(u_lang * len(LANGS))]
+    declared = lang
+    if u_wrong < _P_WRONG_LANG:
+        declared = LANGS[(LANGS.index(lang) + 1 + int(rng.integers(0, len(LANGS) - 1))) % len(LANGS)]
+
+    d1 = _WORDS[int(rng.integers(0, len(_WORDS)))]
+    d2 = _WORDS[int(rng.integers(0, len(_WORDS)))]
+    path = f"{d1}/{d2}/file_{idx}{_EXT[lang]}"
+    commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
+
+    if u_kind < _P_NULL:
+        content = None
+    elif u_kind < _P_EMPTY:
+        content = " \n " if rng.random() < 0.5 else ""
+    elif u_kind < _P_DUP:
+        content = _DUP_POOL[int(rng.integers(0, _DUP_POOL_SIZE))]
+    elif u_kind < _P_LONGLINE:
+        content = _clean_content(rng, lang) + "x = " + "ab" * 4200 + "\n"
+    elif u_kind < _P_BINARY:
+        blob = rng.integers(0, 256, int(rng.integers(300, 2000)))
+        content = bytes(blob.tolist()).decode("latin-1")
+    elif u_kind < _P_REPET:
+        line = "loop " * 12 + "\n"
+        content = line * int(rng.integers(60, 200))
+    elif u_kind < _P_TINY:
+        content = "ok\n"
+    elif u_kind < _P_OVERSIZE:
+        content = _clean_content(rng, lang) * 400 + "z" * 1_050_000
+    elif u_kind < _P_PII:
+        content = _clean_content(rng, lang) + _pii_lines(rng)
+    elif u_kind < _P_PROFANITY:
+        content = _clean_content(rng, lang) + "# this is fucking broken, fix the shitty parser\n"
+    else:
+        content = _clean_content(rng, lang)
+
+    return {"repo": repo, "path": path, "commit": commit, "lang": declared, "content": content}
+
+
+def generate_table(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
+    rows = [generate_row(seed, i) for i in range(start, start + n_rows)]
+    return pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "commit": pa.array([r["commit"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.string()),
+        }
+    )
+
+
+def generate_dataset(n_rows: int, seed: int = 42, parallelism: int = 32):
+    """Ray-parallel generation: ``ray.data.range`` over indices →
+    map_batches building rows per index (deterministic regardless of
+    batching). Caller owns the Ray session."""
+    import ray.data
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        rows = [generate_row(seed, int(i)) for i in ids]
+        return pa.table(
+            {
+                "repo": pa.array([r["repo"] for r in rows], pa.string()),
+                "path": pa.array([r["path"] for r in rows], pa.string()),
+                "commit": pa.array([r["commit"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "content": pa.array([r["content"] for r in rows], pa.string()),
+            }
+        )
+
+    return ray.data.range(n_rows, override_num_blocks=parallelism).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+def write_corpus(path: str, n_rows: int, seed: int = 42, parallelism: int = 32) -> None:
+    """Generate and write the corpus as partitioned parquet (Ray session
+    required)."""
+    generate_dataset(n_rows, seed, parallelism).write_parquet(path)

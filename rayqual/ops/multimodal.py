@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by actor-pool map_batches
+stages.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the decode
+kernels are STUBBED behind ``decoder="fake"`` — a deterministic fake
+that derives pixel/sample features from the payload bytes — or raise
+``NotImplementedError`` when a real decoder is requested. The Ray-side
+plumbing is real and tested: schema, per-actor decoder construction,
+batch sizing for large binary payloads, and the output layout.
+
+Schema convention:
+    (id: int64, kind: string in {image,audio,video},
+     payload: binary, meta: string json)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("meta", pa.string()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: seed a PRNG from the payload digest."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor-pool stage: payload bytes → (height, width, mean_rgb,
+    feature) columns. Use small ``batch_size`` — payloads are large and
+    ``batch_size × concurrency`` must fit the worker heap.
+
+    ``decoder='pil'`` requires Pillow (not in this container → raises
+    NotImplementedError at actor construction, by design)."""
+
+    def __init__(self, decoder: str = "fake", thumb: int = 8):
+        self.thumb = thumb
+        if decoder == "fake":
+            self._decode = None
+        elif decoder == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as err:
+                raise NotImplementedError(
+                    "real image decode needs Pillow, which is not installed; "
+                    "use decoder='fake' for plumbing tests"
+                ) from err
+            self._decode = "pil"
+        else:
+            raise ValueError(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = [json.loads(m) if m else {} for m in batch.column("meta").to_pylist()]
+        heights, widths, means, feats = [], [], [], []
+        for p, m in zip(payloads, metas):
+            h = int(m.get("height", 32))
+            w = int(m.get("width", 32))
+            px = _fake_pixels(p or b"", h, w)
+            heights.append(h)
+            widths.append(w)
+            means.append(px.reshape(-1, 3).mean(axis=0).round(4).tolist())
+            # thumbnail "feature": block-mean downsample to thumb×thumb gray
+            gray = px.mean(axis=2)
+            ys = np.linspace(0, h, self.thumb + 1).astype(int)
+            xs = np.linspace(0, w, self.thumb + 1).astype(int)
+            thumb = np.array(
+                [
+                    [gray[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+                     for j in range(self.thumb)]
+                    for i in range(self.thumb)
+                ]
+            )
+            feats.append(np.round(thumb.ravel() / 255.0, 6).tolist())
+        out = batch.drop_columns(["payload"])  # decoded stages drop the heavy bytes
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("mean_rgb", pa.array(means, pa.list_(pa.float64())))
+        out = out.append_column("feature", pa.array(feats, pa.list_(pa.float64())))
+        return out
+
+
+class FrameSample:
+    """Video stub: emits every Nth 'frame feature' row per video —
+    demonstrates flat_map-style 1→N expansion with binary inputs."""
+
+    def __init__(self, every_n: int = 10, decoder: str = "fake"):
+        if decoder != "fake":
+            raise NotImplementedError("real video decode not available in this container")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for i in range(len(batch)):
+            vid = batch.column("id")[i].as_py()
+            meta = json.loads(batch.column("meta")[i].as_py() or "{}")
+            n_frames = int(meta.get("n_frames", 30))
+            payload = batch.column("payload")[i].as_py() or b""
+            for f in range(0, n_frames, self.every_n):
+                digest = hashlib.sha256(payload + f.to_bytes(4, "little")).digest()
+                ids.append(vid)
+                frames.append(f)
+                feats.append([b / 255.0 for b in digest[:8]])
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def synthetic_media_table(n: int, kind: str = "image", seed: int = 11) -> pa.Table:
+    """Deterministic synthetic media rows for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [bytes(rng.integers(0, 256, int(rng.integers(64, 256))).tolist()) for _ in range(n)]
+    metas = [
+        json.dumps({"height": int(rng.integers(8, 64)), "width": int(rng.integers(8, 64)), "n_frames": 30})
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )

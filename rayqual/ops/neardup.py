@@ -1,0 +1,311 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, exact
+n-gram Jaccard verification, and embedding-cosine near-dup.
+
+Shared shape (the scalable pattern): per-batch signature computation
+(vectorized, content never leaves its block) → shuffle only small
+(bucket_key, id, signature) rows → per-bucket candidate pairing inside
+``groupby().map_groups`` → tiny pair list → driver-side union-find →
+loser set. The all-to-all exchange moves signatures (≤ ~0.5 KB/row),
+never document bytes.
+
+Partitioning assumptions (documented per SURVEY.md custom-operator
+rule): bucket sizes stay small because band keys are 64-bit hashes;
+degenerate buckets (identical boilerplate) are capped at
+``max_bucket`` members with a logged warning rather than O(n²) pairing.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import hamming64, minhash_band_keys, minhash_signatures, simhash64
+
+logger = logging.getLogger(__name__)
+
+_U64 = np.uint64
+
+
+def _union_find_losers(pairs: list[tuple], ids: set) -> set:
+    """Cluster ids via union-find over pairs; losers = every member of a
+    cluster except its minimum. Pure driver-side (pair lists are small
+    relative to the corpus by construction)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach larger root under smaller for deterministic minima
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    clusters: dict = {}
+    for x in parent:
+        clusters.setdefault(find(x), []).append(x)
+    losers = set()
+    for root, members in clusters.items():
+        keep = min(members)
+        losers.update(m for m in members if m != keep)
+    return losers
+
+
+def minhash_candidate_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_size: int = 12,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+):
+    """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
+    threshold). est_jaccard = fraction of agreeing minhashes."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
+        keys = minhash_band_keys(sig, bands)
+        n = len(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # one row per (doc, band): bucket key mixes band index
+        bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
+        out_ids = np.repeat(ids, bands)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sig, bands, axis=0).ravel(), type=pa.uint64()), num_perm
+        )
+        return pa.table({"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(out_ids), "sig": sig_list})
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        if len(g) > max_bucket:
+            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
+            g = g.head(max_bucket)
+        ids = g["id"].to_numpy()
+        sigm = np.stack(g["sig"].to_numpy())
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        est = (sigm[a_idx] == sigm[b_idx]).mean(axis=1)
+        ok = est >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[a_idx[ok]], "id_b": ids[b_idx[ok]], "est_jaccard": est[ok]}
+        )
+
+    return (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+    )
+
+
+def minhash_dedup_losers(ds, id_col: str, text_col: str, **kw) -> list:
+    """Sorted loser ids from MinHash-LSH near-dup clusters (keep = min
+    id per cluster). Pair list is collected to the driver (small)."""
+    pairs = minhash_candidate_pairs(ds, id_col, text_col, **kw).to_pandas()
+    seen = set(pairs["id_a"]) | set(pairs["id_b"])
+    # dedupe pairs found via multiple bands
+    uniq = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    return sorted(_union_find_losers(sorted(uniq), seen))
+
+
+def simhash_dedup_losers(
+    ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3, max_bucket: int = 500
+) -> list:
+    """SimHash near-dup: 4×16-bit band LSH guarantees every pair with
+    hamming distance ≤ 3 shares at least one band (pigeonhole); full
+    64-bit hamming verified inside the bucket."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch.column(text_col), shingle_size)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rows_k, rows_i, rows_h = [], [], []
+        for band in range(4):
+            chunk = (h >> _U64(band * 16)) & _U64(0xFFFF)
+            rows_k.append(chunk | (_U64(band) << _U64(16)))
+            rows_i.append(ids)
+            rows_h.append(h)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(rows_k), pa.uint64()),
+                "id": pa.array(np.concatenate(rows_i)),
+                "h": pa.array(np.concatenate(rows_h), pa.uint64()),
+            }
+        )
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(g) > max_bucket:
+            logger.warning("simhash bucket capped: %d members > %d", len(g), max_bucket)
+            g = g.head(max_bucket)
+        ids = g["id"].to_numpy()
+        hs = g["h"].to_numpy().astype(np.uint64)
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        dist = hamming64(hs[a_idx], hs[b_idx])
+        ok = dist <= max_hamming
+        return pd.DataFrame({"id_a": ids[a_idx[ok]], "id_b": ids[b_idx[ok]]})
+
+    pairs = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()
+    )
+    uniq = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    return sorted(_union_find_losers(sorted(uniq), set()))
+
+
+def ngram_jaccard_losers(
+    ds, id_col: str, text_col: str, shingle_size: int = 12, threshold: float = 0.7, **minhash_kw
+) -> list:
+    """Exact n-gram Jaccard dedup: MinHash-LSH proposes candidates
+    (recall stage), then EXACT Jaccard over byte-shingle hash sets is
+    computed for the candidate cohort only — the classic
+    propose-cheap / verify-exact split, so the exact O(n²) work touches
+    only suspected duplicates."""
+    import pyarrow.compute as pc
+
+    from rayqual.functions.textstats import string_bytes, shingle_hashes
+
+    cand = minhash_candidate_pairs(
+        ds, id_col, text_col, shingle_size=shingle_size,
+        threshold=max(0.5, threshold - 0.2), **minhash_kw
+    ).to_pandas()
+    if len(cand) == 0:
+        return []
+    cohort = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    cohort_set = set(cohort)
+
+    def collect_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.fromiter((i in cohort_set for i in ids), dtype=bool, count=len(ids))
+        sub = batch.filter(pa.array(mask))
+        sets = []
+        sb = string_bytes(sub.column(text_col))
+        for i in range(sb.n_docs):
+            b = sb.data[sb.starts[i]: sb.ends[i]]
+            sets.append(np.unique(shingle_hashes(b, shingle_size)))
+        return pa.table(
+            {
+                "id": sub.column(id_col),
+                "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
+            }
+        )
+
+    rows = ds.map_batches(collect_sets, batch_format="pyarrow").to_pandas()
+    sets = {r["id"]: set(r["shingles"]) for _, r in rows.iterrows()}
+    pairs = []
+    for a, b in {(a, b) for a, b in zip(cand["id_a"], cand["id_b"])}:
+        sa, sb_ = sets.get(a, set()), sets.get(b, set())
+        if not sa or not sb_:
+            continue
+        j = len(sa & sb_) / len(sa | sb_)
+        if j >= threshold:
+            pairs.append((a, b))
+    return sorted(_union_find_losers(sorted(pairs), set()))
+
+
+def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95):
+    """Exact cosine near-dup pairs via broadcast matmul: the (small)
+    normalized embedding matrix is ``ray.put`` once; every batch
+    computes batch @ all.T. Exact — the oracle-checkable baseline.
+    For corpora whose embedding matrix exceeds worker memory, use
+    :func:`lsh_embedding_neardup_pairs`."""
+    import ray
+
+    all_df = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    ids = all_df[id_col].to_numpy()
+    mat = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        a_ids_all, m = ray.get(ref)
+        b_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bm = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        sims = bm @ m.T
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = b_ids[bi] < a_ids_all[ai]  # emit each pair once, a < b
+        return pa.table(
+            {
+                "id_a": pa.array(b_ids[bi][keep]),
+                "id_b": pa.array(a_ids_all[ai][keep]),
+                "cosine": pa.array(np.round(sims[bi, ai][keep], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def lsh_embedding_neardup_pairs(
+    ds, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 16, n_tables: int = 6, seed: int = 7
+):
+    """Scale path: random-hyperplane LSH buckets (seeded, deterministic)
+    → exact cosine verification within buckets. Approximate recall
+    (missed pairs possible), documented trade-off vs the broadcast
+    exact version."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bm = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        dim = bm.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        bm_n = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_k, out_i, out_v = [], [], []
+        for t in range(n_tables):
+            bits = (bm_n @ planes[t].T) > 0
+            key = np.zeros(len(bm), dtype=np.uint64)
+            for j in range(n_planes):
+                key |= bits[:, j].astype(np.uint64) << _U64(j)
+            key |= _U64(t) << _U64(32)
+            out_k.append(key)
+            out_i.append(ids)
+            out_v.append(bm_n)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(out_k), pa.uint64()),
+                "id": pa.array(np.concatenate(out_i)),
+                "vec": pa.array(list(np.concatenate(out_v)), pa.list_(pa.float64())),
+            }
+        )
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g["id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        ok = sims[a_idx, b_idx] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[a_idx[ok]],
+                "id_b": ids[b_idx[ok]],
+                "cosine": np.round(sims[a_idx, b_idx][ok], 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``); each batch computes a dense matmul and
+  emits its local top-k per query; a final small
+  ``groupby(query_id).map_groups`` reduces to the global top-k. The
+  dataset streams — nothing is materialized except k rows per query per
+  batch.
+* ``lsh_topk`` — scale path: candidates restricted to LSH buckets
+  shared with the query (random hyperplanes, seeded), then exact
+  rescoring of candidates only. Approximate recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_ids: list | None = None, exclude_self: bool = True):
+    """Exact cosine top-k. ``queries``: [q, dim]. Returns a Dataset of
+    (query_id, id, cosine) rows, k per query, cosine rounded to 6dp for
+    deterministic comparison."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids if query_ids is not None else np.arange(len(qm)))
+    ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = q @ m.T  # [q, batch]
+        if exclude_self:
+            sims[np.equal.outer(q_ids, ids)] = -np.inf
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_i, rows_s = [], [], []
+        for qi in range(len(q_ids)):
+            rows_q.append(np.full(kk, q_ids[qi]))
+            rows_i.append(ids[idx[qi]])
+            rows_s.append(sims[qi, idx[qi]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "id": pa.array(np.concatenate(rows_i)),
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "id"], ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_ids: list | None = None, n_planes: int = 12, n_tables: int = 8, seed: int = 7,
+             exclude_self: bool = True):
+    """Approximate top-k: only candidates sharing an LSH bucket with the
+    query in any table are scored. Deterministic (seeded planes)."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids if query_ids is not None else np.arange(len(qm)))
+    dim = qm.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def keys_of(m: np.ndarray) -> np.ndarray:
+        out = np.zeros((m.shape[0], n_tables), dtype=np.uint64)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0
+            key = np.zeros(m.shape[0], dtype=np.uint64)
+            for j in range(n_planes):
+                key |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            out[:, t] = key | (np.uint64(t) << np.uint64(32))
+        return out
+
+    qkeys = keys_of(qm)  # [q, tables]
+    qkey_sets = [set(qkeys[qi].tolist()) for qi in range(len(qm))]
+    ref = ray.put((qids, qm, qkey_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q, qsets = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        bkeys = keys_of(m)  # [batch, tables]
+        rows_q, rows_i, rows_s = [], [], []
+        for qi in range(len(q_ids)):
+            cand = np.zeros(len(ids), dtype=bool)
+            qs = qsets[qi]
+            for t in range(n_tables):
+                cand |= np.fromiter((kk in qs for kk in bkeys[:, t].tolist()), bool, len(ids))
+            if exclude_self:
+                cand &= ids != q_ids[qi]
+            if not cand.any():
+                continue
+            sims = m[cand] @ q[qi]
+            cidx = np.flatnonzero(cand)
+            kk2 = min(k, len(cidx))
+            top = np.argpartition(-sims, kk2 - 1)[:kk2]
+            rows_q.append(np.full(kk2, q_ids[qi]))
+            rows_i.append(ids[cidx[top]])
+            rows_s.append(sims[top])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], qids.dtype.name), "id": pa.array([], ids.dtype.name),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "id": pa.array(np.concatenate(rows_i)),
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "id"], ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -1,0 +1,159 @@
+"""Single-process pure-Python oracle for the flagship quality gate.
+
+This is the "reference labels" implementation of SURVEY.md §7.0 /
+BASELINE.md: a deliberately naive per-row Python implementation of the
+same spec (same thresholds from RuleConfig, same stat definitions from
+functions/textstats.py's docstring, same scrub chain, same model
+weights) — written with Python loops and ``re``, independent of the
+Arrow/numpy kernels. tests/test_pipeline_e2e.py gates the Ray pipeline
+at F1 ≥ 0.99 keep/drop agreement and per-row sha256 equality of
+passed-through content against this oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from rayqual.config import RuleConfig
+from rayqual.functions.models import get_models, gram_hashes
+from rayqual.functions.scrub import scrub_text
+from rayqual.functions.textstats import SHINGLE_K
+
+
+def _shingle_hashes_py(b: bytes, k: int) -> list[int]:
+    """Same polynomial hash as the kernel (h(i) = Σ b[i+j]·K^j mod 2^64)
+    computed by rolling recurrence: h(i+1) = (h(i) − b[i])·K⁻¹ + b[i+k]·K^(k-1),
+    using K's modular inverse (K is odd ⇒ invertible mod 2^64)."""
+    n = len(b) - k + 1
+    if n <= 0:
+        return []
+    mod = 1 << 64
+    k_inv = pow(SHINGLE_K, -1, mod)
+    k_top = pow(SHINGLE_K, k - 1, mod)
+    h = 0
+    p = 1
+    for j in range(k):
+        h = (h + b[j] * p) % mod
+        p = (p * SHINGLE_K) % mod
+    out = [h]
+    for i in range(1, n):
+        h = ((h - b[i - 1]) * k_inv + b[i + k - 1] * k_top) % mod
+        out.append(h)
+    return out
+
+
+def _langid_scores(b: bytes, model) -> np.ndarray:
+    arr = np.frombuffer(b, dtype=np.uint8)
+    L = len(model.languages)
+    scores = np.zeros(L, dtype=np.float64)
+    for n, w in ((2, model.w2), (3, model.w3)):
+        for h in gram_hashes(arr, n):
+            scores += w[h]
+    return scores
+
+
+def _bits_per_char(b: bytes, lm) -> float:
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h3 = gram_hashes(arr, 3)
+    if len(h3) == 0:
+        return 0.0
+    h2 = gram_hashes(arr, 2)[: len(h3)]
+    total = 0.0
+    for a3, a2 in zip(h3, h2):
+        p = (lm.c3[a3] + lm.k) / (lm.c2[a2] + lm.k * lm.vocab)
+        total += -np.log2(p)
+    return total / len(h3)
+
+
+def oracle_row(repo, path, commit, declared_lang, content, cfg: RuleConfig, models) -> dict:
+    langid, lm = models
+    reasons = []
+
+    text = content if content is not None else ""
+    b = text.encode("utf-8")
+    n_chars = len(text)
+    lines = b.split(b"\n")
+
+    if content is None:
+        reasons.append("null_content")
+    if n_chars < cfg.min_chars:
+        reasons.append("min_chars")
+    if n_chars > cfg.max_chars:
+        reasons.append("max_chars")
+    if max((len(l) for l in lines), default=0) > cfg.max_line_len:
+        reasons.append("max_line_len")
+    if sum(len(l) for l in lines) / len(lines) > cfg.max_mean_line_len:
+        reasons.append("mean_line_len")
+    alnum = sum(1 for c in b if (48 <= c <= 57) or (65 <= c <= 90) or (97 <= c <= 122))
+    if (alnum / len(b) if b else 0.0) < cfg.min_alnum_ratio:
+        reasons.append("alnum_ratio")
+    sh = _shingle_hashes_py(b, cfg.shingle_size)
+    ratio = (len(set(sh)) / len(sh)) if sh else 1.0
+    if ratio < cfg.min_distinct_shingle_ratio:
+        reasons.append("repetition")
+
+    # sampling is byte-based (same spec as the kernel: first N bytes of
+    # the UTF-8 buffer, even if that splits a multi-byte character)
+    sample = b[: cfg.langid_sample_bytes]
+    scores = _langid_scores(sample, langid)
+    pred = int(np.argmax(scores))
+    pred_lang = langid.languages[pred]
+    if declared_lang in langid.languages:
+        didx = langid.languages.index(declared_lang)
+        if pred != didx and (scores[pred] - scores[didx]) > cfg.langid_margin:
+            reasons.append("langid_mismatch")
+
+    bits = _bits_per_char(b[: cfg.ppl_sample_bytes], lm)
+    if bits > cfg.max_bits_per_char:
+        reasons.append("perplexity")
+
+    scrubbed, pii, tox = scrub_text(content)
+    sha = hashlib.sha256(b).hexdigest() if content is not None else None
+
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": declared_lang,
+        "content_sha256": sha,
+        "scrubbed_content": scrubbed,
+        "pred_lang": pred_lang,
+        "ppl_bits_per_char": bits,
+        "pii_count": pii,
+        "toxicity_count": tox,
+        "reasons": reasons,
+    }
+
+
+def oracle_quality_gate(table, cfg: RuleConfig | None = None) -> pd.DataFrame:
+    """table: pyarrow Table / pandas DataFrame with the flagship schema.
+    Returns one row per input with keep/drop_reasons/scrubbed/sha."""
+    cfg = cfg or RuleConfig()
+    models = get_models(cfg.languages)
+    if not isinstance(table, pd.DataFrame):
+        df = table.to_pandas()
+    else:
+        df = table
+    rows = []
+    for r in df.itertuples(index=False):
+        content = r.content if isinstance(r.content, str) else None
+        rows.append(oracle_row(r.repo, r.path, r.commit, r.lang, content, cfg, models))
+    out = pd.DataFrame(rows)
+
+    # exact dedup: losers = all but min (repo,path,commit) per sha group
+    if cfg.exact_dedup:
+        key = out["repo"] + "\x1f" + out["path"] + "\x1f" + out["commit"]
+        grp = out.groupby("content_sha256", dropna=True)
+        winners = grp.apply(lambda g: key[g.index].min(), include_groups=False)
+        dup = pd.Series(False, index=out.index)
+        valid = out["content_sha256"].notna()
+        dup.loc[valid] = (key[valid] != out.loc[valid, "content_sha256"].map(winners)).astype(bool)
+        for i in out.index[dup]:
+            out.at[i, "reasons"] = out.at[i, "reasons"] + ["duplicate"]
+
+    out["keep"] = out["reasons"].map(len) == 0
+    out["drop_reasons"] = out["reasons"].map(",".join)
+    return out.drop(columns=["reasons"])

@@ -1,0 +1,3 @@
+from rayqual.pipelines.quality_gate import quality_gate_dataset, run_quality_gate
+
+__all__ = ["quality_gate_dataset", "run_quality_gate"]

@@ -1,0 +1,190 @@
+"""The flagship pipeline: langid + quality heuristics + PII/toxicity
+scrub + exact dedup over a (repo, path, commit, lang, content) table.
+
+Ray-Data plan (BASELINE.json:north_star):
+
+    read_parquet (pruned columns)
+      → map_batches(StatelessVerdicts)       # fused stats+rules+scrub+sha, Arrow
+      → map_batches(LangScore, concurrency=N)  # actor pool, models in __init__
+      → [dedup: project (sha,key) → groupby(sha) → broadcast losers]
+      → finalize keep/drop
+      → kept rows → write_parquet        (filtered output)
+      → metrics   → per-batch partial agg → groupby(repo) sum  (report rollup)
+
+The only all-to-all exchanges are the (sha, key) dedup shuffle (a few
+dozen bytes/row) and the pre-combined per-repo metrics groupby (one row
+per repo per batch enters the shuffle — monorepo skew is defused by the
+batch-level combine, which is strictly stronger than key salting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.config import RuleConfig
+from rayqual.ops.dedup import exact_dedup_losers, mark_duplicates
+from rayqual.stages.score import LangScore
+from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
+
+VERDICT_BOOL_COLS = tuple(f"fail_{r}" for r in DROP_RULES)
+
+
+def quality_gate_dataset(
+    ds,
+    config: RuleConfig | None = None,
+    scorer_concurrency=(2, 8),
+    scorer_batch_size: int = 1024,
+):
+    """Lazily build the verdicted Dataset (all columns appended, no
+    keep/drop yet if dedup is on — use :func:`finalize` / run_*)."""
+    cfg = config or RuleConfig()
+    ds = ds.map_batches(StatelessVerdicts(cfg), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        LangScore,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=scorer_batch_size,
+        concurrency=scorer_concurrency,
+        num_cpus=1,
+    )
+    return ds
+
+
+def _finalize(ds, cfg: RuleConfig):
+    return ds.map_batches(
+        lambda b: finalize_decision(b, cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def metrics_rollup(verdicts_ds):
+    """Per-repo metrics table — the reference's report rollup
+    generalized (north_star: "groupby(repo).aggregate metrics table").
+
+    Two-phase: a batch-level Arrow ``group_by`` combine (one row per
+    repo per batch) feeds the distributed ``groupby('repo')`` sum, so
+    the shuffle moves O(repos × batches) rows regardless of skew.
+    """
+    agg_cols = [f"fail_{r}" for r in DROP_RULES] + ["keep", "pii_count", "toxicity_count"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"repo": batch.column("repo")}
+        cols["n_files"] = pa.array(np.ones(len(batch), dtype=np.int64))
+        for c in agg_cols:
+            if c in batch.column_names:
+                cols[c] = batch.column(c).cast(pa.int64())
+        t = pa.table(cols)
+        aggs = [(c, "sum") for c in t.column_names if c != "repo"]
+        g = t.group_by(["repo"]).aggregate(aggs)
+        rename = {f"{c}_sum": c for c, _ in aggs}
+        return g.rename_columns([rename.get(c, c) for c in g.column_names])
+
+    from ray.data.aggregate import Sum
+
+    partials = verdicts_ds.map_batches(partial, batch_format="pyarrow")
+    sum_cols = [c for c in ["n_files"] + agg_cols]
+    out = partials.groupby("repo").aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols]
+    )
+    return out
+
+
+def violations_report(
+    verdicts_ds,
+    table_name: str = "code_files",
+    timestamp: str = "1970-01-01 00:00:00",
+    account: str = "local",
+    bucket: str = "local",
+):
+    """Long-form violation table in the reference's 11-column report
+    schema (reference quality_report.py:170-172): one row per
+    (rule, failing row); PRIMARY_KEY_COLUMN is the composite natural
+    key instead of the synthetic ROW_ID (SURVEY.md §1.1)."""
+    from rayqual.stages.verdicts import RULE_IDS
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.binary_join_element_wise(
+            batch.column("repo").cast(pa.string()),
+            batch.column("path").cast(pa.string()),
+            batch.column("commit").cast(pa.string()),
+            "/",
+        )
+        names, cats, vids, msgs, pkvals = [], [], [], [], []
+        for rule, (vid, cat, msg) in RULE_IDS.items():
+            col = f"fail_{rule}"
+            if col not in batch.column_names:
+                continue
+            mask = batch.column(col).to_numpy(zero_copy_only=False).astype(bool)
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            kv = keys.take(pa.array(idx)).to_pylist()
+            pkvals.extend(kv)
+            vids.extend([vid] * len(idx))
+            cats.extend([cat] * len(idx))
+            msgs.extend([msg] * len(idx))
+            names.extend(["content"] * len(idx))
+        n = len(pkvals)
+        return pa.table(
+            {
+                "AWS_ACCOUNT_NAME": pa.array([account] * n, pa.string()),
+                "S3_BUCKET": pa.array([bucket] * n, pa.string()),
+                "TABLE_NAME": pa.array([table_name] * n, pa.string()),
+                "COLUMN_NAME": pa.array(names, pa.string()),
+                "VALIDATION_CATEGORY": pa.array(cats, pa.string()),
+                "VALIDATION_ID": pa.array(vids, pa.int32()),
+                "VALIDATION_MESSAGE": pa.array(msgs, pa.string()),
+                "PRIMARY_KEY_COLUMN": pa.array(["repo/path/commit"] * n, pa.string()),
+                "PRIMARY_KEY_VALUE": pa.array(pkvals, pa.string()),
+                "TIMESTAMP": pa.array([timestamp] * n, pa.string()),
+            }
+        )
+
+    return verdicts_ds.map_batches(emit, batch_format="pyarrow")
+
+
+def run_quality_gate(
+    ds,
+    config: RuleConfig | None = None,
+    output_dir: str | None = None,
+    scorer_concurrency=(2, 8),
+    scorer_batch_size: int = 1024,
+    materialize: bool = True,
+):
+    """Run the full gate. Returns (verdicts_ds, kept_ds, metrics_ds).
+
+    With ``materialize`` (small/medium runs and tests) the verdicted
+    dataset is pinned once so dedup + outputs don't recompute the
+    scoring stages. Large runs go through
+    :mod:`rayqual.state.lineage`'s chunked runner instead, which
+    checkpoints verdicts to parquet per input chunk.
+    """
+    import ray
+
+    cfg = config or RuleConfig()
+    vd = quality_gate_dataset(ds, cfg, scorer_concurrency, scorer_batch_size)
+    if materialize:
+        vd = vd.materialize()
+
+    if cfg.exact_dedup:
+        losers = exact_dedup_losers(vd)
+        loser_set = set(losers.to_pandas()["key"].tolist())
+        ref = ray.put(loser_set)
+        vd = mark_duplicates(vd, ref)
+
+    vd = _finalize(vd, cfg)
+    if materialize:
+        vd = vd.materialize()
+
+    def _keep_only(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("keep"))
+
+    kept = vd.map_batches(_keep_only, batch_format="pyarrow", zero_copy_batch=True)
+    metrics = metrics_rollup(vd)
+    if output_dir is not None:
+        kept.write_parquet(f"{output_dir}/kept")
+        metrics.write_parquet(f"{output_dir}/metrics")
+    return vd, kept, metrics

@@ -1,0 +1,235 @@
+"""Metadata-driven validation report — the reference's full pipeline
+(reference quality_report.py:229-273) re-expressed on Ray Data.
+
+Given a data Dataset and a TableMeta, produces the 11-column quality
+report: V1/V2 schema diffs (driver-side — no distributed work, like
+the reference), V17 duplicate check (hash shuffle of a tiny
+projection), V3 null + V16 sensitive checks over ALL data columns
+(reference quality_report.py:257,261), and the datatype rulebook over
+the metadata-typed columns — ALL row-level rules fused into ONE
+map_batches pass that emits long-form violation rows per batch (the
+reference runs 1+ Spark jobs per rule×column and diffs ROW_ID lists on
+the driver; here fail masks never leave the workers).
+
+ROW identity: the reference assigns a sequential ROW_ID via a global
+window (validation_rulebook.py:102-103 — a single-partition
+serialization point). Scale path: pass ``key_col`` naming an existing
+unique column; its values become PRIMARY_KEY_VALUE. Parity path: with
+``key_col=None`` row ids are assigned 1..N in input order per the
+collected table — only valid for reference-scale inputs (documented).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.config import TableMeta
+from rayqual.rules import kernels as K
+from rayqual.rules.rulebook import column_name_preprocess
+from rayqual.schema import REPORT_COLUMNS
+
+
+def _report_rows(column, vid, pk_col, pk_values, table_name, timestamp, account, bucket):
+    cat, msg = K.CATEGORY_MESSAGE[vid]
+    n = len(pk_values)
+    return {
+        "AWS_ACCOUNT_NAME": [account] * n,
+        "S3_BUCKET": [bucket] * n,
+        "TABLE_NAME": [table_name] * n,
+        "COLUMN_NAME": [column] * n,
+        "VALIDATION_CATEGORY": [cat] * n,
+        "VALIDATION_ID": [vid] * n,
+        "VALIDATION_MESSAGE": [msg] * n,
+        "PRIMARY_KEY_COLUMN": [pk_col] * n,
+        "PRIMARY_KEY_VALUE": [None if v is None else str(v) for v in pk_values],
+        "TIMESTAMP": [timestamp] * n,
+    }
+
+
+def _empty_report() -> pd.DataFrame:
+    return pd.DataFrame(columns=[c for c in REPORT_COLUMNS if c != "DQ_REPORT_ID"])
+
+
+def _rule_plan(meta: TableMeta, data_columns: list[str]):
+    """(column, data_type, vid, kernel, length_limit) for each common
+    column with a known datatype (unknown datatypes silently skipped,
+    reference validation_rulebook.py:687)."""
+    plan = []
+    lower_data = {c.lower(): c for c in data_columns}
+    for cm in meta.columns:
+        dc = lower_data.get(cm.name.lower())
+        if dc is None or cm.data_type is None:
+            continue
+        entry = K.DATATYPE_KERNELS.get(cm.data_type)
+        if entry is None:
+            continue
+        vid, kernel = entry
+        plan.append((dc, cm.data_type, vid, kernel, meta.length_limit(cm.name)))
+    return plan
+
+
+def validation_report(
+    ds,
+    meta: TableMeta,
+    key_col: str | None = None,
+    table_name: str = "table",
+    account: str = "local",
+    bucket: str = "local",
+    timestamp: str | None = None,
+    strict_reference_compat: bool = True,
+) -> pd.DataFrame:
+    """Run the full report. ``ds`` is a ray.data.Dataset (or pyarrow
+    Table for parity tests). Returns the report as pandas with
+    DQ_REPORT_ID 1..N (reference quality_report.py:207), rows ordered
+    by rule execution order like the reference."""
+    timestamp = timestamp or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    if isinstance(ds, pa.Table):
+        table = ds
+        schema_names = list(table.column_names)
+        distributed = False
+    else:
+        schema_names = [f.name for f in (ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else ds.schema())]
+        distributed = key_col is not None
+        if not distributed:
+            # parity mode: reference-scale input, collect once
+            table = pa.concat_tables(
+                [pa.Table.from_pandas(ds.to_pandas())], promote_options="default"
+            )
+            schema_names = list(table.column_names)
+
+    # --- preprocess column names (reference :33-43) ---------------------
+    renamed = column_name_preprocess(schema_names)
+
+    parts: list[pd.DataFrame] = []
+
+    # --- V1/V2 schema diffs (driver-side) -------------------------------
+    meta_up = [c.upper() for c in meta.attribute_names()]
+    data_up = [c.upper() for c in renamed]
+    v1 = [c for c in data_up if c not in meta_up]
+    v2 = [c for c in meta_up if c not in data_up]
+    for cols, vid in ((v1, 1), (v2, 2)):
+        if cols:
+            rows = _report_rows(None, vid, None, [None] * len(cols), table_name, timestamp, account, bucket)
+            df = pd.DataFrame(rows)
+            df["COLUMN_NAME"] = cols
+            parts.append(df)
+
+    if distributed:
+        parts.extend(
+            _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, account, bucket, strict_reference_compat)
+        )
+    else:
+        table = table.rename_columns(renamed)
+        parts.extend(
+            _local_row_rules(table, meta, key_col, table_name, timestamp, account, bucket, strict_reference_compat)
+        )
+
+    report = pd.concat([_empty_report()] + parts, ignore_index=True)
+    report.insert(0, "DQ_REPORT_ID", np.arange(1, len(report) + 1))
+    return report
+
+
+def _local_row_rules(table, meta, key_col, table_name, timestamp, account, bucket, strict):
+    """Parity path: all row rules over one in-memory Arrow table."""
+    parts = []
+    if key_col is None:
+        key_col = "ROW_ID"
+        if "ROW_ID" not in table.column_names:
+            table = table.append_column("ROW_ID", pa.array(np.arange(1, len(table) + 1)))
+    keys = table.column(key_col).to_pandas()
+
+    # V17 duplicates (reference :107-127; we keep min key)
+    dup_ids = K.duplicate_fail_ids(table, row_id=key_col)
+    if dup_ids:
+        parts.append(pd.DataFrame(_report_rows(
+            None, 17, None, dup_ids, table_name, timestamp, account, bucket)))
+
+    data_cols = [c for c in table.column_names if c != key_col]
+    # V3 nulls + V16 sensitive over ALL columns (reference :257,261)
+    for vid, kernel in ((3, K.null_fail), (16, K.sensitive_fail)):
+        for c in data_cols:
+            mask = kernel(table.column(c))
+            if mask.any():
+                parts.append(pd.DataFrame(_report_rows(
+                    c, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
+
+    # datatype rulebook over metadata-typed columns
+    for col, dtype, vid, kernel, limit in _rule_plan(meta, data_cols):
+        values = K.as_string_array(table.column(col))
+        if kernel is K.string_length_fail:
+            mask = kernel(values, limit)
+        elif kernel is K.double_fail:
+            mask = kernel(values, strict_reference_compat=strict)
+        else:
+            mask = kernel(values)
+        if mask.any():
+            parts.append(pd.DataFrame(_report_rows(
+                col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
+    return parts
+
+
+def _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, account, bucket, strict):
+    """Scale path: one fused map_batches pass emits violation rows;
+    duplicate check shuffles only (row-hash, key)."""
+    import pyarrow.compute as pc
+
+    plan = _rule_plan(meta, renamed)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(column_name_preprocess(batch.column_names))
+        keys = batch.column(key_col).to_pandas()
+        frames = []
+        data_cols = [c for c in batch.column_names if c != key_col]
+        for vid, kernel in ((3, K.null_fail), (16, K.sensitive_fail)):
+            for c in data_cols:
+                mask = kernel(batch.column(c))
+                if mask.any():
+                    frames.append(pd.DataFrame(_report_rows(
+                        c, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
+        for col, dtype, vid, kernel, limit in plan:
+            values = K.as_string_array(batch.column(col))
+            if kernel is K.string_length_fail:
+                mask = kernel(values, limit)
+            elif kernel is K.double_fail:
+                mask = kernel(values, strict_reference_compat=strict)
+            else:
+                mask = kernel(values)
+            if mask.any():
+                frames.append(pd.DataFrame(_report_rows(
+                    col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
+        if not frames:
+            return pa.Table.from_pandas(_empty_report(), preserve_index=False)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+
+    violations = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+
+    # V17: hash all non-key columns per row, shuffle only (hash, key)
+    def rowhash(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(column_name_preprocess(batch.column_names))
+        cols = [pc.cast(batch.column(c), pa.string()) for c in batch.column_names if c != key_col]
+        joined = pc.binary_join_element_wise(*cols, "\x1f", null_handling="replace", null_replacement="\x00")
+        import hashlib
+
+        h = [hashlib.sha256(s.encode()).hexdigest() if s is not None else None for s in joined.to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string()), "key": batch.column(key_col).cast(pa.string())})
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) <= 1:
+            return pd.DataFrame({"key": pd.Series([], dtype="object")})
+        return group.loc[group["key"] != group["key"].min(), ["key"]]
+
+    dup_keys = (
+        ds.map_batches(rowhash, batch_format="pyarrow").groupby("h").map_groups(losers, batch_format="pandas").to_pandas()
+    )
+    parts = []
+    if len(violations):
+        parts.append(violations)
+    if len(dup_keys):
+        parts.append(pd.DataFrame(_report_rows(
+            None, 17, None, dup_keys["key"].tolist(), table_name, timestamp, account, bucket)))
+    return parts

@@ -1,0 +1,4 @@
+from rayqual.sources.readers import read_any
+from rayqual.sources.flatten import flatten_table, flatten_stage
+
+__all__ = ["read_any", "flatten_table", "flatten_stage"]

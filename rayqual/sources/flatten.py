@@ -1,0 +1,88 @@
+"""Nested-JSON flattener (reference S4, json_to_dataframe.py:40-116).
+
+Reference semantics: repeat until flat —
+* list columns are exploded VERTICALLY (one output row per element;
+  empty/null lists keep one row with null, matching Spark's
+  ``explode_outer``-less behavior? — the reference uses plain
+  ``explode`` (json_to_dataframe.py:92), which DROPS rows whose array
+  is empty or null; reproduced here),
+* struct/map columns are splatted HORIZONTALLY into ``parent_child``
+  columns (json_to_dataframe.py:97-111).
+
+Ray-Data-first: instead of the reference's multi-pass DataFrame
+rebuild (a new lazy projection per nested column), the whole flatten
+loop runs per batch inside one ``map_batches`` Arrow kernel using
+``list_parent_indices``/``list_flatten`` + ``struct_field`` takes —
+one pass over each block, no extra materializations.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _explode_list(table: pa.Table, col: str) -> pa.Table:
+    arr = table.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parent = pc.list_parent_indices(arr)  # drops null/empty lists — like Spark explode
+    flat = pc.list_flatten(arr)
+    out_cols = {}
+    for name in table.column_names:
+        if name == col:
+            out_cols[name] = flat
+        else:
+            out_cols[name] = table.column(name).take(parent)
+    return pa.table(out_cols)
+
+
+def _splat_struct(table: pa.Table, col: str) -> pa.Table:
+    arr = table.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    fields = arr.type
+    out_cols = {}
+    for name in table.column_names:
+        if name != col:
+            out_cols[name] = table.column(name)
+    for i in range(fields.num_fields):
+        child = fields.field(i).name
+        out_cols[f"{col}_{child}"] = pc.struct_field(arr, i)
+    return pa.table(out_cols)
+
+
+def flatten_table(table: pa.Table, max_depth: int = 32) -> pa.Table:
+    """Fully flatten one Arrow table (list explode + struct splat,
+    recursively — reference json_to_dataframe.py:69-116)."""
+    for _ in range(max_depth):
+        nested = None
+        kind = None
+        for name, typ in zip(table.column_names, [f.type for f in table.schema]):
+            if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                nested, kind = name, "list"
+                break
+            if pa.types.is_struct(typ):
+                nested, kind = name, "struct"
+                break
+            if pa.types.is_map(typ):
+                nested, kind = name, "map"
+                break
+        if nested is None:
+            return table
+        if kind == "list":
+            table = _explode_list(table, nested)
+        elif kind == "struct":
+            table = _splat_struct(table, nested)
+        else:  # map → list<struct<key,value>> then recurse
+            arr = table.column(nested)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            as_list = arr.cast(pa.list_(pa.struct([("key", arr.type.key_type), ("value", arr.type.item_type)])))
+            table = table.set_column(table.column_names.index(nested), nested, as_list)
+    raise ValueError("nesting deeper than max_depth")
+
+
+def flatten_stage(ds):
+    """Dataset-level flattener: one map_batches pass."""
+    return ds.map_batches(flatten_table, batch_format="pyarrow", zero_copy_batch=True)

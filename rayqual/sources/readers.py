@@ -1,0 +1,36 @@
+"""Format-dispatching readers (reference read_data.py:27-44, S1-S5).
+
+``read_any`` maps file extension → the right ``ray.data`` reader:
+.csv → read_csv (header + type inference, like the reference's
+inferSchema CSV read, read_data.py:46-55), .json/.txt → read_json
+(line-delimited, multiLine=False, read_data.py:57-66) followed by the
+nested flattener, .parquet/.pqt → read_parquet (read_data.py:68-77,
+the engine's primary source).
+
+Unlike the reference — which spins a fresh SparkSession per reader
+instance (read_data.py:22) — these return lazy Datasets in the
+caller's single Ray session.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_any(path: str, flatten_json: bool = True, **kwargs):
+    """Dispatch by extension; returns a ray.data.Dataset."""
+    import ray.data
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".parquet", ".pqt"):
+        return ray.data.read_parquet(path, **kwargs)
+    if ext == ".csv":
+        return ray.data.read_csv(path, **kwargs)
+    if ext in (".json", ".txt", ".jsonl"):
+        ds = ray.data.read_json(path, **kwargs)
+        if flatten_json:
+            from rayqual.sources.flatten import flatten_stage
+
+            ds = flatten_stage(ds)
+        return ds
+    raise ValueError(f"unsupported input format: {ext!r} ({path})")

@@ -1,0 +1,4 @@
+from rayqual.stages.verdicts import StatelessVerdicts, RULE_IDS, finalize_decision
+from rayqual.stages.score import LangScore
+
+__all__ = ["StatelessVerdicts", "LangScore", "RULE_IDS", "finalize_decision"]

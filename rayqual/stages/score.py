@@ -1,0 +1,60 @@
+"""Stateful scoring stage: langid + perplexity as an actor-pool
+map_batches class. The models (hashed n-gram weight matrices, LM count
+tables) are built ONCE per actor in ``__init__`` — per the actor-pool
+rule, never per batch — and scoring is fully vectorized per batch.
+
+Usage:
+    ds.map_batches(LangScore, fn_constructor_kwargs={"config": cfg},
+                   batch_format="pyarrow", batch_size=2048,
+                   concurrency=(2, 8), num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.config import RuleConfig
+from rayqual.functions.models import get_models
+from rayqual.functions.textstats import string_bytes
+
+
+class LangScore:
+    def __init__(self, config: RuleConfig | None = None):
+        self.config = config or RuleConfig()
+        self.langid, self.lm = get_models(self.config.languages)
+        self.lang_index = {l: i for i, l in enumerate(self.config.languages)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        content = batch.column("content")
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        sb = string_bytes(content)
+
+        scores, _ = self.langid.score_batch(sb, cfg.langid_sample_bytes)
+        pred = np.argmax(scores, axis=1)
+        row_idx = np.arange(len(pred))
+        top = scores[row_idx, pred]
+        tmp = scores.copy()
+        tmp[row_idx, pred] = -np.inf
+        second = tmp.max(axis=1) if scores.shape[1] > 1 else np.full(len(pred), -np.inf)
+        lang_conf = top - second
+
+        declared = batch.column("lang").to_pylist()
+        decl_idx = np.array([self.lang_index.get(d, -1) for d in declared], dtype=np.int64)
+        known = decl_idx >= 0
+        margin_vs_declared = np.zeros(len(pred), dtype=np.float64)
+        margin_vs_declared[known] = top[known] - scores[row_idx[known], decl_idx[known]]
+        mismatch = known & (pred != decl_idx) & (margin_vs_declared > cfg.langid_margin)
+
+        bits = self.lm.bits_per_char(sb, cfg.ppl_sample_bytes)
+        ppl_fail = bits > cfg.max_bits_per_char
+
+        langs = list(self.config.languages)
+        out = batch.append_column("pred_lang", pa.array([langs[i] for i in pred], pa.string()))
+        out = out.append_column("lang_conf", pa.array(lang_conf, type=pa.float64()))
+        out = out.append_column("ppl_bits_per_char", pa.array(bits, type=pa.float64()))
+        out = out.append_column("fail_langid_mismatch", pa.array(mismatch, type=pa.bool_()))
+        out = out.append_column("fail_perplexity", pa.array(ppl_fail, type=pa.bool_()))
+        return out

@@ -1,0 +1,115 @@
+"""Stateless verdict stage: ONE fused map_batches pass that computes
+all per-row stats, heuristic rule verdicts, sha256, and the scrubbed
+content. Arrow in / Arrow out, zero-copy batches.
+
+Generalizes the reference's per-rule driver loop (reference
+quality_report.py:229-273 runs one Spark job per rule×column and
+collects fail lists to the driver) into appended boolean verdict
+columns computed in a single distributed pass — fail sets are recovered
+by filtering, never collected.
+
+Rule ids extend the reference's 1-17 id space (reference
+quality_report.py:68-86); the per-rule verdict column is named
+``fail_<rule>``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.config import RuleConfig
+from rayqual.functions.hashing import sha256_array
+from rayqual.functions.scrub import scrub_batch
+from rayqual.functions.textstats import text_stats
+
+#: rule → (validation_id, category, message). ids 3/16/17 reuse the
+#: reference's; 18+ are the generalized quality rules.
+RULE_IDS: dict[str, tuple[int, str, str]] = {
+    "null_content": (3, "Generic Validation", "Null value"),
+    "sensitive_info": (16, "Sensitive Validation", "Encountered sensitive information"),
+    "duplicate": (17, "Generic Validation", "Duplicate row"),
+    "min_chars": (18, "Quality Heuristic", "File below minimum size"),
+    "max_chars": (19, "Quality Heuristic", "File above maximum size"),
+    "max_line_len": (20, "Quality Heuristic", "Line exceeds maximum length"),
+    "mean_line_len": (21, "Quality Heuristic", "Mean line length too high"),
+    "alnum_ratio": (22, "Quality Heuristic", "Alphanumeric ratio too low"),
+    "repetition": (23, "Quality Heuristic", "Highly repetitive content"),
+    "langid_mismatch": (24, "Language Model", "Declared language contradicts language ID"),
+    "perplexity": (25, "Language Model", "Perplexity above threshold"),
+}
+
+#: stateless heuristic rules in decision order
+STATELESS_RULES = (
+    "null_content", "min_chars", "max_chars", "max_line_len",
+    "mean_line_len", "alnum_ratio", "repetition",
+)
+#: stateful (model) rules appended by the LangScore actor stage
+MODEL_RULES = ("langid_mismatch", "perplexity")
+#: all rules that can drop a row, in drop_reasons order
+DROP_RULES = STATELESS_RULES + MODEL_RULES + ("duplicate",)
+
+
+class StatelessVerdicts:
+    """Callable for ``map_batches`` (plain function semantics — no
+    per-actor state needed, but class form keeps the config bound once
+    per serialization instead of per closure)."""
+
+    def __init__(self, config: RuleConfig | None = None):
+        self.config = config or RuleConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        content = batch.column("content")
+        stats = text_stats(content, shingle_size=cfg.shingle_size)
+
+        n_chars = stats["n_chars"]
+        fails = {
+            "null_content": stats["is_null"],
+            "min_chars": n_chars < cfg.min_chars,
+            "max_chars": n_chars > cfg.max_chars,
+            "max_line_len": stats["max_line_len"] > cfg.max_line_len,
+            "mean_line_len": stats["mean_line_len"] > cfg.max_mean_line_len,
+            "alnum_ratio": stats["alnum_ratio"] < cfg.min_alnum_ratio,
+            "repetition": stats["distinct_shingle_ratio"] < cfg.min_distinct_shingle_ratio,
+        }
+
+        out = batch
+        out = out.append_column("content_sha256", sha256_array(content))
+        for name in ("n_chars", "n_bytes", "n_lines", "max_line_len", "token_count"):
+            out = out.append_column(name, pa.array(stats[name], type=pa.int64()))
+        for name in ("mean_line_len", "alnum_ratio", "distinct_shingle_ratio"):
+            out = out.append_column(name, pa.array(stats[name], type=pa.float64()))
+        for rule in STATELESS_RULES:
+            out = out.append_column(f"fail_{rule}", pa.array(fails[rule], type=pa.bool_()))
+
+        if cfg.scrub_enabled:
+            scrubbed, pii, tox = scrub_batch(content)
+        else:
+            scrubbed, pii, tox = content, np.zeros(len(batch), np.int64), np.zeros(len(batch), np.int64)
+        out = out.append_column("scrubbed_content", scrubbed)
+        out = out.append_column("pii_count", pa.array(pii, type=pa.int64()))
+        out = out.append_column("toxicity_count", pa.array(tox, type=pa.int64()))
+        return out
+
+
+def finalize_decision(batch: pa.Table, config: RuleConfig) -> pa.Table:
+    """Append ``keep`` + ``drop_reasons`` from whatever fail_* columns
+    exist on the batch (run after the model stage; dedup marks rows
+    later by rewriting these two columns for losers)."""
+    n = len(batch)
+    keep = np.ones(n, dtype=bool)
+    reasons = [[] for _ in range(n)]
+    for rule in DROP_RULES:
+        col = f"fail_{rule}"
+        if col not in batch.column_names:
+            continue
+        mask = batch.column(col).to_numpy(zero_copy_only=False).astype(bool)
+        keep &= ~mask
+        for i in np.flatnonzero(mask):
+            reasons[i].append(rule)
+    out = batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+    out = out.append_column(
+        "drop_reasons", pa.array([",".join(r) for r in reasons], type=pa.string())
+    )
+    return out

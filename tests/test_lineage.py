@@ -1,0 +1,78 @@
+"""Checkpointed-resume tests for the chunked lineage runner."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayqual.gen import generate_table
+from rayqual.state.lineage import ChunkedRunner, chunk_input_files, load_manifests
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "input"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(generate_table(40, seed=42, start=i * 40), d / f"part-{i:03d}.parquet")
+    return str(d)
+
+
+def _count_pipeline(ds):
+    import pyarrow.compute as pc
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("n_chars", pc.utf8_length(pc.coalesce(b.column("content"), "")))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def test_chunking_deterministic(input_dir):
+    chunks = chunk_input_files(input_dir, chunk_files=2)
+    assert [c for c, _ in chunks] == ["000000", "000001", "000002"]
+    assert all(len(files) == 2 for _, files in chunks)
+
+
+def test_run_and_resume(ray_session, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    runner = ChunkedRunner(input_dir, out, _count_pipeline, chunk_files=2)
+    res = runner.run()
+    assert len(res) == 3
+    assert sum(m["rows"] for m in res.values()) == 240
+    assert len(load_manifests(out)) == 3
+    written = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    assert written
+
+    # tamper: delete one manifest → only that chunk recomputes
+    victim = os.path.join(out, "_manifests", "000001.json")
+    os.remove(victim)
+    mtimes_before = {p: os.path.getmtime(p) for p in written}
+    res2 = runner.run()
+    assert len(res2) == 3 and os.path.exists(victim)
+    for p, m in mtimes_before.items():
+        if "part=000001" in p:
+            continue
+        assert os.path.getmtime(p) == m, f"untouched chunk rewritten: {p}"
+    # recomputed chunk has fresh files with identical content rows
+    total = sum(
+        pq.read_table(p).num_rows for p in glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    )
+    assert total == 240
+
+
+def test_input_change_invalidates_chunk(ray_session, input_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    runner = ChunkedRunner(input_dir, out, _count_pipeline, chunk_files=2)
+    runner.run()
+    # simulate a changed input listing for chunk 0
+    m = os.path.join(out, "_manifests", "000000.json")
+    with open(m) as f:
+        payload = json.load(f)
+    payload["input_files"] = ["/nonexistent.parquet"]
+    with open(m, "w") as f:
+        json.dump(payload, f)
+    res = runner.run()
+    assert res["000000"]["input_files"] != ["/nonexistent.parquet"]  # recomputed

@@ -1,0 +1,155 @@
+"""Tests for distributed operators: exact/near dedup, similarity
+search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def make_docs_ds(ray, texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(4)
+
+
+BASE = (
+    "def compute(items):\n    total = 0\n    for item in items:\n"
+    "        total += item.value * item.qty\n    return total\n"
+) * 5
+NEAR = BASE.replace("total", "subtotal", 1)  # single light edit → high Jaccard
+FAR1 = "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1 ORDER BY 1;\n" * 8
+FAR2 = "# Heading\n\nSome completely unrelated markdown prose about architecture.\n" * 9
+
+
+def test_exact_dedup(ray_session):
+    import ray
+
+    from rayqual.ops.dedup import exact_dedup_losers, mark_duplicates
+    from rayqual.functions.hashing import sha256_array
+
+    texts = [BASE, FAR1, BASE, FAR2, BASE, None]
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i}" for i in range(len(texts))]),
+            "path": pa.array([f"p{i}" for i in range(len(texts))]),
+            "commit": pa.array([f"c{i}" for i in range(len(texts))]),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    t = t.append_column("content_sha256", sha256_array(t.column("content")))
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    losers = exact_dedup_losers(ds).to_pandas()
+    assert sorted(losers["key"]) == ["r2\x1fp2\x1fc2", "r4\x1fp4\x1fc4"]
+    marked = mark_duplicates(ds, ray.put(set(losers["key"]))).to_pandas()
+    assert marked["fail_duplicate"].tolist() == [False, False, True, False, True, False]
+
+
+def test_minhash_dedup(ray_session):
+    from rayqual.ops.neardup import minhash_dedup_losers
+
+    texts = [BASE, NEAR, FAR1, FAR2, BASE]
+    ds = make_docs_ds(ray_session, texts)
+    losers = minhash_dedup_losers(ds, "doc_id", "text", threshold=0.5)
+    # cluster {0,1,4} keeps 0; unrelated docs untouched
+    assert losers == [1, 4]
+
+
+def test_simhash_dedup(ray_session):
+    from rayqual.ops.neardup import simhash_dedup_losers
+
+    texts = [BASE, BASE.replace("qty", "qtz"), FAR1, FAR2]
+    ds = make_docs_ds(ray_session, texts)
+    losers = simhash_dedup_losers(ds, "doc_id", "text", max_hamming=6)
+    assert 1 in losers and 2 not in losers and 3 not in losers
+
+
+def test_ngram_jaccard_dedup(ray_session):
+    from rayqual.ops.neardup import ngram_jaccard_losers
+
+    texts = [BASE, NEAR, FAR1, FAR2, BASE]
+    ds = make_docs_ds(ray_session, texts)
+    losers = ngram_jaccard_losers(ds, "doc_id", "text", threshold=0.6)
+    assert losers == [1, 4]
+
+
+def _emb_table(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    base[10] = base[0] + rng.standard_normal(dim) * 0.01  # near-dup pair
+    base[25] = base[7] * 1.5                               # exact direction dup
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float64())),
+        }
+    )
+
+
+def test_embedding_neardup_exact_vs_lsh(ray_session):
+    from rayqual.ops.neardup import embedding_neardup_pairs, lsh_embedding_neardup_pairs
+
+    t = _emb_table()
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    exact = embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.95).to_pandas()
+    got = {tuple(x) for x in exact[["id_a", "id_b"]].to_numpy()}
+    assert (0, 10) in got and (7, 25) in got
+    lsh = lsh_embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.95).to_pandas()
+    lsh_pairs = {tuple(x) for x in lsh[["id_a", "id_b"]].to_numpy()}
+    # LSH is a recall-oriented approximation of the exact result
+    assert lsh_pairs <= got
+    assert (0, 10) in lsh_pairs
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from rayqual.ops.similarity import brute_force_topk, lsh_topk
+
+    t = _emb_table(n=80)
+    ds = ray_session.data.from_arrow(t).repartition(4)
+    mat = np.stack(t.column("embedding").to_pylist())
+    qs = mat[[0, 7]]
+    out = brute_force_topk(ds, qs, k=5, query_ids=[0, 7]).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in (0, 7):
+        sims = norm @ (mat[qi] / np.linalg.norm(mat[qi]))
+        sims[qi] = -np.inf
+        exp = set(np.argsort(-sims)[:5].tolist())
+        got = set(out.loc[out["query_id"] == qi, "id"].tolist())
+        assert got == exp
+    lout = lsh_topk(ds, qs, k=5, query_ids=[0, 7]).to_pandas()
+    # approximate: each returned neighbor must be a genuinely high-sim item
+    for _, row in lout.iterrows():
+        assert row["cosine"] >= -1.0 and len(lout) <= 10
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    from rayqual.ops.multimodal import DecodeImage, FrameSample, synthetic_media_table
+
+    t = synthetic_media_table(20)
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert len(out) == 20
+    assert {"height", "width", "mean_rgb", "feature"} <= set(out.columns)
+    assert "payload" not in out.columns
+    assert all(len(f) == 64 for f in out["feature"])
+    # deterministic across runs
+    out2 = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = out2.sort_values("id").reset_index(drop=True)
+    assert (a["feature"].map(tuple) == b["feature"].map(tuple)).all()
+
+    frames = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 10},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert len(frames) == 20 * 3  # 30 frames, every 10th
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(decoder="pil")

@@ -1,0 +1,117 @@
+"""End-to-end flagship gate: Ray pipeline vs pure-Python oracle.
+
+Gates (BASELINE.json:metric / north_rule):
+* keep/drop F1 ≥ 0.99 against the oracle labels
+* sha256(content) equality per passed-through row
+* scrubbed content byte-equality per row
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayqual.config import RuleConfig
+from rayqual.gen import generate_table
+from rayqual.oracle import oracle_quality_gate
+from rayqual.pipelines.quality_gate import run_quality_gate
+
+N_ROWS = 600
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_table(N_ROWS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def results(ray_session, corpus):
+    import ray.data
+
+    cfg = RuleConfig()
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    vd, kept, metrics = run_quality_gate(ds, cfg, scorer_concurrency=2)
+    got = vd.to_pandas()
+    exp = oracle_quality_gate(corpus, cfg)
+    key = ["repo", "path", "commit"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    return got, exp, kept.to_pandas(), metrics.to_pandas()
+
+
+def test_corpus_has_variety(corpus):
+    df = corpus.to_pandas()
+    assert df["content"].isna().any()
+    assert df["content"].duplicated().any()
+    assert df["repo"].nunique() >= 15
+
+
+def test_keep_drop_f1(results):
+    got, exp, _, _ = results
+    assert len(got) == len(exp) == N_ROWS
+    g = got["keep"].to_numpy(dtype=bool)
+    e = exp["keep"].to_numpy(dtype=bool)
+    tp = (g & e).sum()
+    fp = (g & ~e).sum()
+    fn = (~g & e).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    agreement = (g == e).mean()
+    assert f1 >= 0.99, f"F1={f1:.4f}, agreement={agreement:.4f}"
+    # drop_reasons should agree exactly on the overwhelming majority
+    assert (got["drop_reasons"] == exp["drop_reasons"]).mean() >= 0.99
+
+
+def test_sha256_passthrough(results):
+    got, exp, kept, _ = results
+    assert (got["content_sha256"].fillna("∅") == exp["content_sha256"].fillna("∅")).all()
+    # kept rows carry the original-content sha (pass-through invariant)
+    merged = kept.merge(exp, on=["repo", "path", "commit"], suffixes=("", "_exp"))
+    assert len(merged) == len(kept)
+    assert (merged["content_sha256"] == merged["content_sha256_exp"]).all()
+
+
+def test_scrubbed_content_equality(results):
+    got, exp, _, _ = results
+    same = got["scrubbed_content"].fillna("∅") == exp["scrubbed_content"].fillna("∅")
+    assert same.all(), got.loc[~same, ["repo", "path"]].head()
+
+
+def test_pred_lang_and_ppl_agree(results):
+    got, exp, _, _ = results
+    assert (got["pred_lang"] == exp["pred_lang"]).mean() >= 0.99
+    assert np.allclose(got["ppl_bits_per_char"], exp["ppl_bits_per_char"], atol=1e-9)
+
+
+def test_dedup_marks_losers_not_winners(results):
+    got, exp, _, _ = results
+    g_dup = got["drop_reasons"].str.contains("duplicate")
+    e_dup = exp["drop_reasons"].str.contains("duplicate")
+    assert g_dup.sum() > 0
+    assert (g_dup == e_dup).all()
+    # every duplicated sha keeps exactly one representative
+    dups = got[got["content_sha256"].notna()]
+    per_sha = dups.groupby("content_sha256").apply(
+        lambda g: (~g["drop_reasons"].str.contains("duplicate")).sum(), include_groups=False
+    )
+    assert (per_sha == 1).all()
+
+
+def test_metrics_rollup_consistent(results):
+    got, exp, _, metrics = results
+    assert metrics["n_files"].sum() == N_ROWS
+    per_repo = got.groupby("repo")["keep"].sum()
+    m = metrics.set_index("repo")["keep"].astype(int)
+    assert per_repo.sort_index().equals(m.sort_index())
+
+
+def test_rules_fire_in_corpus(results):
+    got, _, _, _ = results
+    fired = set()
+    for r in got["drop_reasons"]:
+        fired.update([x for x in r.split(",") if x])
+    # every rule class should be exercised by the synthetic corpus
+    for rule in [
+        "null_content", "min_chars", "max_chars", "max_line_len",
+        "alnum_ratio", "repetition", "langid_mismatch", "perplexity", "duplicate",
+    ]:
+        assert rule in fired, f"rule {rule} never fired"

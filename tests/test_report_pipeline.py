@@ -1,0 +1,132 @@
+"""Validation-report pipeline tests: F2-shaped table (FIXTURES.md),
+parity mode vs distributed mode, report schema and ordering."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayqual.config import ColumnMeta, TableMeta
+from rayqual.pipelines.validation_report import validation_report
+from rayqual.schema import REPORT_COLUMNS
+
+
+@pytest.fixture(scope="module")
+def f2_table():
+    """A small F2-style table: typed columns + metadata, with seeded
+    violations (nulls, dups, PII, out-of-range, extra columns)."""
+    return pa.table(
+        {
+            "INTEGER": pa.array(["1", "2147483648", "3", "x", "5", "5"], pa.string()),
+            "DOUBLE": pa.array(["1.5", None, "-2.0", "2e8", None, None], pa.string()),
+            "BLANK": pa.array([None] * 6, pa.string()),
+            "CONTACT": pa.array(
+                ["a@b.com", "(303) 555-1234", "plain", "also plain", "x@y.org", "x@y.org"],
+                pa.string(),
+            ),
+            "EXTRA": pa.array(["1", "2", "3", "4", "5", "5"], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def f2_meta():
+    return TableMeta(
+        [
+            ColumnMeta("INTEGER", data_type="integer"),
+            ColumnMeta("DOUBLE", data_type="double"),
+            ColumnMeta("BLANK", data_type="integer"),
+            ColumnMeta("CONTACT", data_type=None),
+            ColumnMeta("DUMMY", data_type="string"),
+        ]
+    )
+
+
+def _rows(report, vid, col=None):
+    sel = report[report["VALIDATION_ID"] == vid]
+    if col is not None:
+        sel = sel[sel["COLUMN_NAME"] == col]
+    return sel
+
+
+def test_report_parity_mode(f2_table, f2_meta):
+    rep = validation_report(f2_table, f2_meta, table_name="t", timestamp="TS")
+    assert list(rep.columns) == REPORT_COLUMNS
+    assert rep["DQ_REPORT_ID"].tolist() == list(range(1, len(rep) + 1))
+    # V1: EXTRA + CONTACT? CONTACT is in metadata → only EXTRA
+    assert _rows(rep, 1)["COLUMN_NAME"].tolist() == ["EXTRA"]
+    assert _rows(rep, 2)["COLUMN_NAME"].tolist() == ["DUMMY"]
+    # V17: rows 5 and 6 are identical full rows → row 6 is the loser
+    assert _rows(rep, 17)["PRIMARY_KEY_VALUE"].tolist() == ["6"]
+    # V3 nulls: BLANK all 6 rows + DOUBLE rows 2,5,6
+    assert _rows(rep, 3, "BLANK")["PRIMARY_KEY_VALUE"].tolist() == [str(i) for i in range(1, 7)]
+    assert _rows(rep, 3, "DOUBLE")["PRIMARY_KEY_VALUE"].tolist() == ["2", "5", "6"]
+    # V16 sensitive: CONTACT rows with email/phone
+    assert _rows(rep, 16, "CONTACT")["PRIMARY_KEY_VALUE"].tolist() == ["1", "2", "5", "6"]
+    # V5 integer: '2147483648' overflows, 'x' non-numeric, BLANK nulls pass
+    assert _rows(rep, 5, "INTEGER")["PRIMARY_KEY_VALUE"].tolist() == ["2", "4"]
+    assert len(_rows(rep, 5, "BLANK")) == 0
+    # V9 double: negatives fail (strict), '2e8' passes
+    assert _rows(rep, 9, "DOUBLE")["PRIMARY_KEY_VALUE"].tolist() == ["3"]
+
+
+def test_report_distributed_mode(ray_session, f2_table, f2_meta):
+    t = f2_table.append_column("RID", pa.array([10, 20, 30, 40, 50, 60], pa.int64()))
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    rep = validation_report(ds, f2_meta, key_col="RID", table_name="t", timestamp="TS")
+    assert list(rep.columns) == REPORT_COLUMNS
+    # same violations as parity mode (keys differ: RID values)
+    assert sorted(_rows(rep, 5, "INTEGER")["PRIMARY_KEY_VALUE"]) == ["20", "40"]
+    assert sorted(_rows(rep, 3, "DOUBLE")["PRIMARY_KEY_VALUE"]) == ["20", "50", "60"]
+    assert sorted(_rows(rep, 16, "CONTACT")["PRIMARY_KEY_VALUE"]) == ["10", "20", "50", "60"]
+    assert _rows(rep, 17)["PRIMARY_KEY_VALUE"].tolist() == ["60"]
+    assert _rows(rep, 9, "DOUBLE")["PRIMARY_KEY_VALUE"].tolist() == ["30"]
+    assert _rows(rep, 1)["COLUMN_NAME"].tolist() == ["EXTRA", "RID"]
+
+
+def test_column_name_preprocess_applied(f2_meta):
+    t = pa.table({"INT-EGER": pa.array(["x"], pa.string()), "@DOUBLE": pa.array(["-1"], pa.string())})
+    meta = TableMeta([ColumnMeta("INT_EGER", data_type="integer"), ColumnMeta("DOUBLE", data_type="double")])
+    rep = validation_report(t, meta, timestamp="TS")
+    assert len(_rows(rep, 1)) == 0 and len(_rows(rep, 2)) == 0
+    assert _rows(rep, 5, "INT_EGER")["PRIMARY_KEY_VALUE"].tolist() == ["1"]
+    assert _rows(rep, 9, "DOUBLE")["PRIMARY_KEY_VALUE"].tolist() == ["1"]
+
+
+def test_flatten_sources(ray_session, tmp_path):
+    import json
+
+    from rayqual.sources.flatten import flatten_table
+    from rayqual.sources.readers import read_any
+
+    nested = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "tags": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+            "info": pa.array([{"x": 1, "y": "u"}, {"x": 2, "y": "v"}],
+                             pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        }
+    )
+    flat = flatten_table(nested)
+    assert flat.column_names == ["id", "tags", "info_x", "info_y"]
+    assert flat.num_rows == 3  # explode: 2 tags + 1 tag
+    assert flat.column("tags").to_pylist() == ["a", "b", "c"]
+    assert flat.column("info_x").to_pylist() == [1, 1, 2]
+
+    # reader dispatch: jsonl with nested arrays flattens on read
+    p = tmp_path / "rows.json"
+    with open(p, "w") as f:
+        for r in [{"id": 1, "vals": [10, 20]}, {"id": 2, "vals": [30]}]:
+            f.write(json.dumps(r) + "\n")
+    out = read_any(str(p)).to_pandas().sort_values("vals")
+    assert out["vals"].tolist() == [10, 20, 30]
+    assert out["id"].tolist() == [1, 1, 2]
+
+    # parquet + csv dispatch
+    import pyarrow.parquet as pq
+
+    pq.write_table(nested.select(["id"]), tmp_path / "t.parquet")
+    assert read_any(str(tmp_path / "t.parquet")).count() == 2
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+    assert read_any(str(tmp_path / "t.csv")).count() == 2
+    with pytest.raises(ValueError):
+        read_any("/nope.xlsx")
