@@ -1,44 +1,688 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality gate on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
+the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (same column names — the driver
+compares sorted-by-name columns and value hashes).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Make the rayqual package importable regardless of the driver's cwd,
+# and ship it to Ray workers BY VALUE: workers are forked from the
+# raylet's environment, which does not inherit the driver's sys.path,
+# so by-reference pickles of rayqual functions would fail to
+# deserialize when the driver runs outside the repo directory.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+import rayqual  # noqa: E402
+import rayqual.config  # noqa: E402,F401
+import rayqual.gen  # noqa: E402,F401
+import rayqual.oracle  # noqa: E402,F401
+import rayqual.functions.hashing  # noqa: E402,F401
+import rayqual.functions.models  # noqa: E402,F401
+import rayqual.functions.scrub  # noqa: E402,F401
+import rayqual.functions.seed_corpus  # noqa: E402,F401
+import rayqual.functions.textstats  # noqa: E402,F401
+import rayqual.ops.dedup  # noqa: E402,F401
+import rayqual.ops.multimodal  # noqa: E402,F401
+import rayqual.ops.neardup  # noqa: E402,F401
+import rayqual.ops.similarity  # noqa: E402,F401
+import rayqual.pipelines.quality_gate  # noqa: E402,F401
+import rayqual.pipelines.validation_report  # noqa: E402,F401
+import rayqual.rules.kernels  # noqa: E402,F401
+import rayqual.rules.rulebook  # noqa: E402,F401
+import rayqual.sources.flatten  # noqa: E402,F401
+import rayqual.sources.readers  # noqa: E402,F401
+import rayqual.stages.score  # noqa: E402,F401
+import rayqual.stages.verdicts  # noqa: E402,F401
+import rayqual.state.lineage  # noqa: E402,F401
+
+try:
+    from ray import cloudpickle as _cloudpickle
+
+    for _name, _mod in list(sys.modules.items()):
+        if _mod is not None and (_name == "rayqual" or _name.startswith("rayqual.")):
+            _cloudpickle.register_pickle_by_value(_mod)
+except Exception:  # pragma: no cover — ray not importable yet
+    pass
+
+# ---------------------------------------------------------------------------
+# shared regex specs (must be identical in Ray kernels and DuckDB SQL —
+# both engines are RE2, search semantics)
+# ---------------------------------------------------------------------------
+_R1 = r"^[\deE.+-]+$"
+_R2_INT = r"^[-+]?\d+[.]?[0]?$"
+_R3_SCI = r"[+-]?\d(\.\d+)?[Ee][+-]?\d+"
+_CAST_INT = r"^[+-]?\d+(\.\d*)?$"
+_TS1 = r"\d{1,4}[-|/]?\d{1,2}[-|/]?\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
+_TS2 = r"\d{1,2}[-|/]?\d{1,2}[-|/]?\d{1,4} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
+_IPV4 = r"^((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)\.){3}(25[0-5]|(2[0-4]|1\d|[1-9]|)\d)$"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_code(sf_dir: str):
+    """Map the documents table onto the flagship (repo, path, commit,
+    lang, content) schema."""
+    def remap(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        return pa.table(
+            {
+                "repo": b.column("source"),
+                "path": pc.binary_join_element_wise("doc/", ids, ".txt", ""),
+                "commit": ids,
+                "lang": b.column("lang"),
+                "content": b.column("text"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(remap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats_by_source(sf_dir: str):
+    """Per-source rollup: counts, char totals, token totals (partial
+    combine per batch → small groupby — the canonical two-phase agg)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def tokens(b: pa.Table) -> pa.Table:
+        tok = pc.count_substring_regex(b.column("text"), r"\S+")
+        return b.select(["source", "n_chars"]).append_column("tokens", pc.cast(tok, pa.int64()))
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(tokens, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("tokens", alias_name="total_tokens"),
+        )
+    )
+    return out
+
+
+def _typed(df, cols: dict[str, str]):
+    """Materialized result with a guaranteed (possibly empty) schema —
+    loser sets can legitimately be empty at small scale factors."""
+    import pandas as pd
+
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    for c, dt in cols.items():
+        if c not in df.columns:
+            df[c] = pd.Series([], dtype=dt)
+    return df[list(cols)].astype(cols)
+
+
+def q_dup_exact_docs(sf_dir: str):
+    """Exact duplicate doc_ids over text (keep min doc_id per group) —
+    V17 generalized to a hash-grouped shuffle of (text, id) only."""
+    import pandas as pd
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return g.loc[g["doc_id"] != g["doc_id"].min(), ["doc_id"]]
+
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .groupby("text")
+        .map_groups(losers, batch_format="pandas")
+    )
+    return _typed(out, {"doc_id": "int64"})
+
+
+def q_dup_prefix40_docs(sf_dir: str):
+    """Near-dup bucketing by 40-char prefix (deterministic bucket dedup)."""
+    import pandas as pd
+
+    def key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "k": pc.utf8_slice_codeunits(b.column("text"), 0, 40)}
+        )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return g.loc[g["doc_id"] != g["doc_id"].min(), ["doc_id"]]
+
+    out = (
+        _docs(sf_dir).map_batches(key, batch_format="pyarrow").groupby("k").map_groups(losers, batch_format="pandas")
+    )
+    return _typed(out, {"doc_id": "int64"})
+
+
+def q_quality_filter_docs(sf_dir: str):
+    """SQL-expressible heuristic keep set (size / alnum / token gates)."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n = pc.utf8_length(text)
+        alnum = pc.utf8_length(pc.replace_substring_regex(text, "[^0-9A-Za-z]", ""))
+        ratio = pc.divide(pc.cast(alnum, pa.float64()), pc.cast(n, pa.float64()))
+        tok = pc.count_substring_regex(text, r"\S+")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(n, 100), pc.less_equal(n, 400)),
+            pc.and_(pc.greater_equal(ratio, 0.8), pc.greater_equal(tok, 20)),
+        )
+        return b.select(["doc_id"]).filter(mask)
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def q_content_sha256_docs(sf_dir: str):
+    """Per-row sha256 of text (the pass-through invariant column)."""
+    from rayqual.functions.hashing import sha256_array
+
+    def sha(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "sha": sha256_array(b.column("text"))})
+
+    return _docs(sf_dir).map_batches(sha, batch_format="pyarrow")
+
+
+def q_token_count_docs(sf_dir: str):
+    def tok(b: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(b.column("text"), r"\S+")
+        return pa.table({"doc_id": b.column("doc_id"), "token_count": pc.cast(t, pa.int64())})
+
+    return _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
+
+
+def q_sensitive_check_docs(sf_dir: str):
+    """Reference V16 over documents.text (anchored phone/email)."""
+    from rayqual.rules.kernels import sensitive_fail
+
+    def check(b: pa.Table) -> pa.Table:
+        mask = sensitive_fail(b.column("text"))
+        return b.select(["doc_id"]).filter(pa.array(mask))
+
+    return _typed(_docs(sf_dir).map_batches(check, batch_format="pyarrow"), {"doc_id": "int64"})
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def q_integer_check_events(sf_dir: str):
+    """V5 integer check over a derived mixed column (digits vs json)."""
+    from rayqual.rules.kernels import integer_fail
+
+    def check(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        mod7 = pc.subtract(eid, pc.multiply(pc.divide(eid, 7), 7))
+        v = pc.if_else(pc.equal(mod7, 0), b.column("props"), pc.cast(eid, pa.string()))
+        mask = integer_fail(v)
+        return pa.table({"event_id": eid}).filter(pa.array(mask))
+
+    return _events(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def q_timestamp_check_events(sf_dir: str):
+    """V15 timestamp check over a derived mixed column."""
+    from rayqual.rules.kernels import timestamp_fail
+
+    def check(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        mod5 = pc.subtract(eid, pc.multiply(pc.divide(eid, 5), 5))
+        tss = pc.strftime(b.column("ts"), format="%Y-%m-%d %H:%M:%S")
+        v = pc.if_else(pc.equal(mod5, 0), b.column("event_type"), tss)
+        mask = timestamp_fail(v)
+        return pa.table({"event_id": eid}).filter(pa.array(mask))
+
+    return _events(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def q_epoch_check_events(sf_dir: str):
+    """V14 epoch check over derived epoch-seconds strings vs words."""
+    from rayqual.rules.kernels import epoch_fail
+
+    def check(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        mod4 = pc.subtract(eid, pc.multiply(pc.divide(eid, 4), 4))
+        secs = pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()), 1_000_000), pa.string())
+        v = pc.if_else(pc.equal(mod4, 0), b.column("event_type"), secs)
+        mask = epoch_fail(v)
+        return pa.table({"event_id": eid}).filter(pa.array(mask))
+
+    return _events(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def q_ipv4_check_events(sf_dir: str):
+    """V12 IPv4 check over synthesized dotted quads (some octets > 255)."""
+    from rayqual.rules.kernels import ipv4_fail
+
+    def check(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        uid = b.column("user_id")
+
+        def m(col, k):
+            return pc.cast(pc.subtract(col, pc.multiply(pc.divide(col, k), k)), pa.string())
+
+        v = pc.binary_join_element_wise(
+            m(uid, 300), m(eid, 256), m(pc.multiply(eid, 7), 300), m(pc.multiply(eid, 13), 256), "."
+        )
+        mask = ipv4_fail(v)
+        return pa.table({"event_id": eid}).filter(pa.array(mask))
+
+    return _events(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="count_order")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # no rounding: sum is exact (integer-valued doubles) and the
+        # division is a single IEEE op — bit-identical to the oracle's
+        avg = pc.divide(b.column("sum_qty"), pc.cast(b.column("count_order"), pa.float64()))
+        return b.append_column("avg_qty", avg)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_parts_by_count(sf_dir: str):
+    """Grouped count + global top-k (sort/limit with tie-break)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    out = ds.groupby("l_partkey").aggregate(Count(alias_name="cnt"))
+    return out.sort(["cnt", "l_partkey"], descending=[True, False]).limit(10)
+
+
+def q_orders_by_priority(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Min("odate_us", alias_name="min_odate_us"),
+            Max("odate_us", alias_name="max_odate_us"),
+        )
+    )
+
+
+def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
+    """Per-user sessionization (windowed/stateful op): a session break
+    is a gap > gap_seconds between consecutive events."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.sort(g["ts"].astype("int64").to_numpy())  # microseconds
+        breaks = int((np.diff(ts_us) > gap_seconds * 1_000_000).sum()) if len(ts_us) > 1 else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [breaks + 1]}
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def q_flatten_props_events(sf_dir: str):
+    """Extract k from the JSON props string (flatten-style projection)."""
+
+    def ext(b: pa.Table) -> pa.Table:
+        st = pc.extract_regex(b.column("props"), r": (?P<k>\d+)")
+        k = pc.cast(pc.struct_field(st, 0), pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "k": k})
+
+    return _events(sf_dir).map_batches(ext, batch_format="pyarrow")
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_topk_embeddings(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """Exact cosine top-k for the first ``n_queries`` vectors."""
+    import pyarrow.parquet as pq
+
+    from rayqual.ops.similarity import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(t.column("vec_id"), n_queries)
+    qt = t.filter(mask)
+    order = pc.sort_indices(qt.column("vec_id"))
+    queries = np.stack(qt.column("embedding").take(order).to_pylist())
+    qids = qt.column("vec_id").take(order).to_pylist()
+    out = brute_force_topk(_embeddings(sf_dir), queries, k=k, query_ids=qids)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["query_id", "id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_embed_neardup_pairs(sf_dir: str, threshold: float = 0.45):
+    """Exact cosine near-dup pairs (broadcast matmul)."""
+    from rayqual.ops.neardup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_embeddings(sf_dir), "vec_id", "embedding", threshold=threshold)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["id_a", "id_b"])
+
+    return _typed(out.map_batches(strip, batch_format="pyarrow"), {"id_a": "int64", "id_b": "int64"})
+
+
+# --- rows-only (not SQL-expressible) --------------------------------------
+
+
+def q_flagship_quality_gate(sf_dir: str):
+    from rayqual.config import RuleConfig
+    from rayqual.pipelines.quality_gate import run_quality_gate
+
+    ds = _docs_as_code(sf_dir)
+    vd, kept, metrics = run_quality_gate(ds, RuleConfig(), scorer_concurrency=2)
+    import pandas as pd
+
+    out = vd.select_columns(
+        ["repo", "path", "commit", "keep", "drop_reasons", "pred_lang", "content_sha256", "pii_count"]
+    ).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def q_langid_docs(sf_dir: str):
+    from rayqual.config import RuleConfig
+    from rayqual.stages.score import LangScore
+
+    ds = _docs_as_code(sf_dir)
+    out = ds.map_batches(
+        LangScore, fn_constructor_kwargs={"config": RuleConfig()},
+        batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=1,
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["commit", "pred_lang", "ppl_bits_per_char"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    from rayqual.ops.neardup import minhash_dedup_losers
+
+    losers = minhash_dedup_losers(_docs(sf_dir), "doc_id", "text", threshold=0.8)
+    return pa.table({"doc_id": pa.array(losers, pa.int64())})
+
+
+def q_simhash_dedup_docs(sf_dir: str):
+    from rayqual.ops.neardup import simhash_dedup_losers
+
+    losers = simhash_dedup_losers(_docs(sf_dir), "doc_id", "text", max_hamming=3)
+    return pa.table({"doc_id": pa.array(losers, pa.int64())})
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from rayqual.functions.hashing import rolling_fingerprint
+
+    def fp(b: pa.Table) -> pa.Table:
+        f = rolling_fingerprint(b.column("text"))
+        hexes = [format(int(x), "016x") for x in f]
+        return pa.table({"doc_id": b.column("doc_id"), "fingerprint": pa.array(hexes, pa.string())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
+    import pyarrow.parquet as pq
+
+    from rayqual.ops.similarity import lsh_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t.column("vec_id"), 3))
+    queries = np.stack(qt.column("embedding").to_pylist())
+    return lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
+
+
+def q_validation_report_events(sf_dir: str):
+    """Reference-style metadata-driven report over a derived events view."""
+    from rayqual.config import ColumnMeta, TableMeta
+    from rayqual.pipelines.validation_report import validation_report
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        mod7 = pc.subtract(eid, pc.multiply(pc.divide(eid, 7), 7))
+        return pa.table(
+            {
+                "RID": eid,
+                "EPOCHS": pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()), 1_000_000), pa.string()),
+                "KVAL": pc.if_else(pc.equal(mod7, 0), b.column("event_type"), pc.cast(eid, pa.string())),
+            }
+        )
+
+    meta = TableMeta([ColumnMeta("EPOCHS", data_type="epoch"), ColumnMeta("KVAL", data_type="integer"),
+                      ColumnMeta("MISSING", data_type="string")])
+    ds = _events(sf_dir).map_batches(derive, batch_format="pyarrow")
+    rep = validation_report(ds, meta, key_col="RID", table_name="events", timestamp="FIXED")
+    return rep[["DQ_REPORT_ID", "COLUMN_NAME", "VALIDATION_ID", "PRIMARY_KEY_VALUE"]]
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return q_flagship_quality_gate("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": q_doc_stats_by_source,
+        "dup_exact_docs": q_dup_exact_docs,
+        "dup_prefix40_docs": q_dup_prefix40_docs,
+        "quality_filter_docs": q_quality_filter_docs,
+        "content_sha256_docs": q_content_sha256_docs,
+        "token_count_docs": q_token_count_docs,
+        "sensitive_check_docs": q_sensitive_check_docs,
+        "integer_check_events": q_integer_check_events,
+        "timestamp_check_events": q_timestamp_check_events,
+        "epoch_check_events": q_epoch_check_events,
+        "ipv4_check_events": q_ipv4_check_events,
+        "pricing_summary": q_pricing_summary,
+        "top_parts_by_count": q_top_parts_by_count,
+        "orders_by_priority": q_orders_by_priority,
+        "sessionize_events": q_sessionize_events,
+        "flatten_props_events": q_flatten_props_events,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "embed_neardup_pairs": q_embed_neardup_pairs,
+        # rows-only (non-SQL-expressible: model scoring / LSH / pipelines)
+        "flagship_quality_gate": q_flagship_quality_gate,
+        "langid_docs": q_langid_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_dedup_docs": q_simhash_dedup_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "validation_report_events": q_validation_report_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source
+        """,
+        "dup_exact_docs": """
+            SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+        """,
+        "dup_prefix40_docs": """
+            SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) > 1
+        """,
+        "quality_filter_docs": """
+            SELECT doc_id FROM documents
+            WHERE length(text) BETWEEN 100 AND 400
+              AND CAST(length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) AS DOUBLE)
+                  / length(text) >= 0.8
+              AND length(regexp_extract_all(text, '\\S+')) >= 20
+        """,
+        "content_sha256_docs": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "token_count_docs": """
+            SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS token_count
+            FROM documents
+        """,
+        "sensitive_check_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '^(\\+\\d{{1,2}}\\s)?\\(?\\d{{3}}\\)?[\\s.-]\\d{{3}}[\\s.-]\\d{{4}}$')
+               OR regexp_matches(text, '^[\\w.-]+@([\\w-]+\\.)+[\\w-]{{2,4}}$')
+        """,
+        "integer_check_events": f"""
+            WITH t AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN props
+                          ELSE CAST(event_id AS VARCHAR) END AS v
+              FROM events)
+            SELECT event_id FROM t
+            WHERE NOT (
+              regexp_matches(v, '{_R1}')
+              AND (regexp_matches(v, '{_R2_INT}') OR regexp_matches(v, '{_R3_SCI}'))
+              AND regexp_matches(v, '{_CAST_INT}')
+              AND TRY_CAST(regexp_extract(v, '^[+-]?\\d+') AS HUGEINT)
+                  BETWEEN -2147483648 AND 2147483647
+            )
+        """,
+        "timestamp_check_events": f"""
+            WITH t AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 5 = 0 THEN event_type
+                          ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS v
+              FROM events)
+            SELECT event_id FROM t
+            WHERE NOT (regexp_matches(v, '{_TS1}') OR regexp_matches(v, '{_TS2}'))
+        """,
+        "epoch_check_events": f"""
+            WITH t AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0 THEN event_type
+                          ELSE CAST(epoch_us(ts) // 1000000 AS VARCHAR) END AS v
+              FROM events)
+            SELECT event_id FROM t
+            WHERE CASE WHEN length(v) <= 10
+                       THEN NOT regexp_matches(v, '{_CAST_INT}')
+                       ELSE TRY_CAST(v AS DOUBLE) IS NULL END
+        """,
+        "ipv4_check_events": f"""
+            WITH t AS (
+              SELECT event_id,
+                     CAST(user_id % 300 AS VARCHAR) || '.' ||
+                     CAST(event_id % 256 AS VARCHAR) || '.' ||
+                     CAST((event_id * 7) % 300 AS VARCHAR) || '.' ||
+                     CAST((event_id * 13) % 256 AS VARCHAR) AS v
+              FROM events)
+            SELECT event_id FROM t WHERE NOT regexp_matches(v, '{_IPV4}')
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   sum(l_quantity) / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_parts_by_count": """
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+            GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10
+        """,
+        "orders_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   epoch_us(min(o_orderdate)) AS min_odate_us,
+                   epoch_us(max(o_orderdate)) AS max_odate_us
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "flatten_props_events": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, ': (\\d+)', 1) AS BIGINT) AS k
+            FROM events
+        """,
+        "ann_topk_embeddings": """
+            SELECT q.vec_id AS query_id, e.vec_id AS id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+            ) <= 10
+        """,
+        "embed_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+    }

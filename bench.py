@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also used for the scaling
+criterion).
+
+Default mode: runs the headline flagship pipeline on a deterministic
+synthetic corpus plus representative queries over $GRAFT_SF_DIR, then
+prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "flagship_rows": R, "files_per_sec": F}
+
+--scaling: runs the flagship job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same corpus and reports both
+throughputs + scaling efficiency (the sandbox substitute for the
+N vs 4N cluster-size criterion, see BASELINE.md).
+
+This script OWNS its Ray session (the only places allowed to:
+bench.py, CLI entry points, tests' conftest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "120000"))
+BENCH_SEED = 42
+CORPUS_DIR = f"/tmp/rayqual_bench_corpus_{BENCH_ROWS}_{BENCH_SEED}"
+OUT_DIR = "/tmp/rayqual_bench_out"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def ensure_corpus(num_cpus: int) -> str:
+    """Generate the deterministic corpus once (cached across runs)."""
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return CORPUS_DIR
+    from rayqual.gen import write_corpus
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    write_corpus(CORPUS_DIR, BENCH_ROWS, seed=BENCH_SEED, parallelism=max(num_cpus * 4, 32))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return CORPUS_DIR
+
+
+def run_flagship(num_cpus: int) -> dict:
+    import ray.data
+
+    from rayqual.config import RuleConfig
+    from rayqual.pipelines.quality_gate import run_quality_gate
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    cfg = RuleConfig()
+    t0 = time.time()
+    ds = ray.data.read_parquet(CORPUS_DIR)
+    vd, kept, metrics = run_quality_gate(
+        ds,
+        cfg,
+        output_dir=OUT_DIR,
+        scorer_concurrency=(2, max(4, num_cpus)),
+        scorer_batch_size=2048,
+    )
+    n_kept = kept.count() if hasattr(kept, "count") else len(kept)
+    wall = time.time() - t0
+    return {"rows": BENCH_ROWS, "kept": int(n_kept), "sec": round(wall, 3),
+            "files_per_sec": round(BENCH_ROWS / wall, 1)}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    picks = [
+        "doc_stats_by_source", "dup_exact_docs", "quality_filter_docs",
+        "content_sha256_docs", "integer_check_events", "timestamp_check_events",
+        "ipv4_check_events", "pricing_summary", "top_parts_by_count",
+        "orders_by_priority", "sessionize_events", "flatten_props_events",
+        "ann_topk_embeddings", "embed_neardup_pairs", "minhash_dedup_docs",
+        "langid_docs",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--scaling" in sys.argv:
+        # generate corpus in this process, then time the flagship in
+        # fresh child processes at two parallelism levels
+        import ray
+
+        _init_ray(num_cpus)
+        ensure_corpus(num_cpus)
+        ray.shutdown()
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--flagship-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        f8 = results[8]["files_per_sec"]
+        f32 = results[32]["files_per_sec"]
+        eff = (f32 / f8) / 4.0
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "files_per_sec_8": f8,
+            "files_per_sec_32": f32,
+            "rows": BENCH_ROWS,
+        }))
+        return
+
+    import ray
+
+    _init_ray(num_cpus)
+    try:
+        ensure_corpus(num_cpus)
+        flagship = run_flagship(num_cpus)
+        if "--flagship-only" in sys.argv:
+            print(json.dumps(flagship))
+            return
+        queries = run_queries(sf_dir)
+        total = flagship["sec"] + sum(queries.values())
+        print(json.dumps({
+            "metric": "flagship+queries wall seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "flagship_rows": flagship["rows"],
+            "flagship_sec": flagship["sec"],
+            "files_per_sec": flagship["files_per_sec"],
+            "kept": flagship["kept"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,6 @@ actors build them in ``__init__`` — once per actor, never per batch.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from rayqual.functions.seed_corpus import SEED_SNIPPETS
@@ -137,10 +135,18 @@ class CharLM:
         return out
 
 
-@functools.lru_cache(maxsize=4)
+_MODEL_CACHE: dict[tuple[str, ...], tuple[LangIdModel, CharLM]] = {}
+
+
 def get_models(languages: tuple[str, ...]) -> tuple[LangIdModel, CharLM]:
-    """Build (or fetch cached) models for this process."""
-    return LangIdModel(languages), CharLM()
+    """Build (or fetch cached) models for this process. Plain dict cache
+    (not functools.lru_cache: C-level wrapper objects are cloudpickled
+    by reference, which breaks shipping this module by value to Ray
+    workers that can't import rayqual)."""
+    key = tuple(languages)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = (LangIdModel(key), CharLM())
+    return _MODEL_CACHE[key]
 
 
 def predict_language(text: str, languages: tuple[str, ...], sample_bytes: int = 4096) -> str:

@@ -186,8 +186,13 @@ def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
         doc_end_pos = cl
         line_starts = np.concatenate([doc_start_pos, nl_pos + 1])
         line_docs = np.concatenate([np.arange(n, dtype=np.int64), nl_doc])
-        nxt = np.searchsorted(nl_pos, line_starts, side="left")
-        cand = np.where(nxt < len(nl_pos), nl_pos[np.minimum(nxt, max(len(nl_pos) - 1, 0))], np.iinfo(np.int64).max)
+        if len(nl_pos):
+            nxt = np.searchsorted(nl_pos, line_starts, side="left")
+            cand = np.where(
+                nxt < len(nl_pos), nl_pos[np.minimum(nxt, len(nl_pos) - 1)], np.iinfo(np.int64).max
+            )
+        else:
+            cand = np.full(len(line_starts), np.iinfo(np.int64).max)
         line_ends = np.minimum(cand, doc_end_pos[line_docs])
         line_len = line_ends - line_starts
         max_line = np.zeros(n, dtype=np.int64)

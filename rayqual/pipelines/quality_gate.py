@@ -170,8 +170,8 @@ def run_quality_gate(
         vd = vd.materialize()
 
     if cfg.exact_dedup:
-        losers = exact_dedup_losers(vd)
-        loser_set = set(losers.to_pandas()["key"].tolist())
+        losers_df = exact_dedup_losers(vd).to_pandas()
+        loser_set = set(losers_df["key"].tolist()) if "key" in losers_df.columns else set()
         ref = ray.put(loser_set)
         vd = mark_duplicates(vd, ref)
 

@@ -1,0 +1,91 @@
+"""Driver-simulation test: every queries() entry runs at sf0.001 and —
+when an oracle_sql() entry exists — must match DuckDB row-for-row
+(sorted columns, sorted rows, exact for ints/strings, 1e-9 for floats).
+This mirrors the graft driver's CORRECTNESS check."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(result):
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()  # ray Dataset
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
+    got, exp = normalize(got), normalize(exp)
+    assert list(got.columns) == list(exp.columns), f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+            assert np.allclose(g.astype(float), e.astype(float), atol=1e-9, equal_nan=True), f"{name}.{c}"
+        else:
+            assert (g.fillna("∅").astype(str) == e.fillna("∅").astype(str)).all(), f"{name}.{c}"
+
+
+@pytest.fixture(scope="module")
+def con(sf_tiny):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_tiny}/{t}.parquet')")
+    return con
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(ray_session, con, sf_tiny, name):
+    got = to_pandas(QUERIES[name](sf_tiny))
+    exp = con.execute(ORACLES[name]).df()
+    compare(got, exp, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(ray_session, sf_tiny, name):
+    got = to_pandas(QUERIES[name](sf_tiny))
+    assert isinstance(got, pd.DataFrame)
+    assert len(got.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    out = to_pandas(entrymod.entry())
+    assert len(out) == 500
+    assert {"repo", "path", "keep", "content_sha256"} <= set(out.columns)
+
+
+def test_oracle_queries_have_results(ray_session, con, sf_tiny):
+    """Guard against vacuous oracles: the interesting checks must
+    produce non-empty results on the tiny scale factor."""
+    for name in [
+        "doc_stats_by_source", "quality_filter_docs", "integer_check_events",
+        "timestamp_check_events", "epoch_check_events", "ipv4_check_events",
+        "pricing_summary", "top_parts_by_count", "sessionize_events",
+        "ann_topk_embeddings", "flatten_props_events",
+    ]:
+        n = len(con.execute(ORACLES[name]).df())
+        assert n > 0, f"{name} oracle returned no rows at sf0.001"

@@ -71,6 +71,14 @@ def test_text_stats_matches_naive():
     assert stats["is_null"].tolist() == [d is None for d in DOCS]
 
 
+def test_text_stats_batch_without_newlines():
+    # regression: a batch where NO document contains '\n'
+    docs = ["single line here", "another one", "third"]
+    stats = text_stats(pa.array(docs, type=pa.string()))
+    assert stats["n_lines"].tolist() == [1, 1, 1]
+    assert stats["max_line_len"].tolist() == [len(d) for d in docs]
+
+
 def test_sha256_array():
     arr = pa.array(["abc", None, ""], type=pa.string())
     out = sha256_array(arr).to_pylist()
