@@ -79,8 +79,8 @@ def run_flagship(num_cpus: int) -> dict:
         ds,
         cfg,
         output_dir=OUT_DIR,
-        scorer_concurrency=(2, max(4, num_cpus)),
-        scorer_batch_size=2048,
+        scorer_concurrency=max(2, num_cpus - 2),
+        scorer_batch_size=1024,
     )
     n_kept = kept.count() if hasattr(kept, "count") else len(kept)
     wall = time.time() - t0

@@ -23,5 +23,32 @@ owned by the caller (tests' conftest, bench.py, or the driver).
 from rayqual.config import RuleConfig, TableMeta
 from rayqual.schema import CODE_FILE_SCHEMA, REPORT_COLUMNS
 
-__all__ = ["RuleConfig", "TableMeta", "CODE_FILE_SCHEMA", "REPORT_COLUMNS"]
+__all__ = ["RuleConfig", "TableMeta", "CODE_FILE_SCHEMA", "REPORT_COLUMNS", "ship_to_workers"]
 __version__ = "0.1.0"
+
+
+def ship_to_workers() -> None:
+    """Register every loaded rayqual module for cloudpickle by-VALUE
+    serialization, so Ray workers can run rayqual UDFs without having
+    the package on their sys.path (worker processes are forked from the
+    raylet environment and do NOT inherit the driver's sys.path or
+    cwd). Idempotent; called automatically below at import time.
+
+    Import submodules BEFORE building Dataset pipelines for this to
+    cover them — __ray_entry__ imports the full tree eagerly.
+    """
+    import sys
+
+    try:
+        from ray import cloudpickle
+    except Exception:  # ray absent: nothing to register against
+        return
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and (name == "rayqual" or name.startswith("rayqual.")):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+ship_to_workers()

@@ -125,9 +125,13 @@ class RuleConfig:
     # character-composition rules
     min_alnum_ratio: float = 0.25
 
-    # repetition: distinct char-8-gram shingles / total shingles
+    # repetition: distinct char-8-gram shingles / total shingles,
+    # analyzed over the first repetition_sample_bytes of each doc, and
+    # only for docs inside the [min_chars, max_chars] size window
+    # (out-of-size docs are dropped regardless — don't pay for them)
     shingle_size: int = 8
     min_distinct_shingle_ratio: float = 0.20
+    repetition_sample_bytes: int = 65536
 
     # language-ID gate: drop when prediction != declared lang AND the
     # winning score beats the declared lang's score by this log margin

@@ -138,3 +138,4 @@ def rolling_fingerprint(arr, shingle_size: int = 16, num_mins: int = 4) -> np.nd
         contrib = (hs[take] ^ (hs[take] >> _U64(29))) * mult
         np.bitwise_xor.at(out, ds[take], contrib)
     return out
+

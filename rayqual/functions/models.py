@@ -61,14 +61,14 @@ class LangIdModel:
     def score_batch(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray]:
         """Returns (scores [n_docs, L], n_grams [n_docs]) — total
         log-probability of each doc's first ``sample_bytes`` bytes under
-        each language."""
+        each language. Per-language gather + segment reduceat: no
+        [m, L] materialization, one contiguous pass per language."""
         n = sb.n_docs
         L = len(self.languages)
         scores = np.zeros((n, L), dtype=np.float64)
         if n == 0:
             return scores, np.zeros(0, dtype=np.int64)
         lens = np.minimum(sb.lengths, sample_bytes)
-        # build the sampled concat buffer
         b = np.concatenate(
             [sb.data[s: s + l] for s, l in zip(sb.starts, lens)]
         ) if n else np.empty(0, dtype=np.uint8)
@@ -78,13 +78,16 @@ class LangIdModel:
             h = gram_hashes(b, ng)
             if len(h) == 0:
                 continue
-            d = doc_ids[: len(h)]
-            valid = d == doc_ids[ng - 1:]
-            hv, dv = h[valid], d[valid]
-            n_grams += np.bincount(dv, minlength=n).astype(np.int64)
-            vals = w[hv]  # [m, L]
+            valid = doc_ids[: len(h)] == doc_ids[ng - 1:]
+            hv = h[valid]
+            counts = np.maximum(lens - (ng - 1), 0)
+            n_grams += counts
+            ne = counts > 0
+            if not ne.any():
+                continue
+            starts = (np.cumsum(counts) - counts)[ne]
             for li in range(L):
-                scores[:, li] += np.bincount(dv, weights=vals[:, li], minlength=n)
+                scores[ne, li] += np.add.reduceat(w[:, li][hv], starts)
         return scores, n_grams
 
     def predict(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -123,15 +126,16 @@ class CharLM:
         if len(h3) == 0:
             return out
         h2 = gram_hashes(b, 2)[: len(h3)]
-        d = doc_ids[: len(h3)]
-        valid = d == doc_ids[2:]
-        h3v, h2v, dv = h3[valid], h2[valid], d[valid]
+        valid = doc_ids[: len(h3)] == doc_ids[2:]
+        h3v, h2v = h3[valid], h2[valid]
         p = (self.c3[h3v] + self.k) / (self.c2[h2v] + self.k * self.vocab)
         bits = -np.log2(p)
-        totals = np.bincount(dv, weights=bits, minlength=n)
-        counts = np.bincount(dv, minlength=n)
+        counts = np.maximum(lens - 2, 0)
         nz = counts > 0
-        out[nz] = totals[nz] / counts[nz]
+        if not nz.any():
+            return out
+        starts = (np.cumsum(counts) - counts)[nz]
+        out[nz] = np.add.reduceat(bits, starts) / counts[nz]
         return out
 
 
@@ -157,3 +161,4 @@ def predict_language(text: str, languages: tuple[str, ...], sample_bytes: int = 
     sb = string_bytes(pa.array([text], type=pa.string()))
     pred, _, _ = model.predict(sb, sample_bytes)
     return languages[int(pred[0])]
+

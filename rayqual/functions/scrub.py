@@ -104,3 +104,4 @@ def scrub_text(text: str | None) -> tuple[str | None, int, int]:
         if found:
             text = rx.sub(repl, text)
     return text, pii, tox
+

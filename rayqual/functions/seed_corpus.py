@@ -86,3 +86,4 @@ SEED_SNIPPETS: dict[str, list[str]] = {
     "markdown": MARKDOWN,
     "text": TEXT,
 }
+

@@ -120,42 +120,95 @@ def shingle_hashes(b: np.ndarray, k: int) -> np.ndarray:
     return h
 
 
-def distinct_shingle_ratio(sb: StringBytes, k: int) -> np.ndarray:
-    """Per-doc distinct/total ratio of k-byte shingle hashes; 1.0 when a
-    doc has no windows (shorter than k)."""
+def window_ids(b: np.ndarray, k: int) -> np.ndarray:
+    """Exact identity of every k-byte window. For k == 8 the window IS a
+    uint64 (one strided copy, zero arithmetic — ~10× faster than the
+    polynomial hash); other k fall back to the polynomial hash (identity
+    up to 2^-64 collisions)."""
+    n = len(b) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    if k == 8:
+        w = np.lib.stride_tricks.sliding_window_view(b, 8)
+        return np.ascontiguousarray(w).view(np.uint64).ravel()
+    return shingle_hashes(b, k)
+
+
+def distinct_shingle_ratio(
+    sb: StringBytes,
+    k: int,
+    sample_bytes: int | None = None,
+    skip_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-doc distinct/total ratio of k-byte windows; 1.0 when a doc
+    has no windows (shorter than k).
+
+    ``sample_bytes`` caps the analysis to each doc's prefix (bounds
+    per-doc work); ``skip_mask`` marks docs whose ratio is pinned to
+    1.0 with zero work (e.g. docs already failing size gates — they are
+    dropped regardless, so computing repetition for a 1 MB blob is
+    wasted). Both are part of the shared spec with the oracle.
+
+    Distinct counting: one single-key sort of (doc << 52 | id >> 12)
+    when the batch has < 4096 docs — a ~2× win over a two-key lexsort;
+    truncating the window id to 52 bits admits ~m²/2^53 collisions per
+    doc (m = windows/doc), far below the ratio's decision resolution.
+    """
     n = sb.n_docs
     out = np.ones(n, dtype=np.float64)
     if n == 0:
         return out
-    b = sb.concat_bytes()
-    h = shingle_hashes(b, k)
+    lens = np.minimum(sb.lengths, sample_bytes) if sample_bytes else sb.lengths.copy()
+    if skip_mask is not None:
+        lens = np.where(skip_mask, 0, lens)
+    if not lens.any():
+        return out
+    b = (
+        np.concatenate([sb.data[s: s + l] for s, l in zip(sb.starts, lens)])
+        if not ((lens == sb.lengths).all())
+        else sb.concat_bytes()
+    )
+    h = window_ids(b, k)
     if len(h) == 0:
         return out
-    # window i is valid iff bytes i..i+k-1 are in the same doc
-    lens = sb.lengths
     doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
     d_start = doc_ids[: len(h)]
-    d_end = doc_ids[k - 1:]
-    valid = d_start == d_end
+    valid = d_start == doc_ids[k - 1:]
     d = d_start[valid]
     hv = h[valid]
     totals = np.bincount(d, minlength=n)
     if len(d) == 0:
         return out
-    order = np.lexsort((hv, d))
-    ds, hs = d[order], hv[order]
-    new = np.ones(len(ds), dtype=bool)
-    new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    if n < 4096:
+        key = (d.astype(np.uint64) << np.uint64(52)) | (hv >> np.uint64(12))
+        key.sort()
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        ds = (key >> np.uint64(52)).astype(np.int64)
+    else:
+        order = np.lexsort((hv, d))
+        ds, hs = d[order], hv[order]
+        new = np.ones(len(ds), dtype=bool)
+        new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
     distinct = np.bincount(ds, weights=new, minlength=n)
     nz = totals > 0
     out[nz] = distinct[nz] / totals[nz]
     return out
 
 
-def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
+def text_stats(
+    arr,
+    shingle_size: int = 8,
+    repetition_sample_bytes: int | None = None,
+    repetition_size_bounds: tuple[int, int] | None = None,
+) -> dict[str, np.ndarray]:
     """All per-doc stats in one pass. Returns a dict of float64/int64
     arrays: n_chars, n_bytes, n_lines, max_line_len, mean_line_len,
-    alnum_ratio, token_count, distinct_shingle_ratio, is_null."""
+    alnum_ratio, token_count, distinct_shingle_ratio, is_null.
+
+    ``repetition_size_bounds=(lo, hi)``: docs with n_chars outside
+    [lo, hi] skip the (expensive) repetition analysis — their ratio is
+    pinned to 1.0; they are dropped by the size rules regardless."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
@@ -168,22 +221,37 @@ def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
     lens = sb.lengths
 
     b = sb.concat_bytes()
-    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cl = np.cumsum(lens)
+    doc_start_pos = cl - lens  # concat-space spans
+    doc_end_pos = cl
+
+    nonempty = lens > 0
+
+    def seg_sum(mask: np.ndarray) -> np.ndarray:
+        """Per-doc sums via ufunc.reduceat over the contiguous concat
+        buffer (~3× faster than cumsum+gather, ~4× faster than bincount
+        over a position→doc map). Empty docs handled by reducing only
+        the non-empty spans (reduceat's empty-segment quirk)."""
+        out = np.zeros(n, dtype=np.int64)
+        if not nonempty.any() or len(mask) == 0:
+            return out
+        out[nonempty] = np.add.reduceat(
+            mask.view(np.int8), doc_start_pos[nonempty], dtype=np.int64
+        )
+        return out
 
     nl = b == 10
-    n_newlines = np.bincount(doc_ids, weights=nl, minlength=n).astype(np.int64) if len(b) else np.zeros(n, dtype=np.int64)
+    n_newlines = seg_sum(nl) if len(b) else np.zeros(n, dtype=np.int64)
     n_lines = n_newlines + 1
 
-    alnum = np.bincount(doc_ids, weights=_ALNUM_BYTES[b], minlength=n) if len(b) else np.zeros(n)
+    alnum = seg_sum(_ALNUM_BYTES[b]) if len(b) else np.zeros(n, dtype=np.int64)
     alnum_ratio = np.where(lens > 0, alnum / np.maximum(lens, 1), 0.0)
 
     # line lengths: line starts = doc starts + (positions after newlines)
     if len(b):
         nl_pos = np.flatnonzero(nl)
-        nl_doc = doc_ids[nl_pos]
-        cl = np.cumsum(lens)
-        doc_start_pos = cl - lens  # concat-space start of each doc
-        doc_end_pos = cl
+        # doc containing position p: first doc whose end exceeds p
+        nl_doc = np.searchsorted(doc_end_pos, nl_pos, side="right")
         line_starts = np.concatenate([doc_start_pos, nl_pos + 1])
         line_docs = np.concatenate([np.arange(n, dtype=np.int64), nl_doc])
         if len(nl_pos):
@@ -205,11 +273,20 @@ def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
         prev_ws[1:] = ws[:-1]
         prev_ws[doc_start_pos[doc_start_pos < len(b)]] = True
         token_start = ~ws & prev_ws
-        token_count = np.bincount(doc_ids, weights=token_start, minlength=n).astype(np.int64)
+        token_count = seg_sum(token_start)
     else:
         max_line = np.zeros(n, dtype=np.int64)
         mean_line = np.zeros(n, dtype=np.float64)
         token_count = np.zeros(n, dtype=np.int64)
+
+    if repetition_size_bounds is not None:
+        lo, hi = repetition_size_bounds
+        skip = (n_chars < lo) | (n_chars > hi)
+    else:
+        skip = None
+    ratio = distinct_shingle_ratio(
+        sb, shingle_size, sample_bytes=repetition_sample_bytes, skip_mask=skip
+    )
 
     return {
         "n_chars": n_chars,
@@ -219,6 +296,7 @@ def text_stats(arr, shingle_size: int = 8) -> dict[str, np.ndarray]:
         "mean_line_len": mean_line.astype(np.float64),
         "alnum_ratio": alnum_ratio.astype(np.float64),
         "token_count": token_count,
-        "distinct_shingle_ratio": distinct_shingle_ratio(sb, shingle_size),
+        "distinct_shingle_ratio": ratio,
         "is_null": sb.null_mask,
     }
+

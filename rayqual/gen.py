@@ -162,6 +162,9 @@ def generate_dataset(n_rows: int, seed: int = 42, parallelism: int = 32):
     """Ray-parallel generation: ``ray.data.range`` over indices →
     map_batches building rows per index (deterministic regardless of
     batching). Caller owns the Ray session."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray.data
 
     def build(batch: pa.Table) -> pa.Table:
@@ -186,3 +189,4 @@ def write_corpus(path: str, n_rows: int, seed: int = 42, parallelism: int = 32) 
     """Generate and write the corpus as partitioned parquet (Ray session
     required)."""
     generate_dataset(n_rows, seed, parallelism).write_parquet(path)
+

@@ -43,6 +43,9 @@ def exact_dedup_losers(ds, hash_col: str = "content_sha256", key_cols: tuple[str
     """Dataset of loser keys: one row per duplicate (non-representative)
     row, columns = [key] (joined composite). Null hashes (null content)
     are not considered duplicates."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
 
     import pyarrow.compute as pc
 
@@ -68,6 +71,9 @@ def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "pa
     """Append ``fail_duplicate`` by membership of the composite key in
     the broadcast loser set (``ray.put`` object ref → fetched once per
     task from the local object store, zero-copy shared)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
     def mark(batch: pa.Table) -> pa.Table:
@@ -77,3 +83,4 @@ def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "pa
         return batch.append_column("fail_duplicate", pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+

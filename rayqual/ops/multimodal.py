@@ -140,3 +140,4 @@ def synthetic_media_table(n: int, kind: str = "image", seed: int = 11) -> pa.Tab
             "meta": pa.array(metas, pa.string()),
         }
     )
+

@@ -75,6 +75,9 @@ def minhash_candidate_pairs(
 ):
     """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
     threshold). est_jaccard = fraction of agreeing minhashes."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
 
     def sigs(batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
@@ -128,6 +131,9 @@ def simhash_dedup_losers(
     """SimHash near-dup: 4×16-bit band LSH guarantees every pair with
     hamming distance ≤ 3 shares at least one band (pigeonhole); full
     64-bit hamming verified inside the bucket."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
 
     def sigs(batch: pa.Table) -> pa.Table:
         h = simhash64(batch.column(text_col), shingle_size)
@@ -178,6 +184,9 @@ def ngram_jaccard_losers(
     computed for the candidate cohort only — the classic
     propose-cheap / verify-exact split, so the exact O(n²) work touches
     only suspected duplicates."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import pyarrow.compute as pc
 
     from rayqual.functions.textstats import string_bytes, shingle_hashes
@@ -226,6 +235,9 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
     computes batch @ all.T. Exact — the oracle-checkable baseline.
     For corpora whose embedding matrix exceeds worker memory, use
     :func:`lsh_embedding_neardup_pairs`."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
     all_df = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
@@ -261,6 +273,9 @@ def lsh_embedding_neardup_pairs(
     → exact cosine verification within buckets. Approximate recall
     (missed pairs possible), documented trade-off vs the broadcast
     exact version."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
 
     def bucketize(batch: pa.Table) -> pa.Table:
         bm = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -309,3 +324,4 @@ def lsh_embedding_neardup_pairs(
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
     )
+

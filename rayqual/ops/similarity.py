@@ -27,6 +27,9 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
     """Exact cosine top-k. ``queries``: [q, dim]. Returns a Dataset of
     (query_id, id, cosine) rows, k per query, cosine rounded to 6dp for
     deterministic comparison."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
@@ -72,6 +75,9 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
              exclude_self: bool = True):
     """Approximate top-k: only candidates sharing an LSH bucket with the
     query in any table are scored. Deterministic (seeded planes)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
@@ -137,3 +143,4 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
+

@@ -90,10 +90,14 @@ def oracle_row(repo, path, commit, declared_lang, content, cfg: RuleConfig, mode
     alnum = sum(1 for c in b if (48 <= c <= 57) or (65 <= c <= 90) or (97 <= c <= 122))
     if (alnum / len(b) if b else 0.0) < cfg.min_alnum_ratio:
         reasons.append("alnum_ratio")
-    sh = _shingle_hashes_py(b, cfg.shingle_size)
-    ratio = (len(set(sh)) / len(sh)) if sh else 1.0
-    if ratio < cfg.min_distinct_shingle_ratio:
-        reasons.append("repetition")
+    # repetition: analyzed over the prefix sample, and only for docs
+    # inside the size window (same spec as the kernel)
+    if cfg.min_chars <= n_chars <= cfg.max_chars:
+        rb = b[: cfg.repetition_sample_bytes]
+        windows = [rb[i: i + cfg.shingle_size] for i in range(len(rb) - cfg.shingle_size + 1)]
+        ratio = (len(set(windows)) / len(windows)) if windows else 1.0
+        if ratio < cfg.min_distinct_shingle_ratio:
+            reasons.append("repetition")
 
     # sampling is byte-based (same spec as the kernel: first N bytes of
     # the UTF-8 buffer, even if that splits a multi-byte character)
@@ -157,3 +161,4 @@ def oracle_quality_gate(table, cfg: RuleConfig | None = None) -> pd.DataFrame:
     out["keep"] = out["reasons"].map(len) == 0
     out["drop_reasons"] = out["reasons"].map(",".join)
     return out.drop(columns=["reasons"])
+

@@ -34,12 +34,24 @@ VERDICT_BOOL_COLS = tuple(f"fail_{r}" for r in DROP_RULES)
 def quality_gate_dataset(
     ds,
     config: RuleConfig | None = None,
-    scorer_concurrency=(2, 8),
+    scorer_concurrency=None,
     scorer_batch_size: int = 1024,
 ):
     """Lazily build the verdicted Dataset (all columns appended, no
-    keep/drop yet if dedup is on — use :func:`finalize` / run_*)."""
+    keep/drop yet if dedup is on — use :func:`finalize` / run_*).
+
+    ``scorer_concurrency=None`` sizes the actor pool to cluster CPUs
+    minus two — a pool that reserves every CPU starves the read/write
+    tasks and serializes the pipeline (measured: 2.5× slower)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     cfg = config or RuleConfig()
+    if scorer_concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        scorer_concurrency = max(2, cpus - 2)
     ds = ds.map_batches(StatelessVerdicts(cfg), batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
         LangScore,
@@ -66,6 +78,9 @@ def metrics_rollup(verdicts_ds):
     repo per batch) feeds the distributed ``groupby('repo')`` sum, so
     the shuffle moves O(repos × batches) rows regardless of skew.
     """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     agg_cols = [f"fail_{r}" for r in DROP_RULES] + ["keep", "pii_count", "toxicity_count"]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -101,6 +116,9 @@ def violations_report(
     schema (reference quality_report.py:170-172): one row per
     (rule, failing row); PRIMARY_KEY_COLUMN is the composite natural
     key instead of the synthetic ROW_ID (SURVEY.md §1.1)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     from rayqual.stages.verdicts import RULE_IDS
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -150,7 +168,7 @@ def run_quality_gate(
     ds,
     config: RuleConfig | None = None,
     output_dir: str | None = None,
-    scorer_concurrency=(2, 8),
+    scorer_concurrency=None,
     scorer_batch_size: int = 1024,
     materialize: bool = True,
 ):
@@ -162,6 +180,9 @@ def run_quality_gate(
     :mod:`rayqual.state.lineage`'s chunked runner instead, which
     checkpoints verdicts to parquet per input chunk.
     """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
     cfg = config or RuleConfig()
@@ -175,9 +196,10 @@ def run_quality_gate(
         ref = ray.put(loser_set)
         vd = mark_duplicates(vd, ref)
 
+    # mark+finalize stay lazy: the expensive scoring is already pinned,
+    # so each consumer (kept write, metrics, caller) re-runs only the
+    # cheap boolean stages over materialized blocks.
     vd = _finalize(vd, cfg)
-    if materialize:
-        vd = vd.materialize()
 
     def _keep_only(b: pa.Table) -> pa.Table:
         return b.filter(b.column("keep"))
@@ -188,3 +210,4 @@ def run_quality_gate(
         kept.write_parquet(f"{output_dir}/kept")
         metrics.write_parquet(f"{output_dir}/metrics")
     return vd, kept, metrics
+

@@ -86,6 +86,9 @@ def validation_report(
     Table for parity tests). Returns the report as pandas with
     DQ_REPORT_ID 1..N (reference quality_report.py:207), rows ordered
     by rule execution order like the reference."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     timestamp = timestamp or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
     if isinstance(ds, pa.Table):
@@ -233,3 +236,4 @@ def _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, ac
         parts.append(pd.DataFrame(_report_rows(
             None, 17, None, dup_keys["key"].tolist(), table_name, timestamp, account, bucket)))
     return parts
+

@@ -369,3 +369,4 @@ CATEGORY_MESSAGE = {
     16: ("Sensitive Validation", "Encountered sensitive information"),
     17: ("Generic Validation", "Duplicate row"),
 }
+

@@ -151,3 +151,4 @@ class DatatypeRulebook:
 def column_name_preprocess(names: list[str]) -> list[str]:
     """Reference validation_rulebook.py:33-43: '-'→'_', strip '@'."""
     return [n.replace("-", "_").replace("@", "") for n in names]
+

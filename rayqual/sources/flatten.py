@@ -85,4 +85,8 @@ def flatten_table(table: pa.Table, max_depth: int = 32) -> pa.Table:
 
 def flatten_stage(ds):
     """Dataset-level flattener: one map_batches pass."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
     return ds.map_batches(flatten_table, batch_format="pyarrow", zero_copy_batch=True)
+

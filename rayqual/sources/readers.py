@@ -34,3 +34,4 @@ def read_any(path: str, flatten_json: bool = True, **kwargs):
             ds = flatten_stage(ds)
         return ds
     raise ValueError(f"unsupported input format: {ext!r} ({path})")
+

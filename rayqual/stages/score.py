@@ -58,3 +58,4 @@ class LangScore:
         out = out.append_column("fail_langid_mismatch", pa.array(mismatch, type=pa.bool_()))
         out = out.append_column("fail_perplexity", pa.array(ppl_fail, type=pa.bool_()))
         return out
+

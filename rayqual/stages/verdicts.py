@@ -61,7 +61,12 @@ class StatelessVerdicts:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         content = batch.column("content")
-        stats = text_stats(content, shingle_size=cfg.shingle_size)
+        stats = text_stats(
+            content,
+            shingle_size=cfg.shingle_size,
+            repetition_sample_bytes=cfg.repetition_sample_bytes,
+            repetition_size_bounds=(cfg.min_chars, cfg.max_chars),
+        )
 
         n_chars = stats["n_chars"]
         fails = {
@@ -113,3 +118,4 @@ def finalize_decision(batch: pa.Table, config: RuleConfig) -> pa.Table:
         "drop_reasons", pa.array([",".join(r) for r in reasons], type=pa.string())
     )
     return out
+

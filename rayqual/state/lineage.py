@@ -123,3 +123,4 @@ class ChunkedRunner:
     def _ensure_output_dir(self) -> str:
         os.makedirs(self.output_dir, exist_ok=True)
         return self.output_dir
+
