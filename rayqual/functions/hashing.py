@@ -23,14 +23,16 @@ def _minhash_params(num_perm: int, seed: int = 0x9E3779B97F4A7C15) -> tuple[np.n
     return a, b
 
 
-def sha256_array(arr) -> pa.Array:
+def sha256_array(arr, active=None) -> pa.Array:
     """Hex sha256 of every row (null → null). The per-row invariant
-    column required by BASELINE.json:input_hint."""
+    column required by BASELINE.json:input_hint. ``active`` (bool mask)
+    limits hashing to eligible rows — inactive rows get null (used to
+    skip size-rejected docs, which never reach the dedup or output)."""
     sb = string_bytes(arr)
     mv = memoryview(sb.data)
     out: list[str | None] = []
     for i in range(sb.n_docs):
-        if sb.null_mask[i]:
+        if sb.null_mask[i] or (active is not None and not active[i]):
             out.append(None)
         else:
             out.append(hashlib.sha256(mv[sb.starts[i]: sb.ends[i]]).hexdigest())

@@ -200,15 +200,19 @@ def text_stats(
     arr,
     shingle_size: int = 8,
     repetition_sample_bytes: int | None = None,
-    repetition_size_bounds: tuple[int, int] | None = None,
+    size_bounds: tuple[int, int] | None = None,
 ) -> dict[str, np.ndarray]:
     """All per-doc stats in one pass. Returns a dict of float64/int64
     arrays: n_chars, n_bytes, n_lines, max_line_len, mean_line_len,
-    alnum_ratio, token_count, distinct_shingle_ratio, is_null.
+    alnum_ratio, token_count, distinct_shingle_ratio, is_null, active.
 
-    ``repetition_size_bounds=(lo, hi)``: docs with n_chars outside
-    [lo, hi] skip the (expensive) repetition analysis — their ratio is
-    pinned to 1.0; they are dropped by the size rules regardless."""
+    ``size_bounds=(lo, hi)``: docs with n_chars outside [lo, hi] are
+    INACTIVE — the size rule drops them regardless, so no per-byte work
+    is spent on them at all (an oversized blob would otherwise cost
+    full line/char/shingle scans of megabytes). Inactive docs report
+    zeroed stats and ratio 1.0; callers gate the shape rules with the
+    returned ``active`` mask. This skip is part of the spec shared with
+    the oracle (rayqual/oracle.py mirrors it)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
@@ -218,9 +222,21 @@ def text_stats(
     n_chars = pc.utf8_length(arr.fill_null("") if arr.null_count else arr).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
-    lens = sb.lengths
+    lens_full = sb.lengths
 
-    b = sb.concat_bytes()
+    if size_bounds is not None:
+        lo, hi = size_bounds
+        active = (n_chars >= lo) & (n_chars <= hi)
+    else:
+        active = np.ones(n, dtype=bool)
+    lens = np.where(active, lens_full, 0)
+
+    if (lens == lens_full).all():
+        b = sb.concat_bytes()
+    else:
+        b = np.concatenate(
+            [sb.data[s: s + l] for s, l in zip(sb.starts, lens)]
+        ) if lens.any() else np.empty(0, dtype=np.uint8)
     cl = np.cumsum(lens)
     doc_start_pos = cl - lens  # concat-space spans
     doc_end_pos = cl
@@ -279,18 +295,14 @@ def text_stats(
         mean_line = np.zeros(n, dtype=np.float64)
         token_count = np.zeros(n, dtype=np.int64)
 
-    if repetition_size_bounds is not None:
-        lo, hi = repetition_size_bounds
-        skip = (n_chars < lo) | (n_chars > hi)
-    else:
-        skip = None
     ratio = distinct_shingle_ratio(
-        sb, shingle_size, sample_bytes=repetition_sample_bytes, skip_mask=skip
+        sb, shingle_size, sample_bytes=repetition_sample_bytes,
+        skip_mask=None if active.all() else ~active,
     )
 
     return {
         "n_chars": n_chars,
-        "n_bytes": lens.astype(np.int64),
+        "n_bytes": lens_full.astype(np.int64),
         "n_lines": n_lines,
         "max_line_len": max_line,
         "mean_line_len": mean_line.astype(np.float64),
@@ -298,5 +310,6 @@ def text_stats(
         "token_count": token_count,
         "distinct_shingle_ratio": ratio,
         "is_null": sb.null_mask,
+        "active": active,
     }
 

@@ -1,3 +1,3 @@
-from rayqual.ops.dedup import exact_dedup_losers, mark_duplicates
+from rayqual.ops.dedup import exact_dedup_loser_keys, exact_dedup_losers, mark_duplicates
 
-__all__ = ["exact_dedup_losers", "mark_duplicates"]
+__all__ = ["exact_dedup_loser_keys", "exact_dedup_losers", "mark_duplicates"]

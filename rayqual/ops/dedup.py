@@ -67,6 +67,42 @@ def exact_dedup_losers(ds, hash_col: str = "content_sha256", key_cols: tuple[str
     )
 
 
+def exact_dedup_loser_keys(
+    ds,
+    hash_col: str = "content_sha256",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    driver_threshold: int = 2_000_000,
+) -> set:
+    """Loser-key SET, adaptively.
+
+    Up to ``driver_threshold`` rows the distributed projection (hash,
+    key) is collected and grouped on the driver — a Ray ``groupby``
+    shuffle has multi-second fixed cost that dominates at these sizes
+    (measured: 7.6 s vs 0.3 s for 120 k rows), and the projection is
+    ~100 B/row so the driver frame stays tiny. Above the threshold the
+    distributed groupby path runs (the 10^12-row path)."""
+    import pyarrow.compute as pc
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= driver_threshold:
+        def project(batch: pa.Table) -> pa.Table:
+            keys = _key_expr(batch, key_cols)
+            t = pa.table({"h": batch.column(hash_col), "key": keys})
+            return t.filter(pc.is_valid(t.column("h")))
+
+        df = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+        if df.empty:
+            return set()
+        keep = df.groupby("h", sort=False)["key"].transform("min")
+        return set(df.loc[df["key"] != keep, "key"])
+
+    losers_df = exact_dedup_losers(ds, hash_col, key_cols).to_pandas()
+    return set(losers_df["key"]) if "key" in losers_df.columns else set()
+
+
 def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "path", "commit")):
     """Append ``fail_duplicate`` by membership of the composite key in
     the broadcast loser set (``ray.put`` object ref → fetched once per

@@ -83,16 +83,17 @@ def oracle_row(repo, path, commit, declared_lang, content, cfg: RuleConfig, mode
         reasons.append("min_chars")
     if n_chars > cfg.max_chars:
         reasons.append("max_chars")
-    if max((len(l) for l in lines), default=0) > cfg.max_line_len:
-        reasons.append("max_line_len")
-    if sum(len(l) for l in lines) / len(lines) > cfg.max_mean_line_len:
-        reasons.append("mean_line_len")
-    alnum = sum(1 for c in b if (48 <= c <= 57) or (65 <= c <= 90) or (97 <= c <= 122))
-    if (alnum / len(b) if b else 0.0) < cfg.min_alnum_ratio:
-        reasons.append("alnum_ratio")
-    # repetition: analyzed over the prefix sample, and only for docs
-    # inside the size window (same spec as the kernel)
-    if cfg.min_chars <= n_chars <= cfg.max_chars:
+    # shape rules run only for size-eligible ("active") docs — same
+    # spec as the kernel: size-rejected docs skip all per-byte work
+    active = content is not None and cfg.min_chars <= n_chars <= cfg.max_chars
+    if active:
+        if max((len(l) for l in lines), default=0) > cfg.max_line_len:
+            reasons.append("max_line_len")
+        if sum(len(l) for l in lines) / len(lines) > cfg.max_mean_line_len:
+            reasons.append("mean_line_len")
+        alnum = sum(1 for c in b if (48 <= c <= 57) or (65 <= c <= 90) or (97 <= c <= 122))
+        if (alnum / len(b) if b else 0.0) < cfg.min_alnum_ratio:
+            reasons.append("alnum_ratio")
         rb = b[: cfg.repetition_sample_bytes]
         windows = [rb[i: i + cfg.shingle_size] for i in range(len(rb) - cfg.shingle_size + 1)]
         ratio = (len(set(windows)) / len(windows)) if windows else 1.0
@@ -114,8 +115,8 @@ def oracle_row(repo, path, commit, declared_lang, content, cfg: RuleConfig, mode
     if bits > cfg.max_bits_per_char:
         reasons.append("perplexity")
 
-    scrubbed, pii, tox = scrub_text(content)
-    sha = hashlib.sha256(b).hexdigest() if content is not None else None
+    scrubbed, pii, tox = scrub_text(content) if active else (content, 0, 0)
+    sha = hashlib.sha256(b).hexdigest() if active else None
 
     return {
         "repo": repo,

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayqual.config import RuleConfig
-from rayqual.ops.dedup import exact_dedup_losers, mark_duplicates
+from rayqual.ops.dedup import exact_dedup_loser_keys, mark_duplicates
 from rayqual.stages.score import LangScore
 from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
 
@@ -164,6 +164,29 @@ def violations_report(
     return verdicts_ds.map_batches(emit, batch_format="pyarrow")
 
 
+#: columns of the filtered output (content = scrubbed text)
+KEPT_COLUMNS = (
+    "repo", "path", "commit", "lang", "content", "content_sha256",
+    "pred_lang", "lang_conf", "ppl_bits_per_char",
+    "pii_count", "toxicity_count", "n_chars", "token_count",
+)
+
+
+def kept_projection(b: pa.Table) -> pa.Table:
+    """Kept rows with `content` replaced by the scrubbed text
+    (scrubbed_content is NULL when the scrubber didn't touch the row —
+    coalesce keeps the original bytes, so unscrubbed content is stored
+    exactly once end to end)."""
+    import pyarrow.compute as pc
+
+    b = b.filter(b.column("keep"))
+    content = pc.coalesce(b.column("scrubbed_content"), b.column("content"))
+    cols = {}
+    for name in KEPT_COLUMNS:
+        cols[name] = content if name == "content" else b.column(name)
+    return pa.table(cols)
+
+
 def run_quality_gate(
     ds,
     config: RuleConfig | None = None,
@@ -191,9 +214,7 @@ def run_quality_gate(
         vd = vd.materialize()
 
     if cfg.exact_dedup:
-        losers_df = exact_dedup_losers(vd).to_pandas()
-        loser_set = set(losers_df["key"].tolist()) if "key" in losers_df.columns else set()
-        ref = ray.put(loser_set)
+        ref = ray.put(exact_dedup_loser_keys(vd))
         vd = mark_duplicates(vd, ref)
 
     # mark+finalize stay lazy: the expensive scoring is already pinned,
@@ -201,10 +222,7 @@ def run_quality_gate(
     # cheap boolean stages over materialized blocks.
     vd = _finalize(vd, cfg)
 
-    def _keep_only(b: pa.Table) -> pa.Table:
-        return b.filter(b.column("keep"))
-
-    kept = vd.map_batches(_keep_only, batch_format="pyarrow", zero_copy_batch=True)
+    kept = vd.map_batches(kept_projection, batch_format="pyarrow", zero_copy_batch=True)
     metrics = metrics_rollup(vd)
     if output_dir is not None:
         kept.write_parquet(f"{output_dir}/kept")

@@ -65,22 +65,24 @@ class StatelessVerdicts:
             content,
             shingle_size=cfg.shingle_size,
             repetition_sample_bytes=cfg.repetition_sample_bytes,
-            repetition_size_bounds=(cfg.min_chars, cfg.max_chars),
+            size_bounds=(cfg.min_chars, cfg.max_chars),
         )
 
         n_chars = stats["n_chars"]
+        active = stats["active"]  # size-eligible docs; others are
+        # dropped by the size rules and skip all heavy per-byte work
         fails = {
             "null_content": stats["is_null"],
             "min_chars": n_chars < cfg.min_chars,
             "max_chars": n_chars > cfg.max_chars,
-            "max_line_len": stats["max_line_len"] > cfg.max_line_len,
-            "mean_line_len": stats["mean_line_len"] > cfg.max_mean_line_len,
-            "alnum_ratio": stats["alnum_ratio"] < cfg.min_alnum_ratio,
-            "repetition": stats["distinct_shingle_ratio"] < cfg.min_distinct_shingle_ratio,
+            "max_line_len": active & (stats["max_line_len"] > cfg.max_line_len),
+            "mean_line_len": active & (stats["mean_line_len"] > cfg.max_mean_line_len),
+            "alnum_ratio": active & (stats["alnum_ratio"] < cfg.min_alnum_ratio),
+            "repetition": active & (stats["distinct_shingle_ratio"] < cfg.min_distinct_shingle_ratio),
         }
 
         out = batch
-        out = out.append_column("content_sha256", sha256_array(content))
+        out = out.append_column("content_sha256", sha256_array(content, active=active))
         for name in ("n_chars", "n_bytes", "n_lines", "max_line_len", "token_count"):
             out = out.append_column(name, pa.array(stats[name], type=pa.int64()))
         for name in ("mean_line_len", "alnum_ratio", "distinct_shingle_ratio"):
@@ -89,9 +91,13 @@ class StatelessVerdicts:
             out = out.append_column(f"fail_{rule}", pa.array(fails[rule], type=pa.bool_()))
 
         if cfg.scrub_enabled:
-            scrubbed, pii, tox = scrub_batch(content)
+            scrubbed, pii, tox = scrub_batch(content, active=active)
         else:
-            scrubbed, pii, tox = content, np.zeros(len(batch), np.int64), np.zeros(len(batch), np.int64)
+            scrubbed = pa.nulls(len(batch), pa.string())
+            pii = np.zeros(len(batch), np.int64)
+            tox = np.zeros(len(batch), np.int64)
+        # NULL = untouched by the scrubber; consumers coalesce with
+        # `content` (avoids storing/shuffling the content twice)
         out = out.append_column("scrubbed_content", scrubbed)
         out = out.append_column("pii_count", pa.array(pii, type=pa.int64()))
         out = out.append_column("toxicity_count", pa.array(tox, type=pa.int64()))

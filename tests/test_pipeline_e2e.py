@@ -72,7 +72,9 @@ def test_sha256_passthrough(results):
 
 def test_scrubbed_content_equality(results):
     got, exp, _, _ = results
-    same = got["scrubbed_content"].fillna("∅") == exp["scrubbed_content"].fillna("∅")
+    # kernel emits NULL for untouched rows; effective text = coalesce
+    effective = got["scrubbed_content"].fillna(got["content"])
+    same = effective.fillna("∅") == exp["scrubbed_content"].fillna("∅")
     assert same.all(), got.loc[~same, ["repo", "path"]].head()
 
 
