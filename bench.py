@@ -88,7 +88,7 @@ def run_flagship(num_cpus: int) -> dict:
         cfg,
         output_dir=OUT_DIR,
         scorer_concurrency=concurrency,
-        scorer_batch_size=int(os.environ.get("GRAFT_BATCH", "1024")),
+        scorer_batch_size=int(os.environ.get("GRAFT_BATCH", "2048")),
     )
     # kept-count from the metrics rollup (already computed+written) —
     # a separate kept.count() would re-run the finalize pass
@@ -144,6 +144,14 @@ def main():
         # or shuffle overhead. Full numbers + the contention experiment
         # are recorded in BASELINE.md.
         import ray
+
+        # scaling corpus default: large enough that fixed per-run costs
+        # (~8 s) are <10% of the N-level runtime (BASELINE.md protocol)
+        global BENCH_ROWS, CORPUS_DIR
+        rows_env = os.environ.get("GRAFT_BENCH_ROWS", "960000")
+        os.environ["GRAFT_BENCH_ROWS"] = rows_env
+        BENCH_ROWS = int(rows_env)
+        CORPUS_DIR = f"/tmp/rayqual_bench_corpus_{BENCH_ROWS}_{BENCH_SEED}"
 
         _init_ray(num_cpus)
         ensure_corpus(num_cpus)

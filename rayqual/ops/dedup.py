@@ -93,11 +93,22 @@ def exact_dedup_loser_keys(
             t = pa.table({"h": batch.column(hash_col), "key": keys})
             return t.filter(pc.is_valid(t.column("h")))
 
-        df = ds.map_batches(project, batch_format="pyarrow").to_pandas()
-        if df.empty:
+        import ray
+
+        tables = [t for t in ray.get(
+            ds.map_batches(project, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows]
+        if not tables:
             return set()
-        keep = df.groupby("h", sort=False)["key"].transform("min")
-        return set(df.loc[df["key"] != keep, "key"])
+        tbl = pa.concat_tables(tables)
+        # Arrow hash-aggregate min-key per hash (pandas transform('min')
+        # on string groups is ~15x slower at this size), then a python
+        # sweep for the non-winners
+        winners = tbl.group_by("h").aggregate([("key", "min")])
+        wmap = dict(zip(winners.column("h").to_pylist(), winners.column("key_min").to_pylist()))
+        hs = tbl.column("h").to_pylist()
+        ks = tbl.column("key").to_pylist()
+        return {k for h, k in zip(hs, ks) if wmap[h] != k}
 
     losers_df = exact_dedup_losers(ds, hash_col, key_cols).to_pandas()
     return set(losers_df["key"]) if "key" in losers_df.columns else set()
@@ -113,10 +124,16 @@ def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "pa
     import ray
 
     def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         loser_set = ray.get(loser_keys_ref)
-        keys = _key_expr(batch, key_cols).to_pylist()
-        mask = np.fromiter((k in loser_set for k in keys), dtype=bool, count=len(keys))
-        return batch.append_column("fail_duplicate", pa.array(mask, type=pa.bool_()))
+        keys = _key_expr(batch, key_cols)
+        if loser_set:
+            value_set = loser_set if isinstance(loser_set, pa.Array) else pa.array(sorted(loser_set))
+            mask = pc.is_in(keys, value_set=value_set)
+        else:
+            mask = pa.array(np.zeros(len(batch), dtype=bool))
+        return batch.append_column("fail_duplicate", mask.cast(pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
 

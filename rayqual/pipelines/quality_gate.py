@@ -213,9 +213,12 @@ def run_quality_gate(
     if materialize:
         vd = vd.materialize()
 
+    raw = vd
     if cfg.exact_dedup:
         ref = ray.put(exact_dedup_loser_keys(vd))
         vd = mark_duplicates(vd, ref)
+    else:
+        ref = None
 
     # mark+finalize stay lazy: the expensive scoring is already pinned,
     # so each consumer (kept write, metrics, caller) re-runs only the
@@ -223,7 +226,21 @@ def run_quality_gate(
     vd = _finalize(vd, cfg)
 
     kept = vd.map_batches(kept_projection, batch_format="pyarrow", zero_copy_batch=True)
-    metrics = metrics_rollup(vd)
+
+    # metrics chain over SLIM blocks: drop the content payloads before
+    # mark+finalize+combine — otherwise the rollup re-ships gigabytes
+    # of text through three map stages just to sum booleans
+    slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
+        f"fail_{r}" for r in DROP_RULES if r != "duplicate"
+    ]
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return b.select([c for c in slim_cols if c in b.column_names])
+
+    slim = raw.map_batches(_slim, batch_format="pyarrow", zero_copy_batch=True)
+    if ref is not None:
+        slim = mark_duplicates(slim, ref)
+    metrics = metrics_rollup(_finalize(slim, cfg))
     if output_dir is not None:
         kept.write_parquet(f"{output_dir}/kept")
         metrics.write_parquet(f"{output_dir}/metrics")

@@ -106,22 +106,30 @@ class StatelessVerdicts:
 
 def finalize_decision(batch: pa.Table, config: RuleConfig) -> pa.Table:
     """Append ``keep`` + ``drop_reasons`` from whatever fail_* columns
-    exist on the batch (run after the model stage; dedup marks rows
-    later by rewriting these two columns for losers)."""
+    exist on the batch. Fully vectorized: per-rule conditional fragments
+    joined element-wise in Arrow (a Python per-row loop here costs
+    seconds per million rows and runs once per consumer)."""
+    import pyarrow.compute as pc
+
     n = len(batch)
     keep = np.ones(n, dtype=bool)
-    reasons = [[] for _ in range(n)]
+    fragments = []
     for rule in DROP_RULES:
         col = f"fail_{rule}"
         if col not in batch.column_names:
             continue
-        mask = batch.column(col).to_numpy(zero_copy_only=False).astype(bool)
+        arr = batch.column(col)
+        mask = arr.to_numpy(zero_copy_only=False).astype(bool)
         keep &= ~mask
-        for i in np.flatnonzero(mask):
-            reasons[i].append(rule)
+        fragments.append(pc.if_else(arr, pa.scalar(rule + ","), pa.scalar("")))
+    if fragments:
+        joined = fragments[0] if len(fragments) == 1 else pc.binary_join_element_wise(*fragments, "")
+        drop_reasons = pc.utf8_rtrim(joined, ",")
+        if isinstance(drop_reasons, pa.ChunkedArray):
+            drop_reasons = drop_reasons.combine_chunks()
+    else:
+        drop_reasons = pa.array([""] * n, pa.string())
     out = batch.append_column("keep", pa.array(keep, type=pa.bool_()))
-    out = out.append_column(
-        "drop_reasons", pa.array([",".join(r) for r in reasons], type=pa.string())
-    )
+    out = out.append_column("drop_reasons", drop_reasons)
     return out
 
