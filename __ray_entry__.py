@@ -40,6 +40,7 @@ import rayqual.functions.scrub  # noqa: E402,F401
 import rayqual.functions.seed_corpus  # noqa: E402,F401
 import rayqual.functions.textstats  # noqa: E402,F401
 import rayqual.ops.dedup  # noqa: E402,F401
+import rayqual.ops.joins  # noqa: E402,F401
 import rayqual.ops.multimodal  # noqa: E402,F401
 import rayqual.ops.neardup  # noqa: E402,F401
 import rayqual.ops.similarity  # noqa: E402,F401
@@ -421,6 +422,82 @@ def q_embed_neardup_pairs(sf_dir: str, threshold: float = 0.45):
     return _typed(out.map_batches(strip, batch_format="pyarrow"), {"id_a": "int64", "id_b": "int64"})
 
 
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join: orders ⋈ customer ⋈ nation (small sides
+    shipped once via ray.put) → per-nation order counts."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rayqual.ops.joins import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    joined = broadcast_join(orders, dim, "o_custkey", "c_custkey", ["n_name"])
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the latest order key of the same
+    customer at or before the event time (ties → max orderkey)."""
+    import pyarrow.parquet as pq
+
+    from rayqual.ops.joins import asof_broadcast_join
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).to_pandas()
+    orders["odate_us"] = orders["o_orderdate"].astype("int64")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = asof_broadcast_join(
+        ds, orders, "user_id", "o_custkey", "ts_us", "odate_us", "o_orderkey", "latest_orderkey"
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "latest_orderkey"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_events_window_5min(sf_dir: str):
+    """Tumbling 5-minute window aggregate over the event stream."""
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        bucket = pc.multiply(pc.divide(us, 300_000_000), 300_000_000)
+        return pa.table({"bucket_us": bucket, "user_id": b.column("user_id")})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket_us": [g["bucket_us"].iloc[0]],
+                "n_events": [len(g)],
+                "n_users": [g["user_id"].nunique()],
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 # --- rows-only (not SQL-expressible) --------------------------------------
 
 
@@ -543,6 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_props_events": q_flatten_props_events,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "embed_neardup_pairs": q_embed_neardup_pairs,
+        "orders_per_nation": q_orders_per_nation,
+        "asof_latest_order": q_asof_latest_order,
+        "events_window_5min": q_events_window_5min,
         # rows-only (non-SQL-expressible: model scoring / LSH / pipelines)
         "flagship_quality_gate": q_flagship_quality_gate,
         "langid_docs": q_langid_docs,
@@ -667,6 +747,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, ': (\\d+)', 1) AS BIGINT) AS k
             FROM events
+        """,
+        "orders_per_nation": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "asof_latest_order": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT e.event_id,
+                   (SELECT o_orderkey FROM j WHERE j.event_id = e.event_id AND rn = 1)
+                     AS latest_orderkey
+            FROM events e
+        """,
+        "events_window_5min": """
+            SELECT (epoch_us(ts) // 300000000) * 300000000 AS bucket_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "ann_topk_embeddings": """
             SELECT q.vec_id AS query_id, e.vec_id AS id

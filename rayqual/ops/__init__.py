@@ -1,3 +1,10 @@
 from rayqual.ops.dedup import exact_dedup_loser_keys, exact_dedup_losers, mark_duplicates
+from rayqual.ops.joins import asof_broadcast_join, broadcast_join
 
-__all__ = ["exact_dedup_loser_keys", "exact_dedup_losers", "mark_duplicates"]
+__all__ = [
+    "exact_dedup_loser_keys",
+    "exact_dedup_losers",
+    "mark_duplicates",
+    "broadcast_join",
+    "asof_broadcast_join",
+]

@@ -1,0 +1,96 @@
+"""Join operators — broadcast hash join and as-of (time-travel) join.
+
+The reference has no distributed joins (its only join-like op is a
+driver-side column-name set diff, reference validation_rulebook.py:
+55-57); these are part of the generalized engine's operator surface
+(SURVEY.md §2.6).
+
+Patterns:
+* ``broadcast_join`` — the small side is ``ray.put`` once and joined
+  per batch with a hash lookup: no shuffle, the canonical dimension-
+  table join.
+* ``asof_broadcast_join`` — the right side (sorted) is broadcast and
+  probed with vectorized ``searchsorted`` per batch: each left row
+  gets the latest right row at-or-before its timestamp, ties broken by
+  the highest right ordinal (deterministic). Scale path for a large
+  right side: hash-bucket BOTH sides on the key and run the same
+  probe inside ``groupby(bucket).map_groups`` — documented partitioning
+  assumption: the right side's per-key history fits a worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str, take: list[str]):
+    """Left join ``ds`` with a small pandas frame (broadcast).
+    ``take``: right-side columns to append."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    small = small_df[[right_on] + take].set_index(right_on)
+    ref = ray.put(small)
+
+    def join(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        keys = batch.column(left_on).to_pandas()
+        looked = right.reindex(keys.to_numpy())
+        out = batch
+        for c in take:
+            out = out.append_column(c, pa.array(looked[c].to_numpy()))
+        return out
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+def asof_broadcast_join(
+    ds,
+    right_df: pd.DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts_us: str,
+    right_ts_us: str,
+    right_val: str,
+    out_col: str,
+    key_shift: int = 52,
+):
+    """For each left row: the ``right_val`` of the latest right row with
+    the same key and timestamp ≤ the left timestamp (ties → highest
+    ``right_val``). Timestamps are int64 microseconds; composite probe
+    key = (key << key_shift) + ts packs both into one int64 for a
+    single vectorized searchsorted. Constraints: ts < 2^key_shift
+    (µs epochs fit through year ~2112 at the default 52) and
+    key < 2^(63-key_shift) (~2048); beyond that, use the hash-bucketed
+    map_groups variant."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    r = right_df.sort_values([right_key, right_ts_us, right_val]).reset_index(drop=True)
+    rkeys = (r[right_key].to_numpy(np.int64) << key_shift) + r[right_ts_us].to_numpy(np.int64)
+    rvals = r[right_val].to_numpy()
+    rkcol = r[right_key].to_numpy(np.int64)
+    ref = ray.put((rkeys, rvals, rkcol))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks, vs, kc = ray.get(ref)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = batch.column(left_ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
+        probe_keys = (lk << key_shift) + lt
+        idx = np.searchsorted(ks, probe_keys, side="right") - 1
+        valid = (idx >= 0) & (kc[np.maximum(idx, 0)] == lk)
+        out_vals = np.where(valid, vs[np.maximum(idx, 0)], -1)
+        res = pc.if_else(
+            pa.array(valid), pa.array(out_vals, type=pa.int64()), pa.scalar(None, pa.int64())
+        )
+        return batch.append_column(out_col, res)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
