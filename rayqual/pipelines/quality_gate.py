@@ -19,6 +19,8 @@ batch-level combine, which is strictly stronger than key salting).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -162,6 +164,76 @@ def violations_report(
         )
 
     return verdicts_ds.map_batches(emit, batch_format="pyarrow")
+
+
+def run_quality_gate_resumable(
+    input_dir: str,
+    output_dir: str,
+    config: RuleConfig | None = None,
+    chunk_files: int = 16,
+    resume: bool = True,
+    scorer_concurrency=None,
+    scorer_batch_size: int = 2048,
+):
+    """Checkpointed flagship run (north_rule: "resumable from checkpoint
+    with per-partition lineage + metrics").
+
+    Phase A (checkpointed): the expensive verdict+score stages run per
+    input chunk through :class:`rayqual.state.lineage.ChunkedRunner`,
+    writing verdicted parquet + a manifest per chunk — a killed job
+    restarts at the last committed chunk.
+
+    Phase B (cheap, over checkpointed columns only): global exact dedup
+    from the (sha, key) projection, then kept-output + metrics derived
+    from the verdict parquet with column pruning — content bytes are
+    re-read only for the kept-output write.
+
+    Returns {"manifests": ..., "kept_dir": ..., "metrics_dir": ...}.
+    """
+    import ray
+    import ray.data
+
+    from rayqual.state.lineage import ChunkedRunner
+
+    cfg = config or RuleConfig()
+
+    def verdict_pipeline(ds):
+        return quality_gate_dataset(ds, cfg, scorer_concurrency, scorer_batch_size)
+
+    runner = ChunkedRunner(input_dir, f"{output_dir}/verdicts", verdict_pipeline, chunk_files)
+    manifests = runner.run(resume=resume)
+    import glob as _glob
+
+    # read_parquet with a path LIST wants files, not directories
+    part_dirs = sorted(
+        f for m in manifests.values()
+        for f in _glob.glob(os.path.join(m["output_dir"], "*.parquet"))
+    )
+
+    # derived outputs are cheap re-derivations of the checkpointed
+    # verdicts — always rebuilt cleanly (write_parquet appends)
+    import shutil
+
+    shutil.rmtree(f"{output_dir}/kept", ignore_errors=True)
+    shutil.rmtree(f"{output_dir}/metrics", ignore_errors=True)
+
+    verdicts = ray.data.read_parquet(part_dirs)
+    ref = ray.put(exact_dedup_loser_keys(verdicts)) if cfg.exact_dedup else ray.put(set())
+    final = _finalize(mark_duplicates(verdicts, ref), cfg)
+    final.map_batches(kept_projection, batch_format="pyarrow").write_parquet(f"{output_dir}/kept")
+
+    slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
+        f"fail_{r}" for r in DROP_RULES if r != "duplicate"
+    ]
+    # column-pruned read: the metrics pass never touches content bytes
+    slim = ray.data.read_parquet(part_dirs, columns=slim_cols)
+    metrics = metrics_rollup(_finalize(mark_duplicates(slim, ref), cfg))
+    metrics.write_parquet(f"{output_dir}/metrics")
+    return {
+        "manifests": manifests,
+        "kept_dir": f"{output_dir}/kept",
+        "metrics_dir": f"{output_dir}/metrics",
+    }
 
 
 #: columns of the filtered output (content = scrubbed text)

