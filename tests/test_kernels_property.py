@@ -1,0 +1,83 @@
+"""Property-based conformance: the vectorized kernels vs a direct
+Python-re transliteration of the reference's Spark semantics, on
+arbitrary generated strings (the golden vectors pin the known
+boundaries; these pin everything else)."""
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rayqual.rules import kernels as K
+
+# strings biased toward the numeric-ish alphabet plus noise
+numericish = st.text(alphabet="0123456789eE.+-x ", min_size=0, max_size=25)
+anyish = st.text(min_size=0, max_size=30)
+
+R1 = re.compile(K.REGEX1_CHARSET)
+R2N = re.compile(K.REGEX2_NUMERIC)
+R2I = re.compile(K.REGEX2_INTEGER)
+R3 = re.compile(K.REGEX3_SCIENTIFIC)
+CAST = re.compile(r"^[+-]?\d+(\.\d*)?$")
+
+
+def ref_numeric_fail(s: str) -> bool:
+    return not (R1.search(s) and (R2N.search(s) or R3.search(s)))
+
+
+def ref_integral_fail(s: str, lo: int, hi: int) -> bool:
+    gate = R1.search(s) and (R2I.search(s) or R3.search(s))
+    if not gate:
+        return True
+    if not CAST.match(s):
+        return True
+    intpart = s.split(".")[0]
+    v = int(intpart) if intpart not in ("", "+", "-") else 0
+    return not (lo <= v <= hi)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(numericish, min_size=1, max_size=20))
+def test_numeric_fail_matches_reference_semantics(values):
+    got = K.numeric_fail(pa.array(values, pa.string()))
+    exp = [ref_numeric_fail(v) for v in values]
+    assert list(got) == exp, values
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(numericish, min_size=1, max_size=20))
+def test_integer_fail_matches_reference_semantics(values):
+    got = K.integer_fail(pa.array(values, pa.string()))
+    exp = [ref_integral_fail(v, K.INT_MIN, K.INT_MAX) for v in values]
+    assert list(got) == exp, values
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(numericish, st.integers(-(10 ** 25), 10 ** 25).map(str)), min_size=1, max_size=20))
+def test_long_fail_matches_reference_semantics(values):
+    got = K.long_fail(pa.array(values, pa.string()))
+    exp = [ref_integral_fail(v, K.LONG_MIN, K.LONG_MAX) for v in values]
+    assert list(got) == exp, values
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(
+    anyish,
+    st.tuples(st.integers(0, 300), st.integers(0, 300), st.integers(0, 300), st.integers(0, 300))
+    .map(lambda t: ".".join(map(str, t))),
+), min_size=1, max_size=15))
+def test_ipv4_re2_rewrite_matches_reference_lookahead(values):
+    ref = re.compile(K.IPV4_REGEX_REFERENCE)
+    got = K.ipv4_fail(pa.array(values, pa.string()))
+    exp = [not ref.search(v) for v in values]
+    assert list(got) == exp, values
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(anyish, min_size=1, max_size=15))
+def test_timestamp_fail_matches_python_re(values):
+    r1, r2 = re.compile(K.TIMESTAMP_REGEX_YMD), re.compile(K.TIMESTAMP_REGEX_DMY)
+    got = K.timestamp_fail(pa.array(values, pa.string()))
+    exp = [not (r1.search(v) or r2.search(v)) for v in values]
+    assert list(got) == exp, values
