@@ -7,15 +7,25 @@ driver-side column-name set diff, reference validation_rulebook.py:
 
 Patterns:
 * ``broadcast_join`` — the small side is ``ray.put`` once and joined
-  per batch with a hash lookup: no shuffle, the canonical dimension-
-  table join.
+  per batch with an index probe + Arrow ``take``: no shuffle, the
+  canonical dimension-table join. Left semantics: keys absent from the
+  small side yield NULL in the appended columns (type-preserving —
+  ``pc.take`` with a null index slot, never a pandas float upcast).
+  Duplicate right keys are rejected with a clear error (a broadcast
+  1:N fan-out needs the bucketed variant, not a silent reindex crash).
 * ``asof_broadcast_join`` — the right side (sorted) is broadcast and
   probed with vectorized ``searchsorted`` per batch: each left row
   gets the latest right row at-or-before its timestamp, ties broken by
-  the highest right ordinal (deterministic). Scale path for a large
-  right side: hash-bucket BOTH sides on the key and run the same
-  probe inside ``groupby(bucket).map_groups`` — documented partitioning
-  assumption: the right side's per-key history fits a worker.
+  the highest right value (deterministic). Keys are DENSE-RANKED and
+  timestamps normalized to the right side's minimum before packing
+  rank*span+offset into one int64 — unlike a fixed ``key << 52``
+  shift this cannot silently overflow for real key domains (overflow
+  is *checked*: n_keys × ts_span must fit 63 bits, else the probe
+  falls back to pandas ``merge_asof`` per batch, still broadcast).
+  Scale path for a large right side: hash-bucket BOTH sides on the key
+  and run the same probe inside ``groupby(bucket).map_groups`` —
+  documented partitioning assumption: the right side's per-key history
+  fits a worker.
 """
 
 from __future__ import annotations
@@ -27,22 +37,33 @@ import pyarrow as pa
 
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str, take: list[str]):
     """Left join ``ds`` with a small pandas frame (broadcast).
-    ``take``: right-side columns to append."""
+    ``take``: right-side columns to append; misses become nulls."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
     import ray
 
-    small = small_df[[right_on] + take].set_index(right_on)
-    ref = ray.put(small)
+    small = small_df[[right_on] + take].reset_index(drop=True)
+    index = pd.Index(small[right_on])
+    if not index.is_unique:
+        raise ValueError(
+            f"broadcast_join: duplicate keys in right side column {right_on!r}; "
+            "a 1:N broadcast join is not supported — pre-aggregate the right side"
+        )
+    right_tbl = pa.Table.from_pandas(small[take], preserve_index=False)
+    ref = ray.put((index, right_tbl))
 
     def join(batch: pa.Table) -> pa.Table:
-        right = ray.get(ref)
-        keys = batch.column(left_on).to_pandas()
-        looked = right.reindex(keys.to_numpy())
+        import pyarrow.compute as pc
+
+        index_, right = ray.get(ref)
+        keys = batch.column(left_on).to_numpy(zero_copy_only=False)
+        pos = index_.get_indexer(keys)  # -1 on miss
+        # null index slots -> null output rows, preserving column types
+        indices = pa.array(np.where(pos >= 0, pos, 0), mask=pos < 0, type=pa.int64())
         out = batch
         for c in take:
-            out = out.append_column(c, pa.array(looked[c].to_numpy()))
+            out = out.append_column(c, pc.take(right.column(c), indices))
         return out
 
     return ds.map_batches(join, batch_format="pyarrow")
@@ -57,37 +78,64 @@ def asof_broadcast_join(
     right_ts_us: str,
     right_val: str,
     out_col: str,
-    key_shift: int = 52,
 ):
     """For each left row: the ``right_val`` of the latest right row with
     the same key and timestamp ≤ the left timestamp (ties → highest
-    ``right_val``). Timestamps are int64 microseconds; composite probe
-    key = (key << key_shift) + ts packs both into one int64 for a
-    single vectorized searchsorted. Constraints: ts < 2^key_shift
-    (µs epochs fit through year ~2112 at the default 52) and
-    key < 2^(63-key_shift) (~2048); beyond that, use the hash-bucketed
-    map_groups variant."""
+    ``right_val``); no such row → null. Keys and timestamps are int64;
+    values are int64. The probe packs (dense key rank, ts − min_ts)
+    into one int64 for a single vectorized searchsorted; the packing is
+    bounds-checked (n_unique_keys × (ts_span+2) < 2^63) and falls back
+    to pandas ``merge_asof`` when it cannot fit."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
     import ray
 
     r = right_df.sort_values([right_key, right_ts_us, right_val]).reset_index(drop=True)
-    rkeys = (r[right_key].to_numpy(np.int64) << key_shift) + r[right_ts_us].to_numpy(np.int64)
-    rvals = r[right_val].to_numpy()
-    rkcol = r[right_key].to_numpy(np.int64)
-    ref = ray.put((rkeys, rvals, rkcol))
+    rk = r[right_key].to_numpy(np.int64)
+    rt = r[right_ts_us].to_numpy(np.int64)
+    rv = r[right_val].to_numpy(np.int64)
+    uk = np.unique(rk)
+    tmin = int(rt.min()) if len(rt) else 0
+    # span covers [tmin, tmax] plus one low slot for "before everything"
+    span = (int(rt.max()) - tmin + 2) if len(rt) else 2
+    packable = len(uk) * span < (1 << 63)
+    if packable:
+        rank = np.searchsorted(uk, rk)
+        packed_right = rank.astype(np.int64) * span + (rt - tmin + 1)
+        ref = ray.put((uk, span, tmin, packed_right, rank, rv))
+    else:  # pragma: no cover — only hit at extreme key×span domains
+        sorted_r = r.sort_values([right_ts_us, right_val], kind="stable").reset_index(drop=True)
+        ref = ray.put(sorted_r)
 
     def probe(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ks, vs, kc = ray.get(ref)
         lk = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
         lt = batch.column(left_ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
-        probe_keys = (lk << key_shift) + lt
-        idx = np.searchsorted(ks, probe_keys, side="right") - 1
-        valid = (idx >= 0) & (kc[np.maximum(idx, 0)] == lk)
-        out_vals = np.where(valid, vs[np.maximum(idx, 0)], -1)
+        if packable:
+            uk_, span_, tmin_, pr, rank_, rv_ = ray.get(ref)
+            pos = np.searchsorted(uk_, lk)
+            pos_c = np.minimum(pos, len(uk_) - 1) if len(uk_) else pos
+            found = (len(uk_) > 0) & (pos < len(uk_)) & (uk_[pos_c] == lk)
+            lrank = np.where(found, pos_c, 0).astype(np.int64)
+            offset = np.clip(lt - tmin_ + 1, 0, span_ - 1)
+            packed_left = lrank * span_ + offset
+            idx = np.searchsorted(pr, packed_left, side="right") - 1
+            idx_c = np.maximum(idx, 0)
+            valid = found & (idx >= 0) & (rank_[idx_c] == lrank)
+            out_vals = np.where(valid, rv_[idx_c], -1)
+        else:  # pragma: no cover
+            right = ray.get(ref)
+            left = pd.DataFrame({"_k": lk, "_t": lt, "_o": np.arange(len(lk))})
+            left = left.sort_values("_t", kind="stable")
+            merged = pd.merge_asof(
+                left, right, left_on="_t", right_on=right_ts_us,
+                left_by="_k", right_by=right_key, direction="backward",
+            ).sort_values("_o")
+            vals = merged[right_val]
+            valid = vals.notna().to_numpy()
+            out_vals = np.where(valid, vals.fillna(-1).to_numpy(np.int64), -1)
         res = pc.if_else(
             pa.array(valid), pa.array(out_vals, type=pa.int64()), pa.scalar(None, pa.int64())
         )

@@ -1,0 +1,88 @@
+"""Join operator conformance: asof join vs pandas merge_asof at
+LARGE key domains (the round-1 ``key << 52`` packing silently
+overflowed for keys ≥ 2048 — ADVICE r1), and broadcast_join left-join
+semantics (misses → typed nulls, duplicate right keys → clear error).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayqual.ops.joins import asof_broadcast_join, broadcast_join
+
+
+def _asof_expected(left: pd.DataFrame, right: pd.DataFrame) -> pd.Series:
+    """Oracle: latest right val with same key and ts<=left ts, ties →
+    max val — computed by brute force per left row."""
+    out = []
+    for k, t in zip(left["k"], left["t"]):
+        sub = right[(right["k"] == k) & (right["t"] <= t)]
+        if len(sub) == 0:
+            out.append(None)
+        else:
+            tmax = sub["t"].max()
+            out.append(int(sub.loc[sub["t"] == tmax, "v"].max()))
+    return pd.Series(out, dtype="Int64")
+
+
+@pytest.mark.parametrize("key_max", [50, 15_000, 3_000_000])
+def test_asof_join_large_keys(ray_session, key_max):
+    """Keys well beyond 2^11 (sf0.1 has o_custkey up to 14999) and µs
+    epoch timestamps — the domain that overflowed the round-1 packing."""
+    import ray.data
+
+    rng = np.random.default_rng(42)
+    n_left, n_right = 800, 600
+    base = 1_700_000_000_000_000  # µs epoch, ~2023
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, key_max, n_right),
+            "t": base + rng.integers(0, 10**12, n_right),
+            "v": rng.integers(0, 10**6, n_right),
+        }
+    )
+    # inject exact-ts ties to exercise the max-val tie-break
+    ties = right.head(40).copy()
+    ties["v"] = ties["v"] + 1
+    right = pd.concat([right, ties], ignore_index=True)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, key_max, n_left),
+            "t": base + rng.integers(-(10**10), 10**12 + 10**10, n_left),
+        }
+    )
+    # force some key hits with exact-boundary timestamps
+    left.loc[:50, "k"] = right["k"].iloc[:51].to_numpy()
+    left.loc[:50, "t"] = right["t"].iloc[:51].to_numpy()
+
+    ds = ray.data.from_pandas(left)
+    got = (
+        asof_broadcast_join(ds, right, "k", "k", "t", "t", "v", "latest")
+        .to_pandas()["latest"]
+        .astype("Int64")
+    )
+    exp = _asof_expected(left, right)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_broadcast_join_misses_yield_typed_nulls(ray_session):
+    import ray.data
+
+    small = pd.DataFrame({"key": [1, 2, 3], "name": ["a", "b", "c"], "num": [10, 20, 30]})
+    left = pd.DataFrame({"key": [2, 99, 1, -5]})
+    out = broadcast_join(ray.data.from_pandas(left), small, "key", "key", ["name", "num"])
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    assert t.column("name").to_pylist() == ["b", None, "a", None]
+    assert t.column("num").to_pylist() == [20, None, 10, None]
+    # string column stayed string (round-1 crashed with ArrowTypeError here)
+    assert pa.types.is_string(t.schema.field("name").type) or t.column("name").to_pandas().dtype == object
+
+
+def test_broadcast_join_rejects_duplicate_right_keys(ray_session):
+    import ray.data
+
+    small = pd.DataFrame({"key": [1, 1], "name": ["a", "b"]})
+    left = pd.DataFrame({"key": [1]})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_join(ray.data.from_pandas(left), small, "key", "key", ["name"])
