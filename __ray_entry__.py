@@ -142,9 +142,25 @@ def _typed(df, cols: dict[str, str]):
 
 
 def q_dup_exact_docs(sf_dir: str):
-    """Exact duplicate doc_ids over text (keep min doc_id per group) —
-    V17 generalized to a hash-grouped shuffle of (text, id) only."""
+    """Exact duplicate doc_ids over a derived text column (keep min
+    doc_id per group) — V17 generalized: the shuffle key is
+    sha256(text), so the all-to-all exchange moves (hash, id) only,
+    never content. Duplicates are injected (doc_id % 17 → one of three
+    sentinel texts) so the check is non-vacuous at every scale factor."""
     import pandas as pd
+
+    from rayqual.functions.hashing import sha256_array
+
+    def project(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        mod17 = pc.subtract(did, pc.multiply(pc.divide(did, 17), 17))
+        mod3 = pc.subtract(did, pc.multiply(pc.divide(did, 3), 3))
+        v = pc.if_else(
+            pc.equal(mod17, 0),
+            pc.binary_join_element_wise("DUPSEED-", pc.cast(mod3, pa.string()), ""),
+            b.column("text"),
+        )
+        return pa.table({"doc_id": did, "h": sha256_array(v)})
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) <= 1:
@@ -153,8 +169,8 @@ def q_dup_exact_docs(sf_dir: str):
 
     out = (
         _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
-        .groupby("text")
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("h")
         .map_groups(losers, batch_format="pandas")
     )
     return _typed(out, {"doc_id": "int64"})
@@ -217,12 +233,24 @@ def q_token_count_docs(sf_dir: str):
 
 
 def q_sensitive_check_docs(sf_dir: str):
-    """Reference V16 over documents.text (anchored phone/email)."""
+    """Reference V16 (anchored phone/email) over a derived column with
+    injected PII (doc_id % 23 → email, % 23 == 1 → phone) so the check
+    is non-vacuous at every scale factor."""
     from rayqual.rules.kernels import sensitive_fail
 
     def check(b: pa.Table) -> pa.Table:
-        mask = sensitive_fail(b.column("text"))
-        return b.select(["doc_id"]).filter(pa.array(mask))
+        did = b.column("doc_id")
+        mod23 = pc.subtract(did, pc.multiply(pc.divide(did, 23), 23))
+        mod1e4 = pc.subtract(did, pc.multiply(pc.divide(did, 10000), 10000))
+        email = pc.binary_join_element_wise("user", pc.cast(did, pa.string()), "@example.com", "")
+        phone = pc.binary_join_element_wise(
+            "303-555-", pc.utf8_lpad(pc.cast(mod1e4, pa.string()), 4, "0"), ""
+        )
+        v = pc.if_else(
+            pc.equal(mod23, 0), email, pc.if_else(pc.equal(mod23, 1), phone, b.column("text"))
+        )
+        mask = sensitive_fail(v)
+        return pa.table({"doc_id": did}).filter(pa.array(mask))
 
     return _typed(_docs(sf_dir).map_batches(check, batch_format="pyarrow"), {"doc_id": "int64"})
 
@@ -645,8 +673,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "dup_exact_docs": """
-            SELECT doc_id FROM documents
-            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0
+                          THEN 'DUPSEED-' || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE text END AS v
+              FROM documents)
+            SELECT doc_id FROM t
+            QUALIFY row_number() OVER (PARTITION BY v ORDER BY doc_id) > 1
         """,
         "dup_prefix40_docs": """
             SELECT doc_id FROM documents
@@ -665,9 +699,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sensitive_check_docs": f"""
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(text, '^(\\+\\d{{1,2}}\\s)?\\(?\\d{{3}}\\)?[\\s.-]\\d{{3}}[\\s.-]\\d{{4}}$')
-               OR regexp_matches(text, '^[\\w.-]+@([\\w-]+\\.)+[\\w-]{{2,4}}$')
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 0
+                          THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          WHEN doc_id % 23 = 1
+                          THEN '303-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE text END AS v
+              FROM documents)
+            SELECT doc_id FROM t
+            WHERE regexp_matches(v, '^(\\+\\d{{1,2}}\\s)?\\(?\\d{{3}}\\)?[\\s.-]\\d{{3}}[\\s.-]\\d{{4}}$')
+               OR regexp_matches(v, '^[\\w.-]+@([\\w-]+\\.)+[\\w-]{{2,4}}$')
         """,
         "integer_check_events": f"""
             WITH t AS (

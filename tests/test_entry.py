@@ -81,11 +81,10 @@ def test_entry_smoke(ray_session):
 def test_oracle_queries_have_results(ray_session, con, sf_tiny):
     """Guard against vacuous oracles: the interesting checks must
     produce non-empty results on the tiny scale factor."""
-    for name in [
-        "doc_stats_by_source", "quality_filter_docs", "integer_check_events",
-        "timestamp_check_events", "epoch_check_events", "ipv4_check_events",
-        "pricing_summary", "top_parts_by_count", "sessionize_events",
-        "ann_topk_embeddings", "flatten_props_events",
-    ]:
+    # every oracle query except the scale-dependent pair-finders must be
+    # non-vacuous at sf0.001 (dup_exact/sensitive inject their own
+    # violations so they fire at every scale factor)
+    may_be_empty_at_tiny = {"embed_neardup_pairs", "dup_prefix40_docs"}
+    for name in sorted(set(ORACLES) - may_be_empty_at_tiny):
         n = len(con.execute(ORACLES[name]).df())
         assert n > 0, f"{name} oracle returned no rows at sf0.001"

@@ -1,0 +1,43 @@
+"""sf0.1 conformance for the join / dedup / window queries — the scale
+factor where the round-1 asof packing overflow hid (sf0.001/sf0.01 key
+domains were too small to trigger it; ADVICE r1). Runs the same
+driver-style compare as test_entry.py but against the bench-default
+scale factor."""
+
+import os
+
+import duckdb
+import pytest
+
+import __ray_entry__ as entrymod
+from tests.test_entry import compare, to_pandas
+
+SF01 = "/root/testdata/sf0.1"
+
+# queries whose behavior depends on key domain size / duplicate density
+SCALE_SENSITIVE = [
+    "asof_latest_order",
+    "orders_per_nation",
+    "dup_exact_docs",
+    "dup_prefix40_docs",
+    "events_window_5min",
+    "sessionize_events",
+]
+
+
+@pytest.fixture(scope="module")
+def con01():
+    if not os.path.isdir(SF01):  # pragma: no cover
+        pytest.skip("sf0.1 testdata not present")
+    con = duckdb.connect()
+    for t in ["events", "orders", "customer", "nation", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_query_matches_oracle_sf01(ray_session, con01, name):
+    got = to_pandas(entrymod.queries()[name](SF01))
+    exp = con01.execute(entrymod.oracle_sql()[name]).df()
+    assert len(exp) > 0, f"{name} vacuous at sf0.1"
+    compare(got, exp, name)
