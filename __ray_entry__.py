@@ -196,6 +196,39 @@ def q_dup_prefix40_docs(sf_dir: str):
     return _typed(out, {"doc_id": "int64"})
 
 
+def q_dup_partitioned_docs(sf_dir: str):
+    """V17 via the hash-partitioned anti-join fallback
+    (ops/dedup.py:mark_duplicates_partitioned) — a derived
+    HIGH-duplication column (80% of rows collapse into 7 groups) makes
+    the loser set a large fraction of the corpus, the regime where the
+    broadcast path stops scaling; both sides are hash-bucketed and the
+    anti-join runs per bucket with bounded memory."""
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.dedup import exact_dedup_losers, mark_duplicates_partitioned
+
+    def project(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        mod5 = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        mod7 = pc.subtract(did, pc.multiply(pc.divide(did, 7), 7))
+        v = pc.if_else(
+            pc.not_equal(mod5, 0),
+            pc.binary_join_element_wise("COMMON-", pc.cast(mod7, pa.string()), ""),
+            b.column("text"),
+        )
+        # zero-padded key: lexicographic min == numeric min doc_id
+        key_pad = pc.utf8_lpad(pc.cast(did, pa.string()), 12, "0")
+        return pa.table({"doc_id": did, "key_pad": key_pad, "h": sha256_array(v)})
+
+    derived = _docs(sf_dir).map_batches(project, batch_format="pyarrow")
+    losers = exact_dedup_losers(derived, hash_col="h", key_cols=("key_pad",))
+    marked = mark_duplicates_partitioned(derived, losers, key_cols=("key_pad",), n_buckets=8)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("fail_duplicate")).select(["doc_id"])
+
+    return _typed(marked.map_batches(strip, batch_format="pyarrow"), {"doc_id": "int64"})
+
+
 def q_quality_filter_docs(sf_dir: str):
     """SQL-expressible heuristic keep set (size / alnum / token gates)."""
 
@@ -632,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": q_doc_stats_by_source,
         "dup_exact_docs": q_dup_exact_docs,
+        "dup_partitioned_docs": q_dup_partitioned_docs,
         "dup_prefix40_docs": q_dup_prefix40_docs,
         "quality_filter_docs": q_quality_filter_docs,
         "content_sha256_docs": q_content_sha256_docs,
@@ -677,6 +711,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN doc_id % 17 = 0
                           THEN 'DUPSEED-' || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE text END AS v
+              FROM documents)
+            SELECT doc_id FROM t
+            QUALIFY row_number() OVER (PARTITION BY v ORDER BY doc_id) > 1
+        """,
+        "dup_partitioned_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 <> 0
+                          THEN 'COMMON-' || CAST(doc_id % 7 AS VARCHAR)
                           ELSE text END AS v
               FROM documents)
             SELECT doc_id FROM t

@@ -16,11 +16,15 @@ shuffle-light Ray Data plan:
    broadcast anti-join, no second shuffle of the wide table.
 
 At 10^12-row scale with a large duplicate fraction, step 3's broadcast
-would not fit; the fallback is to hash-partition both sides on the key
-(bucket column + per-bucket anti-join), at the cost of shuffling the
-wide table once. The broadcast path is the default because quality
-pipelines run dedup *after* size filtering and duplicate fractions of
-a few percent of keys (~bytes, not content) remain broadcastable.
+would not fit; the fallback is :func:`mark_duplicates_partitioned`:
+hash-partition BOTH sides on the key (bucket column + per-bucket
+anti-join inside ``groupby(bucket).map_groups``), at the cost of
+shuffling the wide table once — per-task loser memory is bounded by
+the largest bucket, not the total loser set.
+:func:`mark_duplicates_auto` picks the path from the measured loser
+count. The broadcast path is the default because quality pipelines run
+dedup *after* size filtering and duplicate fractions of a few percent
+of keys (~bytes, not content) remain broadcastable.
 """
 
 from __future__ import annotations
@@ -30,6 +34,14 @@ import pandas as pd
 import pyarrow as pa
 
 KEY_SEP = "\x1f"
+
+
+def _bucket_ids(keys: pa.Array, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key — pandas' vectorized siphash with
+    its fixed default hash key, stable across processes and nodes."""
+    arr = keys.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(arr.astype(object))
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _key_expr(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
@@ -114,10 +126,23 @@ def exact_dedup_loser_keys(
     return set(losers_df["key"]) if "key" in losers_df.columns else set()
 
 
+def loser_keys_ref(loser_keys):
+    """``ray.put`` the loser keys as a SORTED ARROW ARRAY once — every
+    consumer batch then runs ``pc.is_in`` against the shared
+    object-store array instead of rebuilding it per batch."""
+    import ray
+
+    if isinstance(loser_keys, pa.Array):
+        return ray.put(loser_keys)
+    return ray.put(pa.array(sorted(loser_keys), type=pa.string()))
+
+
 def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "path", "commit")):
     """Append ``fail_duplicate`` by membership of the composite key in
     the broadcast loser set (``ray.put`` object ref → fetched once per
-    task from the local object store, zero-copy shared)."""
+    task from the local object store, zero-copy shared). The ref should
+    hold a pre-built Arrow array (:func:`loser_keys_ref`); a python set
+    is accepted for compatibility but converted per batch."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
@@ -128,7 +153,7 @@ def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "pa
 
         loser_set = ray.get(loser_keys_ref)
         keys = _key_expr(batch, key_cols)
-        if loser_set:
+        if len(loser_set):
             value_set = loser_set if isinstance(loser_set, pa.Array) else pa.array(sorted(loser_set))
             mask = pc.is_in(keys, value_set=value_set)
         else:
@@ -136,4 +161,104 @@ def mark_duplicates(ds, loser_keys_ref, key_cols: tuple[str, ...] = ("repo", "pa
         return batch.append_column("fail_duplicate", mask.cast(pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def mark_duplicates_partitioned(
+    ds,
+    losers_ds,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    n_buckets: int = 64,
+):
+    """The documented scale fallback for loser sets too large to
+    broadcast: hash-partition BOTH sides on the composite key and
+    anti-join per bucket.
+
+    * loser side: bucketed, sorted by bucket, streamed through the
+      driver ONE BUCKET AT A TIME — each bucket's key array is
+      ``ray.put`` separately, so neither the driver nor any worker ever
+      holds the full loser set (driver peak = largest bucket);
+    * data side: bucket column → ``groupby(bucket).map_groups`` fetches
+      exactly its own bucket's loser array and marks membership. This
+      shuffles the wide table once — the price of exceeding broadcast.
+
+    ``n_buckets`` must be sized so one bucket of the DATA side fits a
+    worker (at 10^12 rows use ~10^5-10^6 buckets).
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
+    import ray
+
+    def bucket_losers(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", pa.array(_bucket_ids(b.column("key"), n_buckets)))
+
+    refs: dict[int, object] = {}
+    cur_bucket: int | None = None
+    cur_parts: list[pa.Array] = []
+
+    def _flush():
+        if cur_bucket is not None and cur_parts:
+            refs[cur_bucket] = ray.put(pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in cur_parts]))
+
+    sorted_losers = losers_ds.map_batches(bucket_losers, batch_format="pyarrow").sort("bucket")
+    for batch in sorted_losers.iter_batches(batch_format="pyarrow"):
+        if len(batch) == 0:
+            continue
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        keys = batch.column("key")
+        # segment the sorted batch at bucket boundaries
+        change = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(buckets)]))
+        for s, e in zip(starts, ends):
+            b_id = int(buckets[s])
+            if b_id != cur_bucket:
+                _flush()
+                cur_bucket, cur_parts = b_id, []
+            cur_parts.append(keys.slice(s, e - s))
+    _flush()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = _key_expr(batch, key_cols)
+        return batch.append_column("bucket", pa.array(_bucket_ids(keys, n_buckets)))
+
+    def mark_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b_id = int(group.column("bucket")[0].as_py())
+        group = group.drop_columns(["bucket"])
+        keys = _key_expr(group, key_cols)
+        ref = refs.get(b_id)
+        if ref is None:
+            mask = pa.array(np.zeros(len(group), dtype=bool))
+        else:
+            value_set = ray.get(ref)
+            mask = pc.is_in(keys, value_set=value_set).cast(pa.bool_())
+        return group.append_column("fail_duplicate", mask)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_group, batch_format="pyarrow")
+    )
+
+
+def mark_duplicates_auto(
+    ds,
+    hash_col: str = "content_sha256",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    broadcast_threshold: int = 5_000_000,
+    n_buckets: int = 64,
+):
+    """Mark duplicates, auto-selecting broadcast vs partitioned from
+    the MEASURED loser count: ≤ ``broadcast_threshold`` losers →
+    broadcast anti-join (no second shuffle of the wide table); more →
+    :func:`mark_duplicates_partitioned` (bounded per-task memory)."""
+    losers = exact_dedup_losers(ds, hash_col, key_cols).materialize()
+    n_losers = losers.count()
+    if n_losers <= broadcast_threshold:
+        keys = losers.to_pandas()
+        key_set = set(keys["key"]) if "key" in keys.columns else set()
+        return mark_duplicates(ds, loser_keys_ref(key_set), key_cols)
+    return mark_duplicates_partitioned(ds, losers, key_cols, n_buckets)
 

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayqual.config import RuleConfig
-from rayqual.ops.dedup import exact_dedup_loser_keys, mark_duplicates
+from rayqual.ops.dedup import exact_dedup_loser_keys, loser_keys_ref, mark_duplicates
 from rayqual.stages.score import LangScore
 from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
 
@@ -218,7 +218,7 @@ def run_quality_gate_resumable(
     shutil.rmtree(f"{output_dir}/metrics", ignore_errors=True)
 
     verdicts = ray.data.read_parquet(part_dirs)
-    ref = ray.put(exact_dedup_loser_keys(verdicts)) if cfg.exact_dedup else ray.put(set())
+    ref = loser_keys_ref(exact_dedup_loser_keys(verdicts) if cfg.exact_dedup else set())
     final = _finalize(mark_duplicates(verdicts, ref), cfg)
     final.map_batches(kept_projection, batch_format="pyarrow").write_parquet(f"{output_dir}/kept")
 
@@ -287,7 +287,7 @@ def run_quality_gate(
 
     raw = vd
     if cfg.exact_dedup:
-        ref = ray.put(exact_dedup_loser_keys(vd))
+        ref = loser_keys_ref(exact_dedup_loser_keys(vd))
         vd = mark_duplicates(vd, ref)
     else:
         ref = None

@@ -46,6 +46,62 @@ def test_exact_dedup(ray_session):
     assert marked["fail_duplicate"].tolist() == [False, False, True, False, True, False]
 
 
+def test_partitioned_dedup_matches_broadcast(ray_session):
+    """The hash-partitioned anti-join fallback must mark exactly the
+    same rows as the broadcast path, across many buckets (including
+    empty ones) and bucket-spanning loser groups."""
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.dedup import (
+        exact_dedup_losers,
+        loser_keys_ref,
+        mark_duplicates,
+        mark_duplicates_auto,
+        mark_duplicates_partitioned,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # ~70% of rows collapse into 5 heavy groups; rest unique
+    choice = rng.integers(0, 10, n)
+    texts = [f"HEAVY-{c % 5}" if c < 7 else f"unique-{i}" for i, c in enumerate(choice)]
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 13}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    t = t.append_column("content_sha256", sha256_array(t.column("content")))
+    ds = ray_session.data.from_arrow(t).repartition(4)
+
+    losers = exact_dedup_losers(ds).materialize()
+    broadcast = (
+        mark_duplicates(ds, loser_keys_ref(set(losers.to_pandas()["key"])))
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    partitioned = (
+        mark_duplicates_partitioned(ds, losers, n_buckets=16)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert broadcast["fail_duplicate"].sum() > 200  # the high-dup regime
+    pd.testing.assert_series_equal(
+        broadcast["fail_duplicate"], partitioned["fail_duplicate"]
+    )
+    # auto path forced into the partitioned branch agrees too
+    auto = (
+        mark_duplicates_auto(ds, broadcast_threshold=10, n_buckets=16)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(broadcast["fail_duplicate"], auto["fail_duplicate"])
+
+
 def test_minhash_dedup(ray_session):
     from rayqual.ops.neardup import minhash_dedup_losers
 
