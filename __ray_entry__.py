@@ -629,9 +629,11 @@ def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
 
 
 def q_validation_report_events(sf_dir: str):
-    """Reference-style metadata-driven report over a derived events view."""
+    """Reference-style metadata-driven report over a derived events
+    view — the STREAMING dataset path (no driver collect; deterministic
+    hash DQ_REPORT_IDs), now oracle-checked against DuckDB."""
     from rayqual.config import ColumnMeta, TableMeta
-    from rayqual.pipelines.validation_report import validation_report
+    from rayqual.pipelines.validation_report import validation_report_dataset
 
     def derive(b: pa.Table) -> pa.Table:
         eid = b.column("event_id")
@@ -647,8 +649,12 @@ def q_validation_report_events(sf_dir: str):
     meta = TableMeta([ColumnMeta("EPOCHS", data_type="epoch"), ColumnMeta("KVAL", data_type="integer"),
                       ColumnMeta("MISSING", data_type="string")])
     ds = _events(sf_dir).map_batches(derive, batch_format="pyarrow")
-    rep = validation_report(ds, meta, key_col="RID", table_name="events", timestamp="FIXED")
-    return rep[["DQ_REPORT_ID", "COLUMN_NAME", "VALIDATION_ID", "PRIMARY_KEY_VALUE"]]
+    rep = validation_report_dataset(ds, meta, key_col="RID", table_name="events", timestamp="FIXED")
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["DQ_REPORT_ID", "COLUMN_NAME", "VALIDATION_ID", "PRIMARY_KEY_VALUE"])
+
+    return rep.map_batches(strip, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -878,5 +884,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "validation_report_events": f"""
+            WITH t AS (
+              SELECT event_id,
+                     CAST(epoch_us(ts) // 1000000 AS VARCHAR) AS EPOCHS,
+                     CASE WHEN event_id % 7 = 0 THEN props
+                          ELSE CAST(event_id AS VARCHAR) END AS KVAL
+              FROM events),
+            v AS (
+              SELECT 'KVAL' AS COLUMN_NAME, 5 AS VALIDATION_ID,
+                     CAST(event_id AS VARCHAR) AS PRIMARY_KEY_VALUE
+              FROM t
+              WHERE NOT (
+                regexp_matches(KVAL, '{_R1}')
+                AND (regexp_matches(KVAL, '{_R2_INT}') OR regexp_matches(KVAL, '{_R3_SCI}'))
+                AND regexp_matches(KVAL, '{_CAST_INT}')
+                AND TRY_CAST(regexp_extract(KVAL, '^[+-]?\\d+') AS HUGEINT)
+                    BETWEEN -2147483648 AND 2147483647
+              )
+              UNION ALL
+              SELECT 'EPOCHS', 14, CAST(event_id AS VARCHAR)
+              FROM t
+              WHERE CASE WHEN length(EPOCHS) <= 10
+                         THEN NOT regexp_matches(EPOCHS, '{_CAST_INT}')
+                         ELSE TRY_CAST(EPOCHS AS DOUBLE) IS NULL END
+              UNION ALL
+              SELECT 'MISSING', 2, CAST(NULL AS VARCHAR)
+            )
+            SELECT substr(sha256(CAST(VALIDATION_ID AS VARCHAR) || '|' ||
+                                 COALESCE(COLUMN_NAME, '') || '|' ||
+                                 COALESCE(PRIMARY_KEY_VALUE, '')), 1, 16) AS DQ_REPORT_ID,
+                   COLUMN_NAME, VALIDATION_ID, PRIMARY_KEY_VALUE
+            FROM v
         """,
     }

@@ -63,6 +63,125 @@ def _union_find_losers(pairs: list[tuple], ids: set) -> set:
     return losers
 
 
+def minhash_propose_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_size: int = 12,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """LSH propose stage: unique candidate (id_a < id_b) pairs.
+
+    The band shuffle ships ONLY (bkey, id) — 16 bytes per (doc, band)
+    row, 32× less than attaching the 64×u64 signature (the round-1
+    shape). Signatures are recomputed for the (small) candidate cohort
+    in the verify stage instead."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
+        keys = minhash_band_keys(sig, bands)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # one row per (doc, band): bucket key mixes band index
+        bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
+        return pa.table(
+            {"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(np.repeat(ids, bands))}
+        )
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(g) > max_bucket:
+            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
+            g = g.head(max_bucket)
+        ids = g["id"].to_numpy()
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
+
+    pairs = (
+        ds.map_batches(keys_only, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()  # pair LIST only — small by the dup-rate assumption
+    )
+    return pairs.drop_duplicates(ignore_index=True)
+
+
+def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn):
+    """Shared distributed verify harness: each candidate pair gets a
+    pair index; cohort docs emit (pair, id, payload) rows — payload is
+    computed per batch via ``payload_fn(sub_table) -> list`` — and
+    ``groupby(pair).map_groups`` runs ``verify_fn(id_a, pay_a, id_b,
+    pay_b) -> row_dict | None``. Nothing but the (small) pair list ever
+    reaches the driver; payloads travel once per pair membership."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    pair_of: dict = {}
+    for idx, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
+        pair_of.setdefault(a, []).append(idx)
+        pair_of.setdefault(b, []).append(idx)
+    ref = ray.put(pair_of)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        po = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.fromiter((i in po for i in ids), dtype=bool, count=len(ids))
+        sub = batch.filter(pa.array(mask))
+        if len(sub) == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                 "pay": pa.array([], pa.list_(pa.uint64()))}
+            )
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        payloads = payload_fn(sub)
+        out_pair, out_id, out_pay = [], [], []
+        for j, i in enumerate(sub_ids):
+            for p in po[i]:
+                out_pair.append(p)
+                out_id.append(i)
+                out_pay.append(payloads[j])
+        return pa.table(
+            {
+                "pair": pa.array(out_pair, pa.int64()),
+                "id": pa.array(out_id, pa.int64()),
+                "pay": pa.array(out_pay, pa.list_(pa.uint64())),
+            }
+        )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+
+    def check(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return _empty()
+        score = verify_fn(
+            np.asarray(g["pay"].iloc[0], dtype=np.uint64),
+            np.asarray(g["pay"].iloc[1], dtype=np.uint64),
+        )
+        if score is None:
+            return _empty()
+        return pd.DataFrame({"id_a": [int(g["id"].iloc[0])],
+                             "id_b": [int(g["id"].iloc[1])],
+                             "score": [float(score)]})
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(check, batch_format="pandas")
+    )
+
+
 def minhash_candidate_pairs(
     ds,
     id_col: str,
@@ -74,45 +193,32 @@ def minhash_candidate_pairs(
     max_bucket: int = 200,
 ):
     """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
-    threshold). est_jaccard = fraction of agreeing minhashes."""
-    from rayqual import ship_to_workers as _stw
+    threshold). est_jaccard = fraction of agreeing minhashes over the
+    FULL signature, computed in a distributed pair-key verify stage —
+    the band shuffle itself carries no signatures."""
+    cand = minhash_propose_pairs(ds, id_col, text_col, num_perm, bands, shingle_size, max_bucket)
+    if len(cand) == 0:
+        import ray.data
 
-    _stw()  # by-value shipping for sys.path-blind Ray workers
-
-    def sigs(batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
-        keys = minhash_band_keys(sig, bands)
-        n = len(batch)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        # one row per (doc, band): bucket key mixes band index
-        bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
-        out_ids = np.repeat(ids, bands)
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sig, bands, axis=0).ravel(), type=pa.uint64()), num_perm
-        )
-        return pa.table({"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(out_ids), "sig": sig_list})
-
-    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["id"]).sort_values("id")
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        if len(g) > max_bucket:
-            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
-            g = g.head(max_bucket)
-        ids = g["id"].to_numpy()
-        sigm = np.stack(g["sig"].to_numpy())
-        a_idx, b_idx = np.triu_indices(len(g), k=1)
-        est = (sigm[a_idx] == sigm[b_idx]).mean(axis=1)
-        ok = est >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[a_idx[ok]], "id_b": ids[b_idx[ok]], "est_jaccard": est[ok]}
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
         )
 
-    return (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(pair_up, batch_format="pandas")
-    )
+    def payload(sub: pa.Table) -> list:
+        sig = minhash_signatures(sub.column(text_col), num_perm, shingle_size)
+        return [sig[j] for j in range(sig.shape[0])]
+
+    def verify(sig_a, sig_b):
+        est = float((sig_a == sig_b).mean())
+        return est if est >= threshold else None
+
+    out = _pair_key_verify(ds, id_col, cand, payload, verify)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "est_jaccard"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def minhash_dedup_losers(ds, id_col: str, text_col: str, **kw) -> list:
@@ -181,65 +287,57 @@ def ngram_jaccard_losers(
 ) -> list:
     """Exact n-gram Jaccard dedup: MinHash-LSH proposes candidates
     (recall stage), then EXACT Jaccard over byte-shingle hash sets is
-    computed for the candidate cohort only — the classic
-    propose-cheap / verify-exact split, so the exact O(n²) work touches
-    only suspected duplicates."""
-    from rayqual import ship_to_workers as _stw
+    verified INSIDE ``groupby(pair).map_groups`` — each cohort doc's
+    shingle set travels once per pair membership through the shuffle;
+    only the (small) pair lists touch the driver (the round-1 version
+    collected every cohort shingle SET driver-side)."""
+    from rayqual.functions.textstats import shingle_hashes, string_bytes
 
-    _stw()  # by-value shipping for sys.path-blind Ray workers
-    import pyarrow.compute as pc
-
-    from rayqual.functions.textstats import string_bytes, shingle_hashes
-
-    cand = minhash_candidate_pairs(
-        ds, id_col, text_col, shingle_size=shingle_size,
-        threshold=max(0.5, threshold - 0.2), **minhash_kw
-    ).to_pandas()
+    cand = minhash_propose_pairs(ds, id_col, text_col, shingle_size=shingle_size, **minhash_kw)
     if len(cand) == 0:
         return []
-    cohort = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    cohort_set = set(cohort)
 
-    def collect_sets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.fromiter((i in cohort_set for i in ids), dtype=bool, count=len(ids))
-        sub = batch.filter(pa.array(mask))
+    def payload(sub: pa.Table) -> list:
         sets = []
         sb = string_bytes(sub.column(text_col))
         for i in range(sb.n_docs):
             b = sb.data[sb.starts[i]: sb.ends[i]]
             sets.append(np.unique(shingle_hashes(b, shingle_size)))
-        return pa.table(
-            {
-                "id": sub.column(id_col),
-                "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
-            }
-        )
+        return sets
 
-    rows = ds.map_batches(collect_sets, batch_format="pyarrow").to_pandas()
-    sets = {r["id"]: set(r["shingles"]) for _, r in rows.iterrows()}
-    pairs = []
-    for a, b in {(a, b) for a, b in zip(cand["id_a"], cand["id_b"])}:
-        sa, sb_ = sets.get(a, set()), sets.get(b, set())
-        if not sa or not sb_:
-            continue
-        j = len(sa & sb_) / len(sa | sb_)
-        if j >= threshold:
-            pairs.append((a, b))
-    return sorted(_union_find_losers(sorted(pairs), set()))
+    def verify(sa, sb_):
+        if len(sa) == 0 or len(sb_) == 0:
+            return None
+        inter = len(np.intersect1d(sa, sb_, assume_unique=True))
+        j = inter / (len(sa) + len(sb_) - inter)
+        return j if j >= threshold else None
+
+    good = _pair_key_verify(ds, id_col, cand, payload, verify).to_pandas()
+    pairs = sorted(zip(good["id_a"], good["id_b"]))
+    return sorted(_union_find_losers(pairs, set()))
 
 
-def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95):
+def embedding_neardup_pairs(
+    ds, id_col: str, vec_col: str, threshold: float = 0.95, max_rows: int = 500_000
+):
     """Exact cosine near-dup pairs via broadcast matmul: the (small)
     normalized embedding matrix is ``ray.put`` once; every batch
-    computes batch @ all.T. Exact — the oracle-checkable baseline.
-    For corpora whose embedding matrix exceeds worker memory, use
-    :func:`lsh_embedding_neardup_pairs`."""
+    computes batch @ all.T. Exact — the oracle-checkable baseline,
+    O(n²) similarity work by construction, so it REFUSES inputs above
+    ``max_rows`` (500k × 64 f64 ≈ 256 MB broadcast) instead of
+    silently materializing an unbounded table on the driver. For
+    larger corpora use :func:`lsh_embedding_neardup_pairs`."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(n²) baseline and is capped at "
+            f"{max_rows} rows (got {n}); use lsh_embedding_neardup_pairs for the scale path"
+        )
     all_df = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
     ids = all_df[id_col].to_numpy()
     mat = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)

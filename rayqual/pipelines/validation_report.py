@@ -17,6 +17,15 @@ serialization point). Scale path: pass ``key_col`` naming an existing
 unique column; its values become PRIMARY_KEY_VALUE. Parity path: with
 ``key_col=None`` row ids are assigned 1..N in input order per the
 collected table — only valid for reference-scale inputs (documented).
+
+Report identity: the reference's DQ_REPORT_ID is a sequential 1..N
+over the assembled pandas report (quality_report.py:207) — a global
+ordering no streaming pipeline should pay for. The scale path
+(:func:`validation_report_dataset`) instead derives a DETERMINISTIC
+hash id per violation row (sha256 of validation_id|column|key,
+truncated) assigned inside each block — order-independent,
+reproducible, and collision-free for the (rule, column, row) triples
+the report emits. The parity wrapper keeps sequential ids.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayqual.config import TableMeta
+from rayqual.functions.hashing import sha256_array
 from rayqual.rules import kernels as K
 from rayqual.rules.rulebook import column_name_preprocess
 from rayqual.schema import REPORT_COLUMNS
@@ -110,9 +120,10 @@ def validation_report(
 
     parts: list[pd.DataFrame] = []
 
-    # --- V1/V2 schema diffs (driver-side) -------------------------------
+    # --- V1/V2 schema diffs (driver-side); the key column is identity,
+    # never data (reference assigns ROW_ID after this diff, :242-250)
     meta_up = [c.upper() for c in meta.attribute_names()]
-    data_up = [c.upper() for c in renamed]
+    data_up = [c.upper() for c in renamed if key_col is None or c.upper() != key_col.upper()]
     v1 = [c for c in data_up if c not in meta_up]
     v2 = [c for c in meta_up if c not in data_up]
     for cols, vid in ((v1, 1), (v2, 2)):
@@ -176,12 +187,98 @@ def _local_row_rules(table, meta, key_col, table_name, timestamp, account, bucke
     return parts
 
 
-def _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, account, bucket, strict):
-    """Scale path: one fused map_batches pass emits violation rows;
-    duplicate check shuffles only (row-hash, key)."""
+#: fixed arrow schema of the streaming report (VALIDATION_ID int32
+#: like the reference's small id domain; everything else string)
+REPORT_ARROW_SCHEMA = pa.schema(
+    [
+        ("DQ_REPORT_ID", pa.string()),
+        ("AWS_ACCOUNT_NAME", pa.string()),
+        ("S3_BUCKET", pa.string()),
+        ("TABLE_NAME", pa.string()),
+        ("COLUMN_NAME", pa.string()),
+        ("VALIDATION_CATEGORY", pa.string()),
+        ("VALIDATION_ID", pa.int32()),
+        ("VALIDATION_MESSAGE", pa.string()),
+        ("PRIMARY_KEY_COLUMN", pa.string()),
+        ("PRIMARY_KEY_VALUE", pa.string()),
+        ("TIMESTAMP", pa.string()),
+    ]
+)
+
+
+def _with_dq_id(table: pa.Table) -> pa.Table:
+    """Deterministic, order-independent report id: first 16 hex chars
+    of sha256('vid|column|key') — computable per block with no global
+    sequence (and expressible in the DuckDB oracle)."""
     import pyarrow.compute as pc
 
+    canon = pc.binary_join_element_wise(
+        pc.cast(table.column("VALIDATION_ID"), pa.string()),
+        pc.coalesce(pc.cast(table.column("COLUMN_NAME"), pa.string()), pa.scalar("", pa.string())),
+        pc.coalesce(pc.cast(table.column("PRIMARY_KEY_VALUE"), pa.string()), pa.scalar("", pa.string())),
+        "|",
+    )
+    ids = pc.utf8_slice_codeunits(sha256_array(canon), 0, 16)
+    cols = {"DQ_REPORT_ID": ids}
+    for c in table.column_names:
+        if c != "DQ_REPORT_ID":
+            cols[c] = table.column(c)
+    return pa.table(cols).select(REPORT_ARROW_SCHEMA.names).cast(REPORT_ARROW_SCHEMA)
+
+
+def validation_report_dataset(
+    ds,
+    meta: TableMeta,
+    key_col: str,
+    table_name: str = "table",
+    account: str = "local",
+    bucket: str = "local",
+    timestamp: str | None = None,
+    strict_reference_compat: bool = True,
+):
+    """STREAMING report: returns a ray.data.Dataset of violation rows
+    in the 11-column schema — nothing is collected to the driver.
+
+    * V1/V2 schema diffs: tiny driver-side table (schema metadata only).
+    * V3/V16 + datatype rulebook: ONE fused map_batches pass emitting
+      long-form violation rows per batch.
+    * V17: per-row sha256 over all non-key columns (vectorized
+      ``sha256_array`` over the joined string buffer — no per-row
+      Python), shuffle of (hash, key) only, losers re-emitted as report
+      rows.
+    Report ids are deterministic hashes (see :func:`_with_dq_id`).
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray.data
+
+    timestamp = timestamp or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    schema_names = [f.name for f in (ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else ds.schema())]
+    renamed = column_name_preprocess(schema_names)
+
+    # --- V1/V2 schema diffs (driver-side, schema metadata only) --------
+    # the key column is identity, not data: the reference's ROW_ID is
+    # assigned AFTER the schema diff (quality_report.py:242-250), so it
+    # is never flagged by V1 — mirror that for the user-provided key
+    meta_up = [c.upper() for c in meta.attribute_names()]
+    data_up = [c.upper() for c in renamed if c.upper() != key_col.upper()]
+    head_frames = []
+    for cols, vid in (([c for c in data_up if c not in meta_up], 1),
+                      ([c for c in meta_up if c not in data_up], 2)):
+        if cols:
+            rows = _report_rows(None, vid, None, [None] * len(cols), table_name, timestamp, account, bucket)
+            df = pd.DataFrame(rows)
+            df["COLUMN_NAME"] = cols
+            head_frames.append(df)
+
+    parts = []
+    if head_frames:
+        head = pa.Table.from_pandas(pd.concat(head_frames, ignore_index=True), preserve_index=False)
+        parts.append(ray.data.from_arrow(_with_dq_id(head)))
+
     plan = _rule_plan(meta, renamed)
+    empty = REPORT_ARROW_SCHEMA.empty_table()
 
     def emit(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(column_name_preprocess(batch.column_names))
@@ -199,41 +296,68 @@ def _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, ac
             if kernel is K.string_length_fail:
                 mask = kernel(values, limit)
             elif kernel is K.double_fail:
-                mask = kernel(values, strict_reference_compat=strict)
+                mask = kernel(values, strict_reference_compat=strict_reference_compat)
             else:
                 mask = kernel(values)
             if mask.any():
                 frames.append(pd.DataFrame(_report_rows(
                     col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
         if not frames:
-            return pa.Table.from_pandas(_empty_report(), preserve_index=False)
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+            return empty
+        return _with_dq_id(pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False))
 
-    violations = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    parts.append(ds.map_batches(emit, batch_format="pyarrow"))
 
-    # V17: hash all non-key columns per row, shuffle only (hash, key)
+    # --- V17: vectorized row hash, shuffle (hash, key) only ------------
+    import pyarrow.compute as pc
+
     def rowhash(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(column_name_preprocess(batch.column_names))
         cols = [pc.cast(batch.column(c), pa.string()) for c in batch.column_names if c != key_col]
-        joined = pc.binary_join_element_wise(*cols, "\x1f", null_handling="replace", null_replacement="\x00")
-        import hashlib
-
-        h = [hashlib.sha256(s.encode()).hexdigest() if s is not None else None for s in joined.to_pylist()]
-        return pa.table({"h": pa.array(h, pa.string()), "key": batch.column(key_col).cast(pa.string())})
+        joined = pc.binary_join_element_wise(
+            *cols, "\x1f", null_handling="replace", null_replacement="\x00"
+        )
+        return pa.table({"h": sha256_array(joined), "key": batch.column(key_col).cast(pa.string())})
 
     def losers(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) <= 1:
-            return pd.DataFrame({"key": pd.Series([], dtype="object")})
+            return pd.DataFrame({"key": pd.Series([], dtype="string")})
         return group.loc[group["key"] != group["key"].min(), ["key"]]
 
-    dup_keys = (
-        ds.map_batches(rowhash, batch_format="pyarrow").groupby("h").map_groups(losers, batch_format="pandas").to_pandas()
+    def dup_report(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or "key" not in batch.column_names:
+            return empty
+        rows = _report_rows(None, 17, None, batch.column("key").to_pylist(),
+                            table_name, timestamp, account, bucket)
+        return _with_dq_id(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+
+    dup_ds = (
+        ds.map_batches(rowhash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(losers, batch_format="pandas")
+        .map_batches(dup_report, batch_format="pyarrow")
     )
-    parts = []
-    if len(violations):
-        parts.append(violations)
-    if len(dup_keys):
-        parts.append(pd.DataFrame(_report_rows(
-            None, 17, None, dup_keys["key"].tolist(), table_name, timestamp, account, bucket)))
-    return parts
+    parts.append(dup_ds)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _distributed_row_rules(ds, meta, renamed, key_col, table_name, timestamp, account, bucket, strict):
+    """Compatibility wrapper for the pandas-returning
+    :func:`validation_report`: runs the streaming dataset path and
+    collects (callers needing scale use validation_report_dataset)."""
+    rep = validation_report_dataset(
+        ds, meta, key_col, table_name, account, bucket, timestamp, strict
+    ).to_pandas()
+    # the caller (validation_report) emits V1/V2 itself — drop them here
+    rep = rep[~rep["VALIDATION_ID"].isin([1, 2])]
+    rep = rep.drop(columns=["DQ_REPORT_ID"])
+    # stable presentation order like the reference's rule-by-rule concat
+    rep = rep.sort_values(
+        ["VALIDATION_ID", "COLUMN_NAME", "PRIMARY_KEY_VALUE"], na_position="first"
+    ).reset_index(drop=True)
+    return [rep] if len(rep) else []
 

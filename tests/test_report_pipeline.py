@@ -80,7 +80,9 @@ def test_report_distributed_mode(ray_session, f2_table, f2_meta):
     assert sorted(_rows(rep, 16, "CONTACT")["PRIMARY_KEY_VALUE"]) == ["10", "20", "50", "60"]
     assert _rows(rep, 17)["PRIMARY_KEY_VALUE"].tolist() == ["60"]
     assert _rows(rep, 9, "DOUBLE")["PRIMARY_KEY_VALUE"].tolist() == ["30"]
-    assert _rows(rep, 1)["COLUMN_NAME"].tolist() == ["EXTRA", "RID"]
+    # the key column is identity, never flagged by V1 (the reference
+    # assigns ROW_ID after the schema diff, quality_report.py:242-250)
+    assert _rows(rep, 1)["COLUMN_NAME"].tolist() == ["EXTRA"]
 
 
 def test_column_name_preprocess_applied(f2_meta):
