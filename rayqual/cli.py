@@ -1,0 +1,144 @@
+"""Reference-parity CLI: ``python -m rayqual.cli DATA META ACCOUNT
+BUCKET [--out-dir DIR] ...`` — the Ray-Data equivalent of the
+reference's primary entry point ``python run.py data meta account
+bucket`` (reference run.py:29-45), which reads the data + metadata
+tables, runs the full rulebook, and writes the 11-column quality
+report.
+
+Differences from the reference, by design:
+* output goes to a local/NFS directory instead of S3 — the path
+  template mirrors the reference's
+  ``{bucket}/qualityreport/{account}/{table}_report_{date}.csv``
+  (reference quality_report.py:209-215);
+* an empty report writes the reference's "no issues" one-line .txt
+  (reference quality_report.py:220-227);
+* ``--key-col`` switches to the STREAMING distributed report
+  (validation_report_dataset): violations are written as partitioned
+  parquet (or csv) directly from the workers — the reference-scale
+  pandas path is the default only because the reference's sequential
+  DQ_REPORT_ID needs a collected table.
+
+This module owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from datetime import datetime, timezone
+from time import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rayqual",
+        description="Run the data-quality rulebook and write a quality report.",
+    )
+    p.add_argument("data_filepath", help="data table (.csv/.json/.txt/.parquet/.pqt)")
+    p.add_argument("metadata_filepath", help="metadata CSV (Attribute_Name, Data_Type, ...)")
+    p.add_argument("account_id", help="account label stamped into the report")
+    p.add_argument("bucket_name", help="bucket/site label stamped into the report")
+    p.add_argument("--out-dir", default=".", help="root output directory (default: cwd)")
+    p.add_argument("--format", choices=("csv", "parquet"), default="csv",
+                   help="report format (reference writes csv)")
+    p.add_argument("--key-col", default=None,
+                   help="existing unique key column -> streaming distributed report")
+    p.add_argument("--table-name", default=None,
+                   help="override the table name (default: data file stem, reference quality_report.py:30)")
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: all)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        return _run(args)
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+def _run(args) -> int:
+    from rayqual.config import TableMeta
+    from rayqual.pipelines.validation_report import (
+        validation_report,
+        validation_report_dataset,
+    )
+    from rayqual.sources.readers import read_any
+
+    table_name = args.table_name or os.path.basename(args.data_filepath).split(".")[0]
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%d")
+    report_dir = os.path.join(args.out_dir, "qualityreport", args.account_id)
+    os.makedirs(report_dir, exist_ok=True)
+    stem = os.path.join(report_dir, f"{table_name}_report_{now}")
+
+    start = time()
+    ds = read_any(args.data_filepath)
+    meta = TableMeta.from_csv(args.metadata_filepath)
+
+    if args.key_col:
+        rep_ds = validation_report_dataset(
+            ds, meta, key_col=args.key_col, table_name=table_name,
+            account=args.account_id, bucket=args.bucket_name,
+        )
+        # cheap count via the written files' metadata would be ideal;
+        # count() here runs the pipeline once and the write re-runs it —
+        # acceptable for a report-sized output, or write first and stat
+        rep_ds = rep_ds.materialize()
+        n = rep_ds.count()
+        if n == 0:
+            url = _write_no_issues(stem, table_name, args.account_id, now)
+        elif args.format == "csv":
+            rep_ds.write_csv(f"{stem}.csv")
+            url = f"{stem}.csv"
+        else:
+            rep_ds.write_parquet(f"{stem}.parquet")
+            url = f"{stem}.parquet"
+    else:
+        rep = validation_report(
+            ds, meta, table_name=table_name,
+            account=args.account_id, bucket=args.bucket_name,
+        )
+        n = len(rep)
+        if n == 0:
+            url = _write_no_issues(stem, table_name, args.account_id, now)
+        elif args.format == "csv":
+            rep.to_csv(f"{stem}.csv", index=False)
+            url = f"{stem}.csv"
+        else:
+            rep.to_parquet(f"{stem}.parquet", index=False)
+            url = f"{stem}.parquet"
+
+    elapsed = time() - start
+    print(f"Ran data quality checks on {table_name} table")
+    if url.endswith(".txt"):
+        print("No data quality issues were discovered in data")
+    print(f"Quality report saved at: {url}")
+    print(f"Report rows: {n}")
+    print(f"Time required : {elapsed:.3f} sec")
+    return 0
+
+
+def _write_no_issues(stem: str, table_name: str, account: str, now: str) -> str:
+    """The reference's clean-run artifact (quality_report.py:220-227)."""
+    path = f"{stem}.txt"
+    with open(path, "w") as f:
+        f.write(
+            f"As of {now}, {table_name} from {account} does not have any data quality issues."
+        )
+    return path
+
+
+if __name__ == "__main__":
+    sys.exit(main())

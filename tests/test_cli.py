@@ -1,0 +1,72 @@
+"""End-to-end CLI test: the reference-parity runner (reference
+run.py:29-45) on a fixture table with seeded violations — report CSV
+written under {out}/qualityreport/{account}/, clean runs produce the
+one-line .txt artifact (reference quality_report.py:220-227)."""
+
+import glob
+
+import pandas as pd
+
+from rayqual.cli import main
+
+
+def _write_fixture(tmp_path):
+    data = tmp_path / "widgets.csv"
+    data.write_text(
+        "ID,COUNT,NOTE\n"
+        "1,5,ok\n"
+        "2,not_a_number,ok\n"
+        "3,7,a@b.com\n"
+        "3,7,a@b.com\n"
+    )
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "Attribute_Name,Data_Type,Data_Type_Length_Total\n"
+        "ID,integer,\n"
+        "COUNT,integer,\n"
+        "NOTE,string,10\n"
+    )
+    return str(data), str(meta)
+
+
+def test_cli_writes_report_csv(ray_session, tmp_path, capsys):
+    data, meta = _write_fixture(tmp_path)
+    rc = main([data, meta, "acct", "bkt", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "widgets table" in out
+    files = glob.glob(str(tmp_path / "qualityreport" / "acct" / "widgets_report_*.csv"))
+    assert len(files) == 1
+    rep = pd.read_csv(files[0])
+    assert {"DQ_REPORT_ID", "COLUMN_NAME", "VALIDATION_ID", "PRIMARY_KEY_VALUE"} <= set(rep.columns)
+    assert rep["TABLE_NAME"].eq("widgets").all()
+    # V5 integer failure on COUNT row 2; V16 email rows; V17 dup row 4
+    assert (rep["VALIDATION_ID"] == 5).any()
+    assert (rep["VALIDATION_ID"] == 16).any()
+    assert (rep["VALIDATION_ID"] == 17).any()
+
+
+def test_cli_distributed_parquet(ray_session, tmp_path):
+    data, meta = _write_fixture(tmp_path)
+    rc = main([data, meta, "acct", "bkt", "--out-dir", str(tmp_path),
+               "--key-col", "ID", "--format", "parquet"])
+    assert rc == 0
+    dirs = glob.glob(str(tmp_path / "qualityreport" / "acct" / "widgets_report_*.parquet"))
+    assert len(dirs) == 1
+    rep = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{dirs[0]}/*.parquet")], ignore_index=True
+    )
+    assert (rep["VALIDATION_ID"] == 5).any()
+    assert rep["DQ_REPORT_ID"].str.len().eq(16).all()
+
+
+def test_cli_clean_run_writes_txt(ray_session, tmp_path):
+    data = tmp_path / "clean.csv"
+    data.write_text("A,B\nfoo,bar\nbaz,qux\n")
+    meta = tmp_path / "meta.csv"
+    meta.write_text("Attribute_Name,Data_Type,Data_Type_Length_Total\nA,string,\nB,string,\n")
+    rc = main([str(data), str(meta), "acct", "bkt", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    txts = glob.glob(str(tmp_path / "qualityreport" / "acct" / "clean_report_*.txt"))
+    assert len(txts) == 1
+    assert "does not have any data quality issues" in open(txts[0]).read()
