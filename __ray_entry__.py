@@ -628,6 +628,47 @@ def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
     return lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
 
 
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal decode plumbing as a checked row: a deterministic
+    synthetic media table (seeded payload bytes + typed metadata) runs
+    through the DecodeImage ACTOR-POOL stage (decoder built once per
+    actor; small batch_size because payloads are binary blobs); the
+    oracle is a committed expected-output fixture
+    (tests/fixtures/media_decode_expected.parquet) — the fake decoder
+    is a pure function of payload sha, so the output is identical at
+    every scale factor and across the cluster."""
+    import ray.data
+
+    from rayqual.ops.multimodal import DecodeImage, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(100)).repartition(4)
+    out = media.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def flat(b: pa.Table) -> pa.Table:
+        mr = b.column("mean_rgb")
+        ft = b.column("feature")
+        return pa.table(
+            {
+                "id": b.column("id"),
+                "height": pc.cast(b.column("height"), pa.int32()),
+                "width": pc.cast(b.column("width"), pa.int32()),
+                "r_mean": pc.list_element(mr, 0),
+                "g_mean": pc.list_element(mr, 1),
+                "b_mean": pc.list_element(mr, 2),
+                "f0": pc.list_element(ft, 0),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def q_validation_report_events(sf_dir: str):
     """Reference-style metadata-driven report over a derived events
     view — the STREAMING dataset path (no driver collect; deterministic
@@ -698,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "multimodal_decode": q_multimodal_decode,
         "validation_report_events": q_validation_report_events,
     }
 
@@ -884,6 +926,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "multimodal_decode": f"""
+            SELECT id, height, width, r_mean, g_mean, b_mean, f0
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/media_decode_expected.parquet')
         """,
         "validation_report_events": f"""
             WITH t AS (

@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run the data-quality rulebook and write a quality report.",
     )
     p.add_argument("data_filepath", help="data table (.csv/.json/.txt/.parquet/.pqt)")
-    p.add_argument("metadata_filepath", help="metadata CSV (Attribute_Name, Data_Type, ...)")
+    p.add_argument("metadata_filepath",
+                   help="metadata table: CSV or XLSX (Attribute_Name, Data_Type, ...)")
     p.add_argument("account_id", help="account label stamped into the report")
     p.add_argument("bucket_name", help="bucket/site label stamped into the report")
     p.add_argument("--out-dir", default=".", help="root output directory (default: cwd)")
@@ -85,7 +86,7 @@ def _run(args) -> int:
 
     start = time()
     ds = read_any(args.data_filepath)
-    meta = TableMeta.from_csv(args.metadata_filepath)
+    meta = TableMeta.from_any(args.metadata_filepath)
 
     if args.key_col:
         rep_ds = validation_report_dataset(

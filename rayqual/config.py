@@ -77,6 +77,24 @@ class TableMeta:
             cols.append(ColumnMeta(name=str(n), data_type=t, length_total=lf))
         return cls(cols)
 
+    @classmethod
+    def from_xlsx(cls, path: str, sheet_name: str = "DPI-1", header_row: int = 4) -> "TableMeta":
+        """Load the reference's metadata workbook (read_data.py:123-137)
+        via the stdlib xlsx parser (S7)."""
+        from rayqual.sources.xlsx import read_metadata_xlsx
+
+        return read_metadata_xlsx(path, sheet_name, header_row)
+
+    @classmethod
+    def from_any(cls, path: str) -> "TableMeta":
+        """Dispatch by extension like the reference's ReadDataPandas
+        (read_data.py:100-110): .csv or .xlsx."""
+        if path.endswith(".csv"):
+            return cls.from_csv(path)
+        if path.endswith(".xlsx"):
+            return cls.from_xlsx(path)
+        raise ValueError(f"unsupported metadata format: {path}")
+
     def attribute_names(self) -> list[str]:
         return [c.name for c in self.columns]
 

@@ -1,0 +1,138 @@
+"""Minimal stdlib XLSX reader for the metadata workbook (reference
+read_data.py:123-137: sheet 'DPI-1', header at spreadsheet row 5, fixed
+usecols, '.'→'_' rename in Attribute_Name).
+
+XLSX is a zip of XML parts; this container has no openpyxl, so the
+reader walks the three parts needed for a flat cell grid directly with
+``zipfile`` + ``xml.etree``: workbook.xml (sheet name → relationship
+id), workbook.xml.rels (relationship id → worksheet part), and
+sharedStrings.xml (the string table for t="s" cells). Driver-side only
+— metadata workbooks are tiny (one row per column).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_NS_MAIN = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_NS_DOCREL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'AB7' → 27."""
+    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def _sheet_part(zf: zipfile.ZipFile, sheet_name: str) -> str:
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rid = None
+    for sh in wb.iter(f"{_NS_MAIN}sheet"):
+        if sh.get("name") == sheet_name:
+            rid = sh.get(f"{_NS_DOCREL}id")
+            break
+    if rid is None:
+        raise ValueError(f"sheet {sheet_name!r} not found in workbook")
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    for rel in rels.iter(f"{_NS_REL}Relationship"):
+        if rel.get("Id") == rid:
+            target = rel.get("Target").lstrip("/")
+            return target if target.startswith("xl/") else f"xl/{target}"
+    raise ValueError(f"no relationship target for sheet {sheet_name!r}")
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    out = []
+    for si in root.iter(f"{_NS_MAIN}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS_MAIN}t")))
+    return out
+
+
+def read_xlsx_grid(path: str, sheet_name: str) -> list[list]:
+    """The sheet as a dense row-major grid (None for absent cells).
+    Numbers come back as float, strings as str, inline/shared strings
+    resolved."""
+    with zipfile.ZipFile(path) as zf:
+        strings = _shared_strings(zf)
+        root = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
+        rows: list[dict[int, object]] = []
+        max_col = -1
+        for row in root.iter(f"{_NS_MAIN}row"):
+            cells: dict[int, object] = {}
+            for c in row.iter(f"{_NS_MAIN}c"):
+                ref = c.get("r")
+                col = _col_index(ref) if ref else len(cells)
+                ctype = c.get("t", "n")
+                v = c.find(f"{_NS_MAIN}v")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{_NS_MAIN}is")
+                    val = "".join(t.text or "" for t in is_el.iter(f"{_NS_MAIN}t")) if is_el is not None else None
+                elif v is None or v.text is None:
+                    val = None
+                elif ctype == "s":
+                    val = strings[int(v.text)]
+                elif ctype in ("str", "b"):
+                    val = v.text if ctype == "str" else bool(int(v.text))
+                else:
+                    val = float(v.text)
+                cells[col] = val
+                max_col = max(max_col, col)
+            rows.append(cells)
+    return [[r.get(j) for j in range(max_col + 1)] for r in rows]
+
+
+#: the reference's fixed usecols (read_data.py:131-133) — note
+#: Data_Type_Length_Total is deliberately ABSENT, reproducing the
+#: reference quirk that string/varchar length checks silently no-op
+#: with xlsx metadata (SURVEY.md §2.4 V10 note)
+XLSX_USECOLS = (
+    "Attribute_Name", "Data_Type", "Nullable", "Data_Structure",
+    "Lookup_Table_Name", "Enhance_Table_Name", "IS_PCI", "IS_PII",
+    "IS_CPNI", "Description",
+)
+
+
+def read_metadata_xlsx(path: str, sheet_name: str = "DPI-1", header_row: int = 4):
+    """TableMeta from the reference's metadata workbook layout: header
+    at spreadsheet row ``header_row+1``, reference usecols, '.' → '_'
+    rename in Attribute_Name (reference read_data.py:134-136)."""
+    from rayqual.config import ColumnMeta, TableMeta
+
+    grid = read_xlsx_grid(path, sheet_name)
+    if len(grid) <= header_row:
+        raise ValueError(f"sheet {sheet_name!r} has no header row at index {header_row}")
+    header = grid[header_row]
+    pos = {name: j for j, name in enumerate(header) if name in XLSX_USECOLS}
+    if "Attribute_Name" not in pos:
+        raise ValueError("Attribute_Name column not found under the header row")
+
+    def cell(row, name):
+        j = pos.get(name)
+        return row[j] if j is not None and j < len(row) else None
+
+    cols = []
+    for row in grid[header_row + 1:]:
+        name = cell(row, "Attribute_Name")
+        if name is None or str(name).strip() == "":
+            continue
+        nullable = cell(row, "Nullable")
+        is_pii = cell(row, "IS_PII")
+        cols.append(
+            ColumnMeta(
+                name=str(name).replace(".", "_"),
+                data_type=(str(cell(row, "Data_Type")) if cell(row, "Data_Type") is not None else None),
+                length_total=None,  # reference usecols omit the limit column
+                nullable=(str(nullable).upper() in ("Y", "YES", "TRUE", "1")) if nullable is not None else None,
+                is_pii=(str(is_pii).upper() in ("Y", "YES", "TRUE", "1")) if is_pii is not None else None,
+            )
+        )
+    return TableMeta(cols)

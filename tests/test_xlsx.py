@@ -1,0 +1,121 @@
+"""S7 metadata XLSX reader: a handcrafted workbook (zip + XML, no
+openpyxl anywhere) with the reference's layout — sheet 'DPI-1', junk
+preamble rows, header at spreadsheet row 5, dotted attribute names —
+parsed into TableMeta and driven through the CLI end to end."""
+
+import zipfile
+
+import pytest
+
+from rayqual.config import TableMeta
+from rayqual.sources.xlsx import read_metadata_xlsx, read_xlsx_grid
+
+_MAIN = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_RELNS = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+_DOCREL = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+
+def _cell(ref, value, strings):
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"><v>{value}</v></c>'
+    if value not in strings:
+        strings.append(value)
+    return f'<c r="{ref}" t="s"><v>{strings.index(value)}</v></c>'
+
+
+def _write_xlsx(path, rows, sheet_name="DPI-1"):
+    """rows: list of dicts {col_letter: value}; row 1 = spreadsheet row 1."""
+    strings: list[str] = []
+    row_xml = []
+    for i, cells in enumerate(rows, start=1):
+        body = "".join(_cell(f"{col}{i}", v, strings) for col, v in cells.items())
+        row_xml.append(f'<row r="{i}">{body}</row>')
+    sheet = f'<worksheet {_MAIN}><sheetData>{"".join(row_xml)}</sheetData></worksheet>'
+    sst_items = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    sst = f'<sst {_MAIN} count="{len(strings)}" uniqueCount="{len(strings)}">{sst_items}</sst>'
+    workbook = (
+        f'<workbook {_MAIN} {_DOCREL}><sheets>'
+        f'<sheet name="{sheet_name}" sheetId="1" r:id="rId1"/>'
+        f"</sheets></workbook>"
+    )
+    rels = (
+        f'<Relationships {_RELNS}>'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def _reference_layout_rows():
+    """Preamble junk in rows 1-4, header in row 5 (pandas header=4),
+    data from row 6 — the reference's DPI-1 layout (read_data.py:135)."""
+    return [
+        {"A": "Data Product Intake"},
+        {},
+        {"A": "version", "B": 2.0},
+        {},
+        {"A": "Attribute_Name", "B": "Data_Type", "C": "Nullable", "D": "IS_PII"},
+        {"A": "user.id", "B": "integer", "C": "N", "D": "N"},
+        {"A": "contact.email", "B": "string", "C": "Y", "D": "Y"},
+        {"A": "score", "B": "double"},
+    ]
+
+
+def test_grid_and_metadata_parse(tmp_path):
+    p = tmp_path / "meta.xlsx"
+    _write_xlsx(p, _reference_layout_rows())
+    grid = read_xlsx_grid(str(p), "DPI-1")
+    assert grid[2][1] == 2.0  # numeric cell
+    assert grid[4][0] == "Attribute_Name"
+
+    meta = read_metadata_xlsx(str(p))
+    # '.' -> '_' rename (reference read_data.py:136)
+    assert meta.attribute_names() == ["user_id", "contact_email", "score"]
+    assert meta.get("user_id").data_type == "integer"
+    assert meta.get("contact_email").is_pii is True
+    assert meta.get("user_id").nullable is False
+    # the reference usecols omit Data_Type_Length_Total -> no limits
+    assert meta.length_limit("contact_email") is None
+
+
+def test_missing_sheet_raises(tmp_path):
+    p = tmp_path / "meta.xlsx"
+    _write_xlsx(p, _reference_layout_rows(), sheet_name="OTHER")
+    with pytest.raises(ValueError, match="DPI-1"):
+        read_metadata_xlsx(str(p))
+
+
+def test_from_any_dispatch(tmp_path):
+    p = tmp_path / "meta.xlsx"
+    _write_xlsx(p, _reference_layout_rows())
+    meta = TableMeta.from_any(str(p))
+    assert meta.attribute_names() == ["user_id", "contact_email", "score"]
+    with pytest.raises(ValueError, match="unsupported"):
+        TableMeta.from_any("/nope.yaml")
+
+
+def test_cli_accepts_xlsx_metadata(ray_session, tmp_path):
+    import glob
+
+    import pandas as pd
+
+    from rayqual.cli import main
+
+    data = tmp_path / "users.csv"
+    data.write_text("user_id,contact_email,score\n1,a@b.com,0.5\n2,oops,-1.0\n")
+    meta = tmp_path / "meta.xlsx"
+    _write_xlsx(meta, _reference_layout_rows())
+    rc = main([str(data), str(meta), "acct", "bkt", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    files = glob.glob(str(tmp_path / "qualityreport" / "acct" / "users_report_*.csv"))
+    assert len(files) == 1
+    rep = pd.read_csv(files[0])
+    # V9 double: negative score fails under strict reference compat
+    assert ((rep["VALIDATION_ID"] == 9) & (rep["COLUMN_NAME"] == "score")).any()
+    # V16 sensitive: the email cell
+    assert (rep["VALIDATION_ID"] == 16).any()
