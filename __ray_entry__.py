@@ -606,6 +606,75 @@ def q_simhash_dedup_docs(sf_dir: str):
     return pa.table({"doc_id": pa.array(losers, pa.int64())})
 
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    """Exact n-gram Jaccard dedup (MinHash-LSH propose → exact verify
+    inside bucketed map_groups) — loser doc ids."""
+    from rayqual.ops.neardup import ngram_jaccard_losers
+
+    losers = ngram_jaccard_losers(_docs(sf_dir), "doc_id", "text", threshold=0.7)
+    return pa.table({"doc_id": pa.array(losers, pa.int64())})
+
+
+def q_lsh_embed_neardup_docs(sf_dir: str, threshold: float = 0.95):
+    """Random-hyperplane LSH near-dup over embeddings (the scale path
+    for embed_neardup_pairs): bucketed, seeded, no driver collect.
+    Exercised in its design regime (cos ≥ 0.95) by injecting
+    deterministic duplicate vectors (vec_id % 50 → one of 3 shared
+    vectors), so recall is provably non-vacuous at every scale."""
+    from rayqual.ops.neardup import lsh_embedding_neardup_pairs
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        dim = emb.shape[1]
+        rng = np.random.default_rng(99)
+        shared = rng.standard_normal((3, dim))
+        dup = ids % 50 == 0
+        emb[dup] = shared[(ids[dup] // 50) % 3]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(list(emb), pa.list_(pa.float64()))}
+        )
+
+    ds = _embeddings(sf_dir).map_batches(inject, batch_format="pyarrow")
+    out = lsh_embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=threshold)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["id_a", "id_b"])
+
+    return _typed(out.map_batches(strip, batch_format="pyarrow"), {"id_a": "int64", "id_b": "int64"})
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling stub plumbing (1→N expansion per payload)
+    through the actor pool; oracle = committed expected fixture (pure
+    function of payload sha — identical at any scale factor)."""
+    import ray.data
+
+    from rayqual.ops.multimodal import FrameSample, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(40, kind="video")).repartition(4)
+    out = media.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every_n": 10},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b.column("id"),
+                "frame": pc.cast(b.column("frame"), pa.int32()),
+                "f0": pc.list_element(b.column("feature"), 0),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def q_fingerprint_docs(sf_dir: str):
     from rayqual.functions.hashing import rolling_fingerprint
 
@@ -738,8 +807,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "lsh_embed_neardup_docs": q_lsh_embed_neardup_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "validation_report_events": q_validation_report_events,
     }
 
@@ -930,6 +1002,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": f"""
             SELECT id, height, width, r_mean, g_mean, b_mean, f0
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/media_decode_expected.parquet')
+        """,
+        "frame_sample": f"""
+            SELECT id, frame, f0
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/frame_sample_expected.parquet')
         """,
         "validation_report_events": f"""
             WITH t AS (

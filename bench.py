@@ -134,15 +134,17 @@ def main():
         # child processes at two N-vs-4N parallelism pairs.
         #
         # The PRIMARY pair is 2 vs 8 CPUs: both levels sit below this
-        # single VM's shared-memory-bandwidth saturation knee
-        # (measured: identical per-call kernel time at 1 and 8
-        # concurrent workers, 2.2x slower at 30), so the ratio
-        # reflects genuine pipeline scaling — the property that carries
-        # to N vs 4N *nodes*, where each node brings its own memory
-        # bus. The 8-vs-32 pair is also reported; its shortfall is the
-        # one-box bandwidth ceiling (~6.5k files/s here), not scheduler
-        # or shuffle overhead. Full numbers + the contention experiment
-        # are recorded in BASELINE.md.
+        # single VM's memory-subsystem saturation knee (a synchronized
+        # parallel-memcpy probe shows aggregate copy bandwidth scaling
+        # ~linearly to 8 processes and kneeing at 16: 14/28/52/98 GB/s
+        # at 1/2/4/8 procs, 138 at 16, 129 at 32 — BASELINE.md), so the
+        # ratio reflects genuine pipeline scaling — the property that
+        # carries to N vs 4N *nodes*, where each node brings its own
+        # memory channels. The 8-vs-32 pair is also reported; its
+        # shortfall is the one-box bandwidth ceiling (~13.8k files/s
+        # after the round-2 traffic cuts), not scheduler or shuffle
+        # overhead. Full 2/4/8/16/32 curve + the probe are recorded in
+        # BASELINE.md.
         import ray
 
         # scaling corpus default: large enough that fixed per-run costs

@@ -29,18 +29,32 @@ from rayqual.functions.textstats import StringBytes, string_bytes
 
 N_BUCKETS = 1 << 15  # hashed feature space for both models
 _B = np.int64(N_BUCKETS)
+_MASK = np.int64(N_BUCKETS - 1)  # == % N_BUCKETS for non-negative h
 
 
 def gram_hashes(b: np.ndarray, n: int) -> np.ndarray:
-    """Bucket ids of all byte n-grams of ``b`` (positional, len-n+1)."""
+    """Bucket ids of all byte n-grams of ``b`` (positional, len-n+1).
+    ``h & (2^15-1)`` is identical to ``h % 2^15`` for the non-negative
+    intermediate values here — same bucket ids, ~3× cheaper."""
     m = len(b) - n + 1
     if m <= 0:
         return np.empty(0, dtype=np.int64)
     h = np.zeros(m, dtype=np.int64)
     for j in range(n):
         h = h * np.int64(257) + b[j: j + m].astype(np.int64)
-        h %= _B
+        h &= _MASK
     return h
+
+
+def gram23_hashes(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h2, h3) in one pass: h3 extends h2 by one byte, so the 3-gram
+    table costs one multiply-add instead of a full rescan."""
+    h2 = gram_hashes(b, 2)
+    m3 = len(b) - 2
+    if m3 <= 0:
+        return h2, np.empty(0, dtype=np.int64)
+    h3 = (h2[:m3] * np.int64(257) + b[2:].astype(np.int64)) & _MASK
+    return h2, h3
 
 
 class LangIdModel:
@@ -137,6 +151,70 @@ class CharLM:
         starts = (np.cumsum(counts) - counts)[nz]
         out[nz] = np.add.reduceat(bits, starts) / counts[nz]
         return out
+
+
+def fused_scores(
+    langid: LangIdModel, lm: CharLM, sb: StringBytes, lang_sample: int, ppl_sample: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(langid scores [n, L], char-LM bits/char [n]) from ONE byte
+    gather and ONE shared 2/3-gram hash pass.
+
+    The separate ``score_batch`` + ``bits_per_char`` calls each gather
+    their own sample prefix and re-hash it — at 32 CPUs that redundant
+    memory traffic is the measured scaling ceiling (BASELINE.md). Here
+    the gather uses max(lang_sample, ppl_sample) bytes and each model
+    restricts grams with a position mask; the surviving hash sequences
+    (and therefore every float64 summation order) are identical to the
+    standalone paths, so results are bit-exact with the oracle."""
+    n = sb.n_docs
+    L = len(langid.languages)
+    scores = np.zeros((n, L), dtype=np.float64)
+    bits = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return scores, bits
+    sample = max(lang_sample, ppl_sample)
+    lens = np.minimum(sb.lengths, sample)
+    b = np.concatenate([sb.data[s: s + l] for s, l in zip(sb.starts, lens)])
+    if len(b) == 0:
+        return scores, bits
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts_c = np.cumsum(lens) - lens
+    pos = np.arange(len(b), dtype=np.int64) - starts_c[doc_ids]
+    h2, h3 = gram23_hashes(b)
+    lens_lang = np.minimum(sb.lengths, lang_sample)
+    lens_ppl = np.minimum(sb.lengths, ppl_sample)
+
+    # --- langid: per-language gather + segment reduceat ---------------
+    # pos < lens_lang - (ng-1) keeps exactly the grams of each doc's
+    # first lang_sample bytes AND excludes cross-doc windows (a window
+    # crossing a doc boundary starts at pos >= gathered_len - (ng-1))
+    for ng, h_all, w in ((2, h2, langid.w2), (3, h3, langid.w3)):
+        if len(h_all) == 0:
+            continue
+        m = len(h_all)
+        mvalid = pos[:m] < (lens_lang[doc_ids[:m]] - (ng - 1))
+        hv = h_all[mvalid]
+        counts = np.maximum(lens_lang - (ng - 1), 0)
+        ne = counts > 0
+        if not ne.any():
+            continue
+        starts_r = (np.cumsum(counts) - counts)[ne]
+        for li in range(L):
+            scores[ne, li] += np.add.reduceat(w[:, li][hv], starts_r)
+
+    # --- char-LM bits/char --------------------------------------------
+    if len(h3):
+        m = len(h3)
+        v3 = pos[:m] < (lens_ppl[doc_ids[:m]] - 2)
+        h3v, h2v = h3[v3], h2[:m][v3]
+        p = (lm.c3[h3v] + lm.k) / (lm.c2[h2v] + lm.k * lm.vocab)
+        gbits = -np.log2(p)
+        counts3 = np.maximum(lens_ppl - 2, 0)
+        nz = counts3 > 0
+        if nz.any():
+            starts_r = (np.cumsum(counts3) - counts3)[nz]
+            bits[nz] = np.add.reduceat(gbits, starts_r) / counts3[nz]
+    return scores, bits
 
 
 _MODEL_CACHE: dict[tuple[str, ...], tuple[LangIdModel, CharLM]] = {}

@@ -63,29 +63,48 @@ def _union_find_losers(pairs: list[tuple], ids: set) -> set:
     return losers
 
 
-def minhash_propose_pairs(
-    ds,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 64,
-    bands: int = 8,
-    shingle_size: int = 12,
-    max_bucket: int = 200,
-) -> pd.DataFrame:
-    """LSH propose stage: unique candidate (id_a < id_b) pairs.
+def minhash_sig_dataset(ds, id_col: str, text_col: str, num_perm: int = 64, shingle_size: int = 12):
+    """ONE scan over the text computes every signature; the result
+    (id, sig: fixed_size_list<u64, num_perm>) is materialized — at
+    ~(8·num_perm+8) bytes/row it is ≈0.05% of a text corpus, so
+    pinning it (spillable) beats either re-scanning content for the
+    verify stage or shipping signatures bands× through the band
+    shuffle (the round-1 shape)."""
+    from rayqual import ship_to_workers as _stw
 
-    The band shuffle ships ONLY (bkey, id) — 16 bytes per (doc, band)
-    row, 32× less than attaching the 64×u64 signature (the round-1
-    shape). Signatures are recomputed for the (small) candidate cohort
-    in the verify stage instead."""
+    _stw()  # by-value shipping for sys.path-blind Ray workers
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.ravel(), type=pa.uint64()), num_perm
+        )
+        return pa.table({"id": batch.column(id_col), "sig": sig_list})
+
+    return ds.map_batches(sigs, batch_format="pyarrow").materialize()
+
+
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("sig")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    num_perm = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+
+
+def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200) -> pd.DataFrame:
+    """LSH propose stage over a signature dataset: unique candidate
+    (id_a < id_b) pairs. The band shuffle ships ONLY (bkey, id) — 16
+    bytes per (doc, band) row, 32× less than attaching the 64×u64
+    signature (the round-1 shape)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
 
     def keys_only(batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures(batch.column(text_col), num_perm, shingle_size)
+        sig = _sig_matrix(batch)
         keys = minhash_band_keys(sig, bands)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
         # one row per (doc, band): bucket key mixes band index
         bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
         return pa.table(
@@ -104,12 +123,26 @@ def minhash_propose_pairs(
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     pairs = (
-        ds.map_batches(keys_only, batch_format="pyarrow")
+        sig_ds.map_batches(keys_only, batch_format="pyarrow")
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
         .to_pandas()  # pair LIST only — small by the dup-rate assumption
     )
     return pairs.drop_duplicates(ignore_index=True)
+
+
+def minhash_propose_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_size: int = 12,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """Text-input convenience wrapper: signature scan + propose."""
+    sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
+    return minhash_propose_from_sigs(sig_ds, bands, max_bucket)
 
 
 def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn):
@@ -191,29 +224,69 @@ def minhash_candidate_pairs(
     shingle_size: int = 12,
     threshold: float = 0.8,
     max_bucket: int = 200,
+    driver_verify_threshold: int = 250_000,
 ):
     """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
     threshold). est_jaccard = fraction of agreeing minhashes over the
-    FULL signature, computed in a distributed pair-key verify stage —
-    the band shuffle itself carries no signatures."""
-    cand = minhash_propose_pairs(ds, id_col, text_col, num_perm, bands, shingle_size, max_bucket)
-    if len(cand) == 0:
-        import ray.data
+    FULL signature; text is scanned exactly once and the band shuffle
+    carries no signatures.
 
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+    Verify placement is adaptive: the pair LIST is driver-side by
+    design (union-find runs there), so when it is small the cohort's
+    signature rows (≤ 2·|pairs| × ~520 B) are fetched and verified in
+    one vectorized compare — no second shuffle. Above
+    ``driver_verify_threshold`` pairs, verification runs distributed
+    inside ``groupby(pair).map_groups`` instead."""
+    import ray.data
+
+    sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
+    cand = minhash_propose_from_sigs(sig_ds, bands, max_bucket)
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+
+    if len(cand) <= driver_verify_threshold:
+        import ray
+
+        cohort = set(cand["id_a"]) | set(cand["id_b"])
+        coref = ray.put(cohort)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            co = ray.get(coref)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            mask = np.fromiter((i in co for i in ids), dtype=bool, count=len(ids))
+            return batch.filter(pa.array(mask))
+
+        sub = pa.concat_tables(
+            sig_ds.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        )
+        ids = sub.column("id").to_numpy(zero_copy_only=False)
+        mat = _sig_matrix(sub)
+        pos = {i: j for j, i in enumerate(ids)}
+        a_pos = np.fromiter((pos[i] for i in cand["id_a"]), dtype=np.int64, count=len(cand))
+        b_pos = np.fromiter((pos[i] for i in cand["id_b"]), dtype=np.int64, count=len(cand))
+        est = (mat[a_pos] == mat[b_pos]).mean(axis=1)
+        ok = est >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(cand["id_a"].to_numpy()[ok], pa.int64()),
+                    "id_b": pa.array(cand["id_b"].to_numpy()[ok], pa.int64()),
+                    "est_jaccard": pa.array(est[ok], pa.float64()),
+                }
+            )
         )
 
     def payload(sub: pa.Table) -> list:
-        sig = minhash_signatures(sub.column(text_col), num_perm, shingle_size)
+        sig = _sig_matrix(sub)
         return [sig[j] for j in range(sig.shape[0])]
 
     def verify(sig_a, sig_b):
         est = float((sig_a == sig_b).mean())
         return est if est >= threshold else None
 
-    out = _pair_key_verify(ds, id_col, cand, payload, verify)
+    out = _pair_key_verify(sig_ds, "id", cand, payload, verify)
 
     def rename(b: pa.Table) -> pa.Table:
         return b.rename_columns(["id_a", "id_b", "est_jaccard"])

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from rayqual.config import RuleConfig
-from rayqual.functions.models import get_models
+from rayqual.functions.models import fused_scores, get_models
 from rayqual.functions.textstats import string_bytes
 
 
@@ -32,7 +32,11 @@ class LangScore:
             content = content.combine_chunks()
         sb = string_bytes(content)
 
-        scores, _ = self.langid.score_batch(sb, cfg.langid_sample_bytes)
+        # one byte gather + one shared 2/3-gram pass for both models
+        # (bit-exact with the standalone score_batch/bits_per_char)
+        scores, bits = fused_scores(
+            self.langid, self.lm, sb, cfg.langid_sample_bytes, cfg.ppl_sample_bytes
+        )
         pred = np.argmax(scores, axis=1)
         row_idx = np.arange(len(pred))
         top = scores[row_idx, pred]
@@ -48,7 +52,6 @@ class LangScore:
         margin_vs_declared[known] = top[known] - scores[row_idx[known], decl_idx[known]]
         mismatch = known & (pred != decl_idx) & (margin_vs_declared > cfg.langid_margin)
 
-        bits = self.lm.bits_per_char(sb, cfg.ppl_sample_bytes)
         ppl_fail = bits > cfg.max_bits_per_char
 
         langs = list(self.config.languages)

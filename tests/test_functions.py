@@ -183,3 +183,32 @@ def test_scrub_chain_arrow_matches_python():
     assert "<AWS_KEY>" in scrubbed[4].as_py()
     assert "<PROFANITY>" in scrubbed[5].as_py()
     assert not scrubbed[6].is_valid  # untouched → NULL (coalesce keeps original)
+
+
+def test_fused_scores_bit_exact_with_standalone():
+    """The fused single-gather path must reproduce score_batch +
+    bits_per_char bit-for-bit (same hash sequences, same summation
+    order) — it feeds the keep/drop decision compared against the
+    oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayqual.config import RuleConfig
+    from rayqual.functions.models import fused_scores, get_models
+    from rayqual.functions.textstats import string_bytes
+
+    cfg = RuleConfig()
+    langid, lm = get_models(cfg.languages)
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(0, 5000))
+        docs.append(bytes(rng.integers(32, 127, n).tolist()).decode("ascii"))
+    docs += ["", "ab", "x" * 10000, None]
+    sb = string_bytes(pa.array(docs, pa.string()))
+
+    fused_s, fused_b = fused_scores(langid, lm, sb, cfg.langid_sample_bytes, cfg.ppl_sample_bytes)
+    ref_s, _ = langid.score_batch(sb, cfg.langid_sample_bytes)
+    ref_b = lm.bits_per_char(sb, cfg.ppl_sample_bytes)
+    np.testing.assert_array_equal(fused_s, ref_s)
+    np.testing.assert_array_equal(fused_b, ref_b)
