@@ -358,6 +358,70 @@ def q_ipv4_check_events(sf_dir: str):
     return _events(sf_dir).map_batches(check, batch_format="pyarrow")
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash-based Bernoulli sample (5%) — reproducible
+    sampling without a global shuffle (Knuth multiplicative hash on the
+    key, expressible identically in SQL)."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        h = pc.multiply(did, pa.scalar(2654435761, pa.int64()))
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, 100), 100))
+        return pa.table({"doc_id": did}).filter(pc.less(bucket, 5))
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Distinct values via grouped count (the distributed `unique`
+    shape — shuffle of the (tiny) key column only)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _events(sf_dir)
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_type"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_event_users_not_customers(sf_dir: str):
+    """Set difference via broadcast anti-join: distinct event user_ids
+    with no matching customer row (the small side is read once on the
+    driver and shipped via closure; no shuffle of the big side)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column("c_custkey")
+    # restrict the right side to a deterministic segment (custkey%3==0)
+    # so the difference is non-vacuous at every scale factor (the full
+    # customer domain is a superset of event user ids by construction)
+    seg = [k for k in keys.to_pylist() if k % 3 == 0]
+    key_set = pa.array(sorted(seg), pa.int64())
+
+    def anti(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id")
+        mask = pc.invert(pc.is_in(uid, value_set=key_set))
+        return pa.table({"user_id": uid}).filter(mask)
+
+    out = (
+        _events(sf_dir)
+        .map_batches(anti, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["user_id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate over lineitem."""
     import ray.data
@@ -791,6 +855,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timestamp_check_events": q_timestamp_check_events,
         "epoch_check_events": q_epoch_check_events,
         "ipv4_check_events": q_ipv4_check_events,
+        "sample_docs": q_sample_docs,
+        "distinct_event_types": q_distinct_event_types,
+        "event_users_not_customers": q_event_users_not_customers,
         "pricing_summary": q_pricing_summary,
         "top_parts_by_count": q_top_parts_by_count,
         "orders_by_priority": q_orders_by_priority,
@@ -919,6 +986,15 @@ def oracle_sql() -> dict[str, str]:
                      CAST((event_id * 13) % 256 AS VARCHAR) AS v
               FROM events)
             SELECT event_id FROM t WHERE NOT regexp_matches(v, '{_IPV4}')
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 100 < 5
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "event_users_not_customers": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -71,6 +71,12 @@ class LangIdModel:
                 counts = np.bincount(h, minlength=N_BUCKETS).astype(np.float64)
                 total = counts.sum()
                 w[:, li] = np.log((counts + 0.1) / (total + 0.1 * N_BUCKETS))
+        # transposed copies for scoring: each language row is a
+        # contiguous 256 KB table, so the per-language random gathers
+        # stay L2-resident instead of touching a full cache line of the
+        # [N_BUCKETS, L] layout per gram (same values — layout only)
+        self.w2t = np.ascontiguousarray(self.w2.T)
+        self.w3t = np.ascontiguousarray(self.w3.T)
 
     def score_batch(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray]:
         """Returns (scores [n_docs, L], n_grams [n_docs]) — total
@@ -88,7 +94,7 @@ class LangIdModel:
         ) if n else np.empty(0, dtype=np.uint8)
         doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
         n_grams = np.zeros(n, dtype=np.int64)
-        for ng, w in ((2, self.w2), (3, self.w3)):
+        for ng, wt in ((2, self.w2t), (3, self.w3t)):
             h = gram_hashes(b, ng)
             if len(h) == 0:
                 continue
@@ -101,7 +107,7 @@ class LangIdModel:
                 continue
             starts = (np.cumsum(counts) - counts)[ne]
             for li in range(L):
-                scores[ne, li] += np.add.reduceat(w[:, li][hv], starts)
+                scores[ne, li] += np.add.reduceat(wt[li][hv], starts)
         return scores, n_grams
 
     def predict(self, sb: StringBytes, sample_bytes: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -188,7 +194,7 @@ def fused_scores(
     # pos < lens_lang - (ng-1) keeps exactly the grams of each doc's
     # first lang_sample bytes AND excludes cross-doc windows (a window
     # crossing a doc boundary starts at pos >= gathered_len - (ng-1))
-    for ng, h_all, w in ((2, h2, langid.w2), (3, h3, langid.w3)):
+    for ng, h_all, wt in ((2, h2, langid.w2t), (3, h3, langid.w3t)):
         if len(h_all) == 0:
             continue
         m = len(h_all)
@@ -200,7 +206,7 @@ def fused_scores(
             continue
         starts_r = (np.cumsum(counts) - counts)[ne]
         for li in range(L):
-            scores[ne, li] += np.add.reduceat(w[:, li][hv], starts_r)
+            scores[ne, li] += np.add.reduceat(wt[li][hv], starts_r)
 
     # --- char-LM bits/char --------------------------------------------
     if len(h3):
