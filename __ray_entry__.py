@@ -663,6 +663,16 @@ def q_minhash_dedup_docs(sf_dir: str):
     return pa.table({"doc_id": pa.array(losers, pa.int64())})
 
 
+def q_minhash_dedup_distributed_docs(sf_dir: str):
+    """The nothing-on-the-driver dedup path: pairs dataset +
+    distributed signature verify + connected components (ops/cc.py).
+    Same losers as minhash_dedup_docs (asserted in tests/test_ops.py)."""
+    from rayqual.ops.neardup import minhash_dedup_losers_distributed
+
+    out = minhash_dedup_losers_distributed(_docs(sf_dir), "doc_id", "text", threshold=0.8)
+    return _typed(out, {"id": "int64"}).rename(columns={"id": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_dedup_docs(sf_dir: str):
     from rayqual.ops.neardup import simhash_dedup_losers
 
@@ -872,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_quality_gate": q_flagship_quality_gate,
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "minhash_dedup_distributed_docs": q_minhash_dedup_distributed_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,

@@ -1,0 +1,166 @@
+"""Distributed connected components over a pair/edge dataset.
+
+The near-dup pipelines cluster candidate pairs and keep the minimum id
+per cluster. Below ``driver_threshold`` edges the driver-side
+union-find (ops/neardup.py) is faster; above it, this module computes
+components WITHOUT any driver-side graph: iterative min-label
+propagation, where each round every node adopts the smallest label in
+its neighborhood (including its own) via two Ray ``groupby`` passes.
+Converges in O(component diameter) rounds — near-dup clusters are
+small and dense (diameter ≤ ~3 in practice), and ``max_rounds`` bounds
+the worst case.
+
+Partitioning assumption (SURVEY.md custom-operator rule): the edge
+list may exceed driver memory but each groupby key's rows (a node's
+incident edges) fit a worker — true unless one document pairs with a
+super-linear fraction of the corpus, which the LSH bucket caps
+prevent upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _labels_from_edges(edges_ds):
+    """Initial label per node: min neighbor (or self) seen in any edge."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, bb])
+        lab = np.concatenate([np.minimum(a, bb), np.minimum(a, bb)])
+        return pa.table({"node": pa.array(node, pa.int64()), "label": pa.array(lab, pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    return (
+        edges_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+
+def connected_components(edges_ds, max_rounds: int = 10):
+    """Dataset of (node, label) where label = min node id of the
+    component. ``edges_ds`` columns: id_a, id_b (int64).
+
+    Each round: ship labels across edges (join by node via groupby) and
+    take the neighborhood min. Stops when a round changes nothing
+    (tracked with a distributed count — no driver materialization of
+    nodes or edges).
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Min
+
+    labels = _labels_from_edges(edges_ds).materialize()
+    if labels.count() == 0:
+        return labels
+
+    for _ in range(max_rounds):
+        # propagate: for each edge, each endpoint offers its label to
+        # the other; union with current labels; min per node
+        def tag_edges(b: pa.Table) -> pa.Table:
+            a = b.column("id_a").to_numpy(zero_copy_only=False)
+            bb = b.column("id_b").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, bb]), pa.int64()),
+                    "peer": pa.array(np.concatenate([bb, a]), pa.int64()),
+                }
+            )
+
+        # peer labels: join edge peers with current labels by grouping
+        # (peer, node) rows together with (node, label) rows
+        def as_offer(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("peer"),
+                    "dst": b.column("node"),
+                    "label": pa.array(np.full(len(b), -1), pa.int64()),
+                }
+            )
+
+        def as_label(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("node"),
+                    "dst": pa.array(np.full(len(b), -1), pa.int64()),
+                    "label": b.column("label"),
+                }
+            )
+
+        offers = edges_ds.map_batches(tag_edges, batch_format="pyarrow").map_batches(
+            as_offer, batch_format="pyarrow"
+        )
+        lab_rows = labels.map_batches(as_label, batch_format="pyarrow")
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["dst"] == -1, "label"]
+            if len(lab) == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            lv = int(lab.min())
+            dsts = g.loc[g["dst"] != -1, "dst"].to_numpy()
+            # the key node keeps its label; destinations receive it
+            nodes = np.concatenate([[int(g["key"].iloc[0])], dsts])
+            return pd.DataFrame({"node": nodes.astype("int64"),
+                                 "label": np.full(len(nodes), lv, dtype="int64")})
+
+        new_labels = (
+            offers.union(lab_rows)
+            .groupby("key")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+
+        # convergence: count label decreases via a distributed compare
+        def pair_lab(tag: int):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": b.column("node"),
+                        "l": b.column("label"),
+                        "tag": pa.array(np.full(len(b), tag), pa.int64()),
+                    }
+                )
+
+            return f
+
+        def changed(g: pd.DataFrame) -> pd.DataFrame:
+            ls = g.groupby("tag")["l"].min()
+            ch = int(len(ls) > 1 and ls.min() != ls.max())
+            return pd.DataFrame({"c": [ch]})
+
+        n_changed = (
+            labels.map_batches(pair_lab(0), batch_format="pyarrow")
+            .union(new_labels.map_batches(pair_lab(1), batch_format="pyarrow"))
+            .groupby("node")
+            .map_groups(changed, batch_format="pandas")
+            .sum("c")
+        )
+        labels = new_labels
+        if not n_changed:
+            break
+    return labels
+
+
+def component_losers(edges_ds, max_rounds: int = 10):
+    """Loser nodes (every component member except its minimum) as a
+    Dataset — the distributed replacement for driver union-find."""
+    import pyarrow.compute as pc
+
+    labels = connected_components(edges_ds, max_rounds)
+
+    def losers(b: pa.Table) -> pa.Table:
+        mask = pc.not_equal(b.column("node"), b.column("label"))
+        return pa.table({"id": b.column("node")}).filter(mask)
+
+    return labels.map_batches(losers, batch_format="pyarrow")

@@ -304,6 +304,133 @@ def minhash_dedup_losers(ds, id_col: str, text_col: str, **kw) -> list:
     return sorted(_union_find_losers(sorted(uniq), seen))
 
 
+def minhash_dedup_losers_distributed(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_size: int = 12,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    cc_rounds: int = 10,
+):
+    """The 10^12-row dedup path: NOTHING touches the driver — not the
+    pair list, not the signatures, not the clusters.
+
+    1. signature dataset (one text scan, materialized — 0.05% of corpus);
+    2. band buckets propose pairs as a DATASET of (id_a, id_b) rows
+       (the driver variant collects this list);
+    3. est_jaccard verify via two distributed joins: memberships
+       (node → pair key) union signature rows, grouped by node to
+       attach signatures, then grouped by pair key to compare;
+    4. clusters via distributed connected components
+       (ops/cc.py min-label propagation), losers = non-minimum members.
+
+    Returns a Dataset with one ``id`` column. Identical results to
+    :func:`minhash_dedup_losers` (verified in tests); use the driver
+    variant when the pair list comfortably fits memory — fewer
+    shuffles, same answer.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from rayqual.ops.cc import component_losers
+
+    sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch)
+        keys = minhash_band_keys(sig, bands)
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
+        return pa.table(
+            {"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(np.repeat(ids, bands))}
+        )
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        if len(g) > max_bucket:
+            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
+            g = g.head(max_bucket)
+        ids = g["id"].to_numpy()
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
+
+    pairs_ds = (
+        sig_ds.map_batches(keys_only, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+    )
+
+    # --- distributed est verify -----------------------------------------
+    # pair key packs both ids (injective for ids < 1_000_000_007 since
+    # id_b < the multiplier; beyond that switch to a 128-bit hash);
+    # duplicates across bands collapse in the final per-pair group
+    def memberships(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = a * np.int64(1_000_000_007) + bb
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+                "sig": pa.array([None] * (2 * len(a)), pa.list_(pa.uint64())),
+            }
+        )
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        col = b.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "node": b.column("id").cast(pa.int64()),
+                "pk": pa.array(np.full(len(b), -1), pa.int64()),
+                "sig": col.cast(pa.list_(pa.uint64())),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g.loc[g["pk"] == -1, "sig"]
+        pks = g.loc[g["pk"] != -1, "pk"].drop_duplicates()
+        if len(sig) == 0 or len(pks) == 0:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="object")})
+        s = sig.iloc[0]
+        node = int(g["node"].iloc[0])
+        return pd.DataFrame({"pk": pks.to_numpy(),
+                             "node": np.full(len(pks), node, dtype="int64"),
+                             "sig": [s] * len(pks)})
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["node"]).sort_values("node")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        sa = np.asarray(g["sig"].iloc[0], dtype=np.uint64)
+        sb = np.asarray(g["sig"].iloc[1], dtype=np.uint64)
+        if float((sa == sb).mean()) < threshold:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": [int(g["node"].iloc[0])], "id_b": [int(g["node"].iloc[1])]})
+
+    good_pairs = (
+        pairs_ds.map_batches(memberships, batch_format="pyarrow")
+        .union(sig_ds.map_batches(sig_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("pk")
+        .map_groups(compare, batch_format="pandas")
+    )
+
+    return component_losers(good_pairs, max_rounds=cc_rounds)
+
+
 def simhash_dedup_losers(
     ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3, max_bucket: int = 500
 ) -> list:

@@ -209,3 +209,55 @@ def test_multimodal_decode_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImage(decoder="pil")
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation must produce the same
+    clusters (min id per component) as the driver union-find, on a
+    random graph with chains, stars, and singleton-free structure."""
+    from rayqual.ops.cc import component_losers
+    from rayqual.ops.neardup import _union_find_losers
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    # chain 0-1-2-...-9 (diameter 9 exercises multiple rounds)
+    for i in range(9):
+        edges.add((i, i + 1))
+    # star around 100
+    for leaf in range(101, 108):
+        edges.add((100, leaf))
+    # random sparse pairs
+    for _ in range(60):
+        a, b = sorted(rng.integers(200, 260, 2).tolist())
+        if a != b:
+            edges.add((a, b))
+    exp = sorted(_union_find_losers(sorted(edges), set()))
+
+    ed = sorted(edges)
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in ed], pa.int64()),
+            "id_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    got_ds = component_losers(ray_session.data.from_arrow(t).repartition(3), max_rounds=15)
+    got = sorted(got_ds.to_pandas()["id"].tolist())
+    assert got == exp
+
+
+def test_minhash_dedup_distributed_matches_driver(ray_session):
+    """The nothing-on-the-driver dedup path (pairs dataset +
+    distributed verify + connected components) must produce the same
+    loser set as the driver union-find path."""
+    from rayqual.ops.neardup import minhash_dedup_losers, minhash_dedup_losers_distributed
+
+    texts = [BASE, NEAR, FAR1, FAR2, BASE, FAR1 + "tail", NEAR.replace("items", "elems", 1)]
+    ds = make_docs_ds(ray_session, texts)
+    driver = minhash_dedup_losers(ds, "doc_id", "text", threshold=0.5)
+    dist = sorted(
+        minhash_dedup_losers_distributed(ds, "doc_id", "text", threshold=0.5)
+        .to_pandas()["id"]
+        .tolist()
+    )
+    assert dist == driver
+    assert len(driver) > 0
