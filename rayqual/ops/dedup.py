@@ -243,6 +243,41 @@ def mark_duplicates_partitioned(
     )
 
 
+def dedup_plan(
+    ds,
+    hash_col: str = "content_sha256",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    driver_threshold: int = 2_000_000,
+    broadcast_threshold: int = 5_000_000,
+):
+    """Measure once, decide once: returns ``("broadcast", ref)`` with a
+    ``ray.put`` Arrow key array, or ``("partitioned", losers_ds)`` with
+    a materialized loser Dataset when the loser set exceeds broadcast.
+    The plan is applied to any number of consumers with
+    :func:`apply_dedup_plan` (the flagship marks both the wide verdict
+    dataset and the slim metrics projection)."""
+    n = None
+    try:
+        n = ds.count()
+    except Exception:
+        pass
+    if n is not None and n <= driver_threshold:
+        return "broadcast", loser_keys_ref(exact_dedup_loser_keys(ds, hash_col, key_cols, driver_threshold))
+    losers = exact_dedup_losers(ds, hash_col, key_cols).materialize()
+    if losers.count() <= broadcast_threshold:
+        keys = losers.to_pandas()
+        key_set = set(keys["key"]) if "key" in keys.columns else set()
+        return "broadcast", loser_keys_ref(key_set)
+    return "partitioned", losers
+
+
+def apply_dedup_plan(ds, plan, key_cols: tuple[str, ...] = ("repo", "path", "commit"), n_buckets: int = 64):
+    mode, payload = plan
+    if mode == "broadcast":
+        return mark_duplicates(ds, payload, key_cols)
+    return mark_duplicates_partitioned(ds, payload, key_cols, n_buckets)
+
+
 def mark_duplicates_auto(
     ds,
     hash_col: str = "content_sha256",

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayqual.config import RuleConfig
-from rayqual.ops.dedup import exact_dedup_loser_keys, loser_keys_ref, mark_duplicates
+from rayqual.ops.dedup import apply_dedup_plan, dedup_plan, loser_keys_ref
 from rayqual.stages.score import LangScore
 from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
 
@@ -218,8 +218,8 @@ def run_quality_gate_resumable(
     shutil.rmtree(f"{output_dir}/metrics", ignore_errors=True)
 
     verdicts = ray.data.read_parquet(part_dirs)
-    ref = loser_keys_ref(exact_dedup_loser_keys(verdicts) if cfg.exact_dedup else set())
-    final = _finalize(mark_duplicates(verdicts, ref), cfg)
+    plan = dedup_plan(verdicts) if cfg.exact_dedup else ("broadcast", loser_keys_ref(set()))
+    final = _finalize(apply_dedup_plan(verdicts, plan), cfg)
     final.map_batches(kept_projection, batch_format="pyarrow").write_parquet(f"{output_dir}/kept")
 
     slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
@@ -227,7 +227,7 @@ def run_quality_gate_resumable(
     ]
     # column-pruned read: the metrics pass never touches content bytes
     slim = ray.data.read_parquet(part_dirs, columns=slim_cols)
-    metrics = metrics_rollup(_finalize(mark_duplicates(slim, ref), cfg))
+    metrics = metrics_rollup(_finalize(apply_dedup_plan(slim, plan), cfg))
     metrics.write_parquet(f"{output_dir}/metrics")
     return {
         "manifests": manifests,
@@ -287,10 +287,10 @@ def run_quality_gate(
 
     raw = vd
     if cfg.exact_dedup:
-        ref = loser_keys_ref(exact_dedup_loser_keys(vd))
-        vd = mark_duplicates(vd, ref)
+        plan = dedup_plan(vd)
+        vd = apply_dedup_plan(vd, plan)
     else:
-        ref = None
+        plan = None
 
     # mark+finalize stay lazy: the expensive scoring is already pinned,
     # so each consumer (kept write, metrics, caller) re-runs only the
@@ -310,8 +310,8 @@ def run_quality_gate(
         return b.select([c for c in slim_cols if c in b.column_names])
 
     slim = raw.map_batches(_slim, batch_format="pyarrow", zero_copy_batch=True)
-    if ref is not None:
-        slim = mark_duplicates(slim, ref)
+    if plan is not None:
+        slim = apply_dedup_plan(slim, plan)
     metrics = metrics_rollup(_finalize(slim, cfg))
     if output_dir is not None:
         kept.write_parquet(f"{output_dir}/kept")

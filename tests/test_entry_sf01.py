@@ -19,9 +19,13 @@ SCALE_SENSITIVE = [
     "asof_latest_order",
     "orders_per_nation",
     "dup_exact_docs",
+    "dup_partitioned_docs",
     "dup_prefix40_docs",
     "events_window_5min",
     "sessionize_events",
+    "sample_docs",
+    "event_users_not_customers",
+    "validation_report_events",
 ]
 
 

@@ -261,3 +261,37 @@ def test_minhash_dedup_distributed_matches_driver(ray_session):
     )
     assert dist == driver
     assert len(driver) > 0
+
+
+def test_dedup_plan_modes(ray_session):
+    """dedup_plan picks broadcast for small loser sets and partitioned
+    above the threshold; both applications mark identical rows."""
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.dedup import apply_dedup_plan, dedup_plan
+
+    n = 300
+    texts = [f"DUP-{i % 4}" if i % 2 == 0 else f"uniq-{i}" for i in range(n)]
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    t = t.append_column("content_sha256", sha256_array(t.column("content")))
+    ds = ray_session.data.from_arrow(t).repartition(3)
+
+    plan_b = dedup_plan(ds)
+    assert plan_b[0] == "broadcast"
+    marked_b = apply_dedup_plan(ds, plan_b).to_pandas().sort_values("path").reset_index(drop=True)
+
+    # force the partitioned decision: tiny driver + broadcast budgets
+    plan_p = dedup_plan(ds, driver_threshold=10, broadcast_threshold=10)
+    assert plan_p[0] == "partitioned"
+    marked_p = (
+        apply_dedup_plan(ds, plan_p, n_buckets=8).to_pandas().sort_values("path").reset_index(drop=True)
+    )
+    # even i -> i%4 in {0,2}: 150 dup rows across 2 groups -> 148 losers
+    assert marked_b["fail_duplicate"].sum() == n // 2 - 2
+    pd.testing.assert_series_equal(marked_b["fail_duplicate"], marked_p["fail_duplicate"])
