@@ -812,6 +812,18 @@ def q_multimodal_decode(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog count-distinct of event users (sketch aggregate —
+    registers travel, keys don't). Rows-only: the ~0.8% HLL error is
+    checked against the exact count in pytest, not hash-compared."""
+    import pandas as pd
+
+    from rayqual.ops.sketch import approx_distinct
+
+    est = approx_distinct(_events(sf_dir).select_columns(["user_id"]), "user_id")
+    return pd.DataFrame({"approx_distinct_users": [float(round(est, 2))]})
+
+
 def q_validation_report_events(sf_dir: str):
     """Reference-style metadata-driven report over a derived events
     view — the STREAMING dataset path (no driver collect; deterministic
@@ -890,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "approx_distinct_users": q_approx_distinct_users,
         "validation_report_events": q_validation_report_events,
     }
 

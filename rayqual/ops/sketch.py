@@ -1,0 +1,91 @@
+"""Approximate aggregates: HyperLogLog count-distinct over a Dataset
+column.
+
+The reference has no sketches (SURVEY.md §2.6); at 10^12 rows an exact
+count-distinct is an all-to-all shuffle of every key, while a HLL
+register array is 2^p bytes regardless of cardinality: each batch folds
+its values into a local register array (vectorized numpy), register
+arrays max-merge associatively, and only the (16 KB at p=14) registers
+travel — a map_batches partial + tiny reduce, no shuffle.
+
+Standard HLL with the bias-corrected estimator (Flajolet et al. 2007
+constants + small/large-range corrections). Deterministic: hashing is
+pandas' fixed-key siphash, so the estimate is reproducible across runs
+and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(values: np.ndarray, p: int = 14) -> np.ndarray:
+    """Fold a value array into a fresh 2^p uint8 register array."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = pd.util.hash_array(values if values.dtype == object else values.astype(object))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits with 1s
+    # rank = position of the first 1 bit from the top of `rest`, 1-based;
+    # values stop counting at their first 1 (the `active` mask)
+    ranks = np.ones(len(h), dtype=np.uint8)
+    probe = rest.copy()
+    top = np.uint64(1) << np.uint64(63)
+    active = np.ones(len(h), dtype=bool)
+    for _ in range(64 - p):
+        still_zero = active & ((probe & top) == 0)
+        if not still_zero.any():
+            break
+        ranks[still_zero] += 1
+        active = still_zero
+        probe = probe << np.uint64(1)
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate from a register array (with corrections)."""
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def approx_distinct(ds, column: str, p: int = 14) -> float:
+    """Approximate count-distinct of ``ds[column]`` (~0.81% rel. error
+    at p=14). Per-batch registers max-merge on the driver — each batch
+    contributes one 2^p-byte row regardless of its cardinality."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        vals = vals[pd.notna(vals)]
+        regs = hll_registers(vals, p)
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for row in b.column("regs").to_pylist():
+            np.maximum(merged, np.asarray(row, dtype=np.uint8), out=merged)
+    return hll_estimate(merged)

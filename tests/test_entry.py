@@ -88,3 +88,12 @@ def test_oracle_queries_have_results(ray_session, con, sf_tiny):
     for name in sorted(set(ORACLES) - may_be_empty_at_tiny):
         n = len(con.execute(ORACLES[name]).df())
         assert n > 0, f"{name} oracle returned no rows at sf0.001"
+
+
+def test_approx_distinct_users_close_to_exact(ray_session, con, sf_tiny):
+    """The HLL sketch query lands within 2% of DuckDB's exact count."""
+    import __ray_entry__ as entrymod
+
+    est = float(entrymod.q_approx_distinct_users(sf_tiny)["approx_distinct_users"].iloc[0])
+    exact = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(est - exact) / exact < 0.02, (est, exact)

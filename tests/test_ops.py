@@ -295,3 +295,20 @@ def test_dedup_plan_modes(ray_session):
     # even i -> i%4 in {0,2}: 150 dup rows across 2 groups -> 148 losers
     assert marked_b["fail_duplicate"].sum() == n // 2 - 2
     pd.testing.assert_series_equal(marked_b["fail_duplicate"], marked_p["fail_duplicate"])
+
+
+def test_hll_approx_distinct_accuracy(ray_session):
+    """HLL estimate within ~2% of exact at several cardinalities, and
+    invariant to partitioning (register merge is associative)."""
+    from rayqual.ops.sketch import approx_distinct, hll_estimate, hll_registers
+
+    for true_n in (100, 5_000, 60_000):
+        vals = np.arange(true_n, dtype=np.int64)
+        est = hll_estimate(hll_registers(vals))
+        assert abs(est - true_n) / true_n < 0.02, (true_n, est)
+
+    t = pa.table({"u": pa.array(np.arange(20_000, dtype=np.int64) % 7_777, pa.int64())})
+    for parts in (1, 4):
+        ds = ray_session.data.from_arrow(t).repartition(parts)
+        est = approx_distinct(ds, "u")
+        assert abs(est - 7_777) / 7_777 < 0.02, (parts, est)
