@@ -812,6 +812,33 @@ def q_multimodal_decode(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """EXACT quantiles of doc length via the histogram trick: a
+    groupby(value).count shuffle of the (small-domain) length column,
+    then a driver cumsum over the tiny histogram — no global sort of
+    the data. quantile_disc semantics: smallest value whose cumulative
+    count reaches ceil(q*n)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir)
+        .select_columns(["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum()
+    n = int(cum.iloc[-1])
+    out = {}
+    for q in (0.25, 0.5, 0.75, 0.95):
+        rank = int(np.ceil(q * n))
+        out[f"p{int(q * 100)}"] = int(hist.loc[(cum >= rank).idxmax(), "n_chars"])
+    return pd.DataFrame({k: [v] for k, v in out.items()})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog count-distinct of event users (sketch aggregate —
     registers travel, keys don't). Rows-only: the ~0.8% HLL error is
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_check_events": q_epoch_check_events,
         "ipv4_check_events": q_ipv4_check_events,
         "sample_docs": q_sample_docs,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "distinct_event_types": q_distinct_event_types,
         "event_users_not_customers": q_event_users_not_customers,
         "pricing_summary": q_pricing_summary,
@@ -1014,6 +1042,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE (doc_id * 2654435761) % 100 < 5
+        """,
+        "doc_len_quantiles": """
+            SELECT quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.95) AS p95
+            FROM documents
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "event_users_not_customers": """
