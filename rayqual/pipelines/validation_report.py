@@ -43,6 +43,29 @@ from rayqual.rules.rulebook import column_name_preprocess
 from rayqual.schema import REPORT_COLUMNS
 
 
+#: rule-failure sentinel: the reference SILENTLY drops a rule's whole
+#: result set on any exception (catch-all at quality_report.py:124-126,
+#: 175-177). We surface them instead: a kernel exception emits ONE
+#: report row with VALIDATION_ID=0 naming the rule and the error —
+#: visible in the report, never fatal to the other rules (SURVEY §4).
+RULE_ERROR_ID = 0
+
+
+def _rule_error_rows(column, vid, err, table_name, timestamp, account, bucket):
+    return {
+        "AWS_ACCOUNT_NAME": [account],
+        "S3_BUCKET": [bucket],
+        "TABLE_NAME": [table_name],
+        "COLUMN_NAME": [column],
+        "VALIDATION_CATEGORY": ["Rule Error"],
+        "VALIDATION_ID": [RULE_ERROR_ID],
+        "VALIDATION_MESSAGE": [f"rule {vid} failed: {type(err).__name__}: {err}"],
+        "PRIMARY_KEY_COLUMN": [None],
+        "PRIMARY_KEY_VALUE": [None],
+        "TIMESTAMP": [timestamp],
+    }
+
+
 def _report_rows(column, vid, pk_col, pk_values, table_name, timestamp, account, bucket):
     cat, msg = K.CATEGORY_MESSAGE[vid]
     n = len(pk_values)
@@ -167,20 +190,30 @@ def _local_row_rules(table, meta, key_col, table_name, timestamp, account, bucke
     # V3 nulls + V16 sensitive over ALL columns (reference :257,261)
     for vid, kernel in ((3, K.null_fail), (16, K.sensitive_fail)):
         for c in data_cols:
-            mask = kernel(table.column(c))
+            try:
+                mask = kernel(table.column(c))
+            except Exception as err:  # dead-letter row, never silent
+                parts.append(pd.DataFrame(_rule_error_rows(
+                    c, vid, err, table_name, timestamp, account, bucket)))
+                continue
             if mask.any():
                 parts.append(pd.DataFrame(_report_rows(
                     c, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
 
     # datatype rulebook over metadata-typed columns
     for col, dtype, vid, kernel, limit in _rule_plan(meta, data_cols):
-        values = K.as_string_array(table.column(col))
-        if kernel is K.string_length_fail:
-            mask = kernel(values, limit)
-        elif kernel is K.double_fail:
-            mask = kernel(values, strict_reference_compat=strict)
-        else:
-            mask = kernel(values)
+        try:
+            values = K.as_string_array(table.column(col))
+            if kernel is K.string_length_fail:
+                mask = kernel(values, limit)
+            elif kernel is K.double_fail:
+                mask = kernel(values, strict_reference_compat=strict)
+            else:
+                mask = kernel(values)
+        except Exception as err:  # dead-letter row, never silent
+            parts.append(pd.DataFrame(_rule_error_rows(
+                col, vid, err, table_name, timestamp, account, bucket)))
+            continue
         if mask.any():
             parts.append(pd.DataFrame(_report_rows(
                 col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
@@ -287,18 +320,28 @@ def validation_report_dataset(
         data_cols = [c for c in batch.column_names if c != key_col]
         for vid, kernel in ((3, K.null_fail), (16, K.sensitive_fail)):
             for c in data_cols:
-                mask = kernel(batch.column(c))
+                try:
+                    mask = kernel(batch.column(c))
+                except Exception as err:  # dead-letter row, never silent
+                    frames.append(pd.DataFrame(_rule_error_rows(
+                        c, vid, err, table_name, timestamp, account, bucket)))
+                    continue
                 if mask.any():
                     frames.append(pd.DataFrame(_report_rows(
                         c, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
         for col, dtype, vid, kernel, limit in plan:
-            values = K.as_string_array(batch.column(col))
-            if kernel is K.string_length_fail:
-                mask = kernel(values, limit)
-            elif kernel is K.double_fail:
-                mask = kernel(values, strict_reference_compat=strict_reference_compat)
-            else:
-                mask = kernel(values)
+            try:
+                values = K.as_string_array(batch.column(col))
+                if kernel is K.string_length_fail:
+                    mask = kernel(values, limit)
+                elif kernel is K.double_fail:
+                    mask = kernel(values, strict_reference_compat=strict_reference_compat)
+                else:
+                    mask = kernel(values)
+            except Exception as err:  # dead-letter row, never silent
+                frames.append(pd.DataFrame(_rule_error_rows(
+                    col, vid, err, table_name, timestamp, account, bucket)))
+                continue
             if mask.any():
                 frames.append(pd.DataFrame(_report_rows(
                     col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))

@@ -132,3 +132,44 @@ def test_flatten_sources(ray_session, tmp_path):
     assert read_any(str(tmp_path / "t.csv")).count() == 2
     with pytest.raises(ValueError):
         read_any("/nope.xlsx")
+
+
+def test_rule_error_dead_letter(ray_session, monkeypatch):
+    """A kernel that raises must surface as a VALIDATION_ID=0 'Rule
+    Error' row — never silently dropped (the reference swallows the
+    whole rule, quality_report.py:175-177) and never fatal to the
+    other rules, in both parity and distributed modes."""
+    from rayqual.rules import kernels as K
+    from rayqual.pipelines.validation_report import validation_report
+
+    def boom(values):
+        raise RuntimeError("kernel exploded")
+
+    monkeypatch.setitem(K.DATATYPE_KERNELS, "integer", (5, boom))
+
+    t = pa.table(
+        {
+            "NUM": pa.array(["1", "x"], pa.string()),
+            "TXT": pa.array([None, "ok"], pa.string()),
+            "RID": pa.array([1, 2], pa.int64()),
+        }
+    )
+    meta = TableMeta([ColumnMeta("NUM", data_type="integer"), ColumnMeta("TXT", data_type=None),
+                      ColumnMeta("RID", data_type=None)])
+
+    # parity mode
+    rep = validation_report(t, meta, timestamp="TS")
+    err_rows = rep[rep["VALIDATION_ID"] == 0]
+    assert len(err_rows) == 1
+    assert "kernel exploded" in err_rows["VALIDATION_MESSAGE"].iloc[0]
+    assert err_rows["COLUMN_NAME"].iloc[0] == "NUM"
+    # the other rules still ran (V3 null on TXT row 1)
+    assert (rep["VALIDATION_ID"] == 3).any()
+
+    # distributed mode
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    rep_d = validation_report(ds, meta, key_col="RID", timestamp="TS")
+    err_d = rep_d[rep_d["VALIDATION_ID"] == 0]
+    assert len(err_d) >= 1
+    assert "kernel exploded" in err_d["VALIDATION_MESSAGE"].iloc[0]
+    assert (rep_d["VALIDATION_ID"] == 3).any()
