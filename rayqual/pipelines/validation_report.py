@@ -313,6 +313,18 @@ def validation_report_dataset(
     plan = _rule_plan(meta, renamed)
     empty = REPORT_ARROW_SCHEMA.empty_table()
 
+    #: combined per-batch output: report rows AND the V17 (rowhash, key)
+    #: projection in ONE schema (marker-free: hash rows have h set and
+    #: every report column null) — so the input is scanned ONCE and the
+    #: small combined result is materialized for both downstream
+    #: branches (the lazy-DAG alternative re-runs the read+rules per
+    #: branch)
+    COMBINED_SCHEMA = pa.schema(
+        list(REPORT_ARROW_SCHEMA) + [pa.field("h", pa.string()), pa.field("key", pa.string())]
+    )
+
+    import pyarrow.compute as pc
+
     def emit(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(column_name_preprocess(batch.column_names))
         keys = batch.column(key_col).to_pandas()
@@ -345,42 +357,80 @@ def validation_report_dataset(
             if mask.any():
                 frames.append(pd.DataFrame(_report_rows(
                     col, vid, key_col, keys[mask].tolist(), table_name, timestamp, account, bucket)))
-        if not frames:
-            return empty
-        return _with_dq_id(pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False))
-
-    parts.append(ds.map_batches(emit, batch_format="pyarrow"))
-
-    # --- V17: vectorized row hash, shuffle (hash, key) only ------------
-    import pyarrow.compute as pc
-
-    def rowhash(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(column_name_preprocess(batch.column_names))
-        cols = [pc.cast(batch.column(c), pa.string()) for c in batch.column_names if c != key_col]
+        if frames:
+            viol = _with_dq_id(pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False))
+        else:
+            viol = empty
+        # V17 projection from the SAME batch: vectorized sha over all
+        # non-key columns joined (null -> \\x00 sentinel)
+        cols = [pc.cast(batch.column(c), pa.string()) for c in data_cols]
         joined = pc.binary_join_element_wise(
             *cols, "\x1f", null_handling="replace", null_replacement="\x00"
         )
-        return pa.table({"h": sha256_array(joined), "key": batch.column(key_col).cast(pa.string())})
+        viol_pad = viol.append_column("h", pa.nulls(len(viol), pa.string()))
+        viol_pad = viol_pad.append_column("key", pa.nulls(len(viol), pa.string()))
+        hcols = {f.name: pa.nulls(len(batch), f.type) for f in REPORT_ARROW_SCHEMA}
+        hcols["h"] = sha256_array(joined)
+        hcols["key"] = batch.column(key_col).cast(pa.string())
+        return pa.concat_tables([viol_pad, pa.table(hcols).cast(COMBINED_SCHEMA)])
 
-    def losers(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) <= 1:
-            return pd.DataFrame({"key": pd.Series([], dtype="string")})
-        return group.loc[group["key"] != group["key"].min(), ["key"]]
+    # ONE scan of the input; the combined result is small (violations +
+    # a ~100 B/row hash projection) and is materialized so the two
+    # branches below don't re-run the read + rules
+    combined = ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def viol_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("h"))).drop_columns(["h", "key"])
+
+    parts.append(combined.map_batches(viol_only, batch_format="pyarrow"))
+
+    # --- V17: losers from the (hash, key) projection. One VECTORIZED
+    # groupby-aggregate (min key + count per hash — a per-group python
+    # map_groups here costs ~50 µs × n_groups of dispatch alone), then
+    # the duplicate groups (small by the few-dups assumption, same as
+    # ops/dedup.py's broadcast) are broadcast and each row checks
+    # membership + winner in a vectorized lookup.
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    def hash_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("h"))).select(["h", "key"])
+
+    hash_ds = combined.map_batches(hash_only, batch_format="pyarrow")
+    groups = hash_ds.groupby("h").aggregate(
+        Min("key", alias_name="kmin"), Count(alias_name="n")
+    )
+
+    def dup_groups_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("n"), 1)).select(["h", "kmin"])
+
+    dup_batches = list(
+        groups.map_batches(dup_groups_only, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    dup_tbl = (
+        pa.concat_tables(dup_batches)
+        if dup_batches
+        else pa.table({"h": pa.array([], pa.string()), "kmin": pa.array([], pa.string())})
+    )
+    dup_index = pd.Index(dup_tbl.column("h").to_pylist())
+    dup_kmin = np.asarray(dup_tbl.column("kmin").to_pylist(), dtype=object)
+    dref = ray.put((dup_index, dup_kmin))
 
     def dup_report(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0 or "key" not in batch.column_names:
+        idx, kmin = ray.get(dref)
+        if len(idx) == 0 or len(batch) == 0:
             return empty
-        rows = _report_rows(None, 17, None, batch.column("key").to_pylist(),
-                            table_name, timestamp, account, bucket)
+        hs = batch.column("h").to_numpy(zero_copy_only=False)
+        ks = batch.column("key").to_numpy(zero_copy_only=False)
+        pos = idx.get_indexer(hs)
+        mask = (pos >= 0) & (ks != np.where(pos >= 0, kmin[np.maximum(pos, 0)], None))
+        loser_keys = ks[mask].tolist()
+        if not loser_keys:
+            return empty
+        rows = _report_rows(None, 17, None, loser_keys, table_name, timestamp, account, bucket)
         return _with_dq_id(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
 
-    dup_ds = (
-        ds.map_batches(rowhash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(losers, batch_format="pandas")
-        .map_batches(dup_report, batch_format="pyarrow")
-    )
-    parts.append(dup_ds)
+    parts.append(hash_ds.map_batches(dup_report, batch_format="pyarrow"))
 
     out = parts[0]
     for p in parts[1:]:
