@@ -145,11 +145,12 @@ def q_dup_exact_docs(sf_dir: str):
     """Exact duplicate doc_ids over a derived text column (keep min
     doc_id per group) — V17 generalized: the shuffle key is
     sha256(text), so the all-to-all exchange moves (hash, id) only,
-    never content. Duplicates are injected (doc_id % 17 → one of three
+    never content; the per-group min resolves via one vectorized
+    aggregate + broadcast of the duplicate groups (no per-group python
+    dispatch). Duplicates are injected (doc_id % 17 → one of three
     sentinel texts) so the check is non-vacuous at every scale factor."""
-    import pandas as pd
-
     from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.dedup import group_losers
 
     def project(b: pa.Table) -> pa.Table:
         did = b.column("doc_id")
@@ -162,38 +163,22 @@ def q_dup_exact_docs(sf_dir: str):
         )
         return pa.table({"doc_id": did, "h": sha256_array(v)})
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        return g.loc[g["doc_id"] != g["doc_id"].min(), ["doc_id"]]
-
-    out = (
-        _docs(sf_dir)
-        .map_batches(project, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(losers, batch_format="pandas")
-    )
-    return _typed(out, {"doc_id": "int64"})
+    proj = _docs(sf_dir).map_batches(project, batch_format="pyarrow").materialize()
+    return _typed(group_losers(proj, "h", "doc_id"), {"doc_id": "int64"})
 
 
 def q_dup_prefix40_docs(sf_dir: str):
-    """Near-dup bucketing by 40-char prefix (deterministic bucket dedup)."""
-    import pandas as pd
+    """Near-dup bucketing by 40-char prefix (deterministic bucket
+    dedup, vectorized aggregate + broadcast losers)."""
+    from rayqual.ops.dedup import group_losers
 
     def key(b: pa.Table) -> pa.Table:
         return pa.table(
             {"doc_id": b.column("doc_id"), "k": pc.utf8_slice_codeunits(b.column("text"), 0, 40)}
         )
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        return g.loc[g["doc_id"] != g["doc_id"].min(), ["doc_id"]]
-
-    out = (
-        _docs(sf_dir).map_batches(key, batch_format="pyarrow").groupby("k").map_groups(losers, batch_format="pandas")
-    )
-    return _typed(out, {"doc_id": "int64"})
+    proj = _docs(sf_dir).map_batches(key, batch_format="pyarrow").materialize()
+    return _typed(group_losers(proj, "k", "doc_id"), {"doc_id": "int64"})
 
 
 def q_dup_partitioned_docs(sf_dir: str):

@@ -51,31 +51,76 @@ def _key_expr(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
     return pc.binary_join_element_wise(*cols, KEY_SEP)
 
 
-def exact_dedup_losers(ds, hash_col: str = "content_sha256", key_cols: tuple[str, ...] = ("repo", "path", "commit")):
+def exact_dedup_losers(
+    ds,
+    hash_col: str = "content_sha256",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    n_buckets: int = 64,
+):
     """Dataset of loser keys: one row per duplicate (non-representative)
     row, columns = [key] (joined composite). Null hashes (null content)
-    are not considered duplicates."""
+    are not considered duplicates.
+
+    Shape: winners per hash come from a VECTORIZED
+    ``groupby(h).aggregate(Min, Count)`` (Ray's sort-based segmented
+    reduce — no per-group python; the round-1 ``map_groups`` paid fn
+    dispatch per distinct hash, prohibitive at 10^12 groups). The
+    winner set restricted to groups with n > 1 is joined back to the
+    projection per HASH BUCKET (``groupby(bucket).map_groups`` — python
+    dispatch per bucket, vectorized pandas inside), so no side is ever
+    broadcast or collected. Size ``n_buckets`` so a bucket fits a
+    worker (~10^5-10^6 at 10^12 rows)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
 
     import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
 
     def project(batch: pa.Table) -> pa.Table:
         keys = _key_expr(batch, key_cols)
         t = pa.table({"h": batch.column(hash_col), "key": keys})
         return t.filter(pc.is_valid(t.column("h")))  # null content ≠ duplicate
 
-    def losers(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) <= 1:
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+    groups = proj.groupby("h").aggregate(Min("key", alias_name="kmin"), Count(alias_name="n"))
+
+    def winners_bucketed(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n"), 1))
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_ids(b.column("h"), n_buckets)),
+                "h": b.column("h"),
+                "key": pa.nulls(len(b), pa.string()),
+                "kmin": b.column("kmin").cast(pa.string()),
+            }
+        )
+
+    def proj_bucketed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_ids(b.column("h"), n_buckets)),
+                "h": b.column("h"),
+                "key": b.column("key").cast(pa.string()),
+                "kmin": pa.nulls(len(b), pa.string()),
+            }
+        )
+
+    def join_losers(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["kmin"].notna()]
+        if len(w) == 0:
             return pd.DataFrame({"key": pd.Series([], dtype="object")})
-        keep = group["key"].min()
-        return group.loc[group["key"] != keep, ["key"]]
+        kmin_of = pd.Series(w["kmin"].to_numpy(), index=w["h"].to_numpy())
+        rows = g[g["key"].notna()]
+        km = rows["h"].map(kmin_of)
+        losers = rows.loc[km.notna() & (rows["key"] != km), ["key"]]
+        return losers if len(losers) else pd.DataFrame({"key": pd.Series([], dtype="object")})
 
     return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(losers, batch_format="pandas")
+        groups.map_batches(winners_bucketed, batch_format="pyarrow")
+        .union(proj.map_batches(proj_bucketed, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_losers, batch_format="pandas")
     )
 
 
@@ -124,6 +169,53 @@ def exact_dedup_loser_keys(
 
     losers_df = exact_dedup_losers(ds, hash_col, key_cols).to_pandas()
     return set(losers_df["key"]) if "key" in losers_df.columns else set()
+
+
+def group_losers(ds, group_col: str, id_col: str):
+    """Dataset of loser ids — rows whose ``id_col`` is not the minimum
+    of their ``group_col`` group — computed WITHOUT per-group python
+    dispatch: one vectorized groupby-aggregate (min id + count), then
+    the duplicate groups (n > 1; small by the few-dups assumption, as
+    for the broadcast anti-join) are broadcast and every row resolves
+    membership + winner in a vectorized lookup. ``ds`` should be a
+    materialized small projection (it is scanned twice)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    import pyarrow.compute as pc
+
+    groups = ds.groupby(group_col).aggregate(
+        Min(id_col, alias_name="_kmin"), Count(alias_name="_n")
+    )
+
+    def dups_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("_n"), 1)).select([group_col, "_kmin"])
+
+    batches = list(
+        groups.map_batches(dups_only, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    if batches:
+        dup_tbl = pa.concat_tables(batches)
+    else:
+        dup_tbl = pa.table({group_col: pa.array([], pa.string()), "_kmin": pa.array([], pa.int64())})
+    index = pd.Index(dup_tbl.column(group_col).to_pandas())
+    kmin = dup_tbl.column("_kmin").to_numpy(zero_copy_only=False)
+    ref = ray.put((index, kmin))
+
+    def mark(b: pa.Table) -> pa.Table:
+        idx, km = ray.get(ref)
+        out = b.select([id_col])
+        if len(idx) == 0 or len(b) == 0:
+            return out.slice(0, 0)
+        pos = idx.get_indexer(b.column(group_col).to_numpy(zero_copy_only=False))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = (pos >= 0) & (ids != km[np.maximum(pos, 0)])
+        return out.filter(pa.array(mask))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
 
 
 def loser_keys_ref(loser_keys):
