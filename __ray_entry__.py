@@ -582,6 +582,56 @@ def q_asof_latest_order(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_events_sliding_10min(sf_dir: str):
+    """SLIDING window aggregate (10-min windows every 5 min): each
+    event contributes to the two windows covering it — a flat_map-style
+    1→2 expansion inside map_batches, then the usual grouped count."""
+    import pandas as pd
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        w = 600_000_000  # 10 min in µs
+        s = 300_000_000  # 5-min slide
+        # window starts covering t: the two slide-aligned starts in (t-w, t]
+        start1 = (us // s) * s  # most recent slide boundary
+        start0 = start1 - s
+        starts = np.concatenate([start0, start1])
+        return pa.table({"win_start_us": pa.array(starts, pa.int64())})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"win_start_us": [g["win_start_us"].iloc[0]], "n_events": [len(g)]})
+
+    return (
+        _events(sf_dir)
+        .select_columns(["ts"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("win_start_us")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
+def q_sample_per_source_docs(sf_dir: str, k: int = 3):
+    """Deterministic stratified sample: ``k`` docs per source, ranked
+    by a multiplicative hash (reproducible without a global shuffle)."""
+    import pandas as pd
+
+    def rank_keys(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        h = pc.multiply(did, pa.scalar(2654435761, pa.int64()))
+        r = pc.subtract(h, pc.multiply(pc.divide(h, 97), 97))
+        return pa.table({"source": b.column("source"), "doc_id": did, "r": r})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["r", "doc_id"]).head(k)[["source", "doc_id"]]
+
+    return (
+        _docs(sf_dir)
+        .map_batches(rank_keys, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_events_window_5min(sf_dir: str):
     """Tumbling 5-minute window aggregate over the event stream."""
     import pandas as pd
@@ -903,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": q_orders_per_nation,
         "asof_latest_order": q_asof_latest_order,
         "events_window_5min": q_events_window_5min,
+        "events_sliding_10min": q_events_sliding_10min,
+        "sample_per_source_docs": q_sample_per_source_docs,
         # rows-only (non-SQL-expressible: model scoring / LSH / pipelines)
         "flagship_quality_gate": q_flagship_quality_gate,
         "langid_docs": q_langid_docs,
@@ -1101,6 +1153,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "events_sliding_10min": """
+            WITH w AS (
+              SELECT (epoch_us(ts) // 300000000) * 300000000 AS win_start_us FROM events
+              UNION ALL
+              SELECT (epoch_us(ts) // 300000000) * 300000000 - 300000000 FROM events)
+            SELECT win_start_us, CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1
+        """,
+        "sample_per_source_docs": """
+            SELECT source, doc_id FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY (doc_id * 2654435761) % 97, doc_id
+            ) <= 3
         """,
         "ann_topk_embeddings": """
             SELECT q.vec_id AS query_id, e.vec_id AS id
