@@ -632,6 +632,43 @@ def q_sample_per_source_docs(sf_dir: str, k: int = 3):
     )
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """TPC-H-Q3-shaped SHUFFLE hash join: orders ⋈ lineitem with both
+    sides large (neither broadcast) via ops/joins.py:shuffle_hash_join,
+    then grouped revenue. Revenue is summed in integer 1e-4 units so
+    the result is exactly associative (bit-identical to the oracle
+    regardless of summation order)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from rayqual.ops.joins import shuffle_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    j = shuffle_hash_join(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        ["o_orderpriority"], ["l_extendedprice", "l_discount"], n_buckets=32,
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0, pa.float64()), b.column("l_discount")),
+        )
+        r4 = pc.cast(pc.round(pc.multiply(r, pa.scalar(10000.0, pa.float64()))), pa.int64())
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"), "rev_e4": r4})
+
+    return (
+        j.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
+    )
+
+
 def q_events_window_5min(sf_dir: str):
     """Tumbling 5-minute window aggregate over the event stream."""
     import pandas as pd
@@ -951,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "orders_per_nation": q_orders_per_nation,
+        "revenue_by_priority": q_revenue_by_priority,
         "asof_latest_order": q_asof_latest_order,
         "events_window_5min": q_events_window_5min,
         "events_sliding_10min": q_events_sliding_10min,
@@ -1132,6 +1170,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "revenue_by_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "asof_latest_order": """
             WITH j AS (

@@ -35,6 +35,83 @@ import pandas as pd
 import pyarrow as pa
 
 
+def shuffle_hash_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 64,
+    how: str = "inner",
+):
+    """Distributed hash join for TWO LARGE sides (neither broadcast):
+    both datasets are bucketed on a stable hash of the join key, the
+    bucketed rows are unioned with a role tag, and each bucket joins
+    with a vectorized pandas merge inside ``groupby(bucket).map_groups``
+    — python dispatch per bucket, not per key. Output columns:
+    ``[left_on] + left_cols + right_cols`` (names must be disjoint).
+
+    Partitioning assumption (documented): one bucket of (left+right)
+    rows fits a worker — size ``n_buckets`` accordingly (~10^5-10^6 at
+    10^12 rows); skewed hot keys should be pre-aggregated or salted
+    upstream, as a single key always lands in one bucket.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def _types(ds) -> dict:
+        s = ds.schema()  # ray.data.Schema: names + (arrow or numpy) types
+        out = {}
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(np.dtype(typ))
+            out[name] = typ
+        return out
+
+    lt = _types(left)
+    rt = _types(right)
+    key_type = lt[left_on]
+    out_fields = (
+        [("__bucket", pa.int64()), ("__key", key_type), ("__role", pa.int8())]
+        + [(c, lt[c]) for c in left_cols]
+        + [(c, rt[c]) for c in right_cols]
+    )
+    union_schema = pa.schema(out_fields)
+
+    def bucketed(key_col: str, cols: list[str], role: int):
+        def f(b: pa.Table) -> pa.Table:
+            key = b.column(key_col)
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            arr = key.to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(arr.astype(object))
+            bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+            data = {"__bucket": pa.array(bucket), "__key": key.cast(key_type),
+                    "__role": pa.array(np.full(len(b), role, dtype=np.int8))}
+            for name, typ in out_fields[3:]:
+                data[name] = b.column(name).cast(typ) if name in cols else pa.nulls(len(b), typ)
+            return pa.table(data).cast(union_schema)
+
+        return f
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lcols = ["__key"] + left_cols
+        rcols = ["__key"] + right_cols
+        l = g.loc[g["__role"] == 0, lcols]
+        r = g.loc[g["__role"] == 1, rcols]
+        m = l.merge(r, on="__key", how=how)
+        return m.rename(columns={"__key": left_on})[[left_on] + left_cols + right_cols]
+
+    return (
+        left.map_batches(bucketed(left_on, left_cols, 0), batch_format="pyarrow")
+        .union(right.map_batches(bucketed(right_on, right_cols, 1), batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(join_group, batch_format="pandas")
+    )
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str, take: list[str]):
     """Left join ``ds`` with a small pandas frame (broadcast).
     ``take``: right-side columns to append; misses become nulls."""

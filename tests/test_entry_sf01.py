@@ -26,6 +26,7 @@ SCALE_SENSITIVE = [
     "sample_docs",
     "event_users_not_customers",
     "validation_report_events",
+    "revenue_by_priority",
 ]
 
 
@@ -34,7 +35,7 @@ def con01():
     if not os.path.isdir(SF01):  # pragma: no cover
         pytest.skip("sf0.1 testdata not present")
     con = duckdb.connect()
-    for t in ["events", "orders", "customer", "nation", "documents"]:
+    for t in ["events", "orders", "customer", "nation", "documents", "lineitem"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
     return con
 

@@ -86,3 +86,39 @@ def test_broadcast_join_rejects_duplicate_right_keys(ray_session):
     left = pd.DataFrame({"key": [1]})
     with pytest.raises(ValueError, match="duplicate keys"):
         broadcast_join(ray.data.from_pandas(left), small, "key", "key", ["name"])
+
+
+def test_shuffle_hash_join_matches_pandas(ray_session):
+    """Shuffle join (both sides bucketed, per-bucket merge) must match
+    a pandas merge, including 1:N fan-out and keys missing from either
+    side; left-join misses become nulls."""
+    import ray.data
+
+    from rayqual.ops.joins import shuffle_hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 200), "lv": np.arange(200)})
+    right = pd.DataFrame({"k": rng.integers(20, 70, 300), "rv": np.arange(300) * 10})
+
+    for how in ("inner", "left"):
+        got = (
+            shuffle_hash_join(
+                ray.data.from_pandas(left).repartition(3),
+                ray.data.from_pandas(right).repartition(4),
+                "k", "k", ["lv"], ["rv"], n_buckets=8, how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.merge(right, on="k", how=how)
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)[["k", "lv", "rv"]]
+        )
+        assert len(got) == len(exp), how
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["lv"].tolist() == exp["lv"].tolist()
+        pd.testing.assert_series_equal(
+            got["rv"].astype("Float64"), exp["rv"].astype("Float64"), check_names=False
+        )
