@@ -343,6 +343,22 @@ def q_ipv4_check_events(sf_dir: str):
     return _events(sf_dir).map_batches(check, batch_format="pyarrow")
 
 
+def q_salted_chars_by_source(sf_dir: str):
+    """Per-source char totals via the SALTED two-phase shuffle
+    (ops/agg.py) — the explicit hot-key defusal path of the north rule;
+    results identical to a plain groupby sum (the oracle)."""
+    from rayqual.ops.agg import salted_groupby_sum
+
+    out = salted_groupby_sum(
+        _docs(sf_dir).select_columns(["source", "n_chars"]), "source", ["n_chars"], n_salts=8
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b.column("source"), "total_chars": b.column("n_chars")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic hash-based Bernoulli sample (5%) — reproducible
     sampling without a global shuffle (Knuth multiplicative hash on the
@@ -977,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_check_events": q_epoch_check_events,
         "ipv4_check_events": q_ipv4_check_events,
         "sample_docs": q_sample_docs,
+        "salted_chars_by_source": q_salted_chars_by_source,
         "doc_len_quantiles": q_doc_len_quantiles,
         "distinct_event_types": q_distinct_event_types,
         "event_users_not_customers": q_event_users_not_customers,
@@ -1117,6 +1134,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE (doc_id * 2654435761) % 100 < 5
+        """,
+        "salted_chars_by_source": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
         """,
         "doc_len_quantiles": """
             SELECT quantile_disc(n_chars, 0.25) AS p25,

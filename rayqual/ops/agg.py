@@ -1,0 +1,50 @@
+"""Skew-defusing aggregation helpers.
+
+Two complementary tools for the monorepo-skew problem
+(BASELINE.json:north_rule — one repo contributing most rows makes its
+groupby partition a straggler):
+
+* batch-level PRE-COMBINE (used by the flagship's metrics_rollup):
+  an Arrow ``group_by`` inside every map_batches task reduces each
+  batch to one row per key before the exchange — the shuffle sees
+  O(keys × batches) rows no matter how skewed the data. Strictly
+  stronger than salting when the aggregate is associative.
+* SALTED two-phase shuffle (this module): when a pre-combine is
+  impractical (e.g. the per-batch state is large, or the aggregate
+  library needs a groupby), append ``salt = hash(row) % n_salts`` to
+  the key, aggregate on (key, salt) — splitting a hot key across
+  ``n_salts`` partitions — then aggregate the (tiny) salted result on
+  the key alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def salted_groupby_sum(ds, key: str, value_cols: list[str], n_salts: int = 16):
+    """Two-phase salted sum: groupby((key, salt)) → groupby(key).
+    Deterministic salt (row position hash) — results are exact; only
+    the partitioning changes. Returns one row per key with summed
+    ``value_cols`` (int64)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Sum
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        # cheap deterministic spread: alternating assignment is enough
+        # to split a hot key; correctness never depends on the choice
+        salt = np.arange(len(b), dtype=np.int64) % n_salts
+        cols = {key: b.column(key), "_salt": pa.array(salt)}
+        for c in value_cols:
+            cols[c] = b.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .aggregate(*[Sum(c, alias_name=c) for c in value_cols])
+    )
+    return phase1.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in value_cols])

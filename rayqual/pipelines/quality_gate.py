@@ -266,6 +266,7 @@ def run_quality_gate(
     scorer_concurrency=None,
     scorer_batch_size: int = 1024,
     materialize: bool = True,
+    output_partitions: int | None = None,
 ):
     """Run the full gate. Returns (verdicts_ds, kept_ds, metrics_ds).
 
@@ -314,7 +315,13 @@ def run_quality_gate(
         slim = apply_dedup_plan(slim, plan)
     metrics = metrics_rollup(_finalize(slim, cfg))
     if output_dir is not None:
-        kept.write_parquet(f"{output_dir}/kept")
+        out = kept
+        if output_partitions is not None:
+            # explicit repartition (north_rule): after heavy filtering
+            # the surviving blocks can be tiny/imbalanced — rebalance so
+            # the output is a bounded number of similar-size files
+            out = out.repartition(output_partitions)
+        out.write_parquet(f"{output_dir}/kept")
         metrics.write_parquet(f"{output_dir}/metrics")
     return vd, kept, metrics
 
