@@ -274,7 +274,11 @@ def mark_duplicates_partitioned(
       shuffles the wide table once — the price of exceeding broadcast.
 
     ``n_buckets`` must be sized so one bucket of the DATA side fits a
-    worker (at 10^12 rows use ~10^5-10^6 buckets).
+    worker (at 10^12 rows use ~10^5-10^6 buckets). The driver touches
+    only the loser KEYS (streamed one bucket at a time, bounded
+    memory); to remove the driver from the path entirely, the same
+    semantics compose as a left :func:`rayqual.ops.joins.shuffle_hash_join`
+    of the data with the loser keys (marker column → fail_duplicate).
     """
     from rayqual import ship_to_workers as _stw
 

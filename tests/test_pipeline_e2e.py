@@ -117,3 +117,60 @@ def test_rules_fire_in_corpus(results):
         "alnum_ratio", "repetition", "langid_mismatch", "perplexity", "duplicate",
     ]:
         assert rule in fired, f"rule {rule} never fired"
+
+
+def test_adversarial_inputs_match_oracle(ray_session):
+    """Nasty inputs through the full gate vs the oracle: multi-byte
+    UTF-8 (CJK, emoji, combining marks — byte-based sampling may split
+    a character mid-sequence, which both implementations must handle
+    identically), nulls, empty strings, an oversized doc, repetitive
+    and PII-laden content."""
+    import pyarrow as pa
+
+    from rayqual.config import RuleConfig
+    from rayqual.oracle import oracle_quality_gate
+    from rayqual.pipelines.quality_gate import run_quality_gate
+
+    docs = [
+        "日本語のコメント\n" * 40 + "def f():\n    return 1\n",   # CJK > sample boundary
+        "🎉🚀" * 700,                                              # 4-byte emoji, repetitive
+        "éèêë" * 200 + "\né" * 50,                           # 2-byte + combining marks
+        None,
+        "",
+        "x",                                                        # under min_chars
+        "a" * 2_000_000,                                            # over max_chars
+        "def ok():\n    return 'fine'\n" * 10,
+        "contact: a@b.com or 303-555-0100\n" * 20,                  # PII
+        "word " * 3000,                                             # repetitive tokens
+        "\x00\x01\x02" * 100,                                       # control bytes
+    ]
+    n = len(docs)
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 3}" for i in range(n)]),
+            "path": pa.array([f"p{i}.py" for i in range(n)]),
+            "commit": pa.array([f"c{i:03d}" for i in range(n)]),
+            "lang": pa.array(["python"] * n),
+            "content": pa.array(docs, pa.string()),
+        }
+    )
+    cfg = RuleConfig()
+    vd, _, _ = run_quality_gate(
+        ray_session.data.from_arrow(t).repartition(3), cfg, scorer_concurrency=2
+    )
+    got = (
+        vd.select_columns(["path", "keep", "drop_reasons", "content_sha256", "scrubbed_content"])
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    exp = oracle_quality_gate(t, cfg).sort_values("path").reset_index(drop=True)
+    assert got["keep"].tolist() == exp["keep"].tolist()
+    assert got["drop_reasons"].tolist() == exp["drop_reasons"].tolist()
+    assert got["content_sha256"].fillna("∅").tolist() == exp["content_sha256"].fillna("∅").tolist()
+    # scrubbed content byte-equality where the engine touched the row
+    g = got["scrubbed_content"].fillna("∅")
+    e = exp["scrubbed_content"].fillna("∅")
+    for i in range(n):
+        if g.iloc[i] != "∅":
+            assert g.iloc[i] == e.iloc[i], f"row {i}"
