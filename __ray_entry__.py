@@ -939,6 +939,38 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [float(round(est, 2))]})
 
 
+def q_audio_features(sf_dir: str):
+    """Audio decode plumbing as a checked row (same contract as
+    multimodal_decode: deterministic fake decoder, committed expected
+    fixture, actor-pool stage with small binary-aware batches)."""
+    import ray.data
+
+    from rayqual.ops.multimodal import DecodeAudio, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(60, kind="audio")).repartition(3)
+    out = media.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b.column("id"),
+                "n_samples": b.column("n_samples"),
+                "rms": b.column("rms"),
+                "zero_crossings": b.column("zero_crossings"),
+                "f0": pc.list_element(b.column("feature"), 0),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def q_validation_report_events(sf_dir: str):
     """Reference-style metadata-driven report over a derived events
     view — the STREAMING dataset path (no driver collect; deterministic
@@ -1022,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "approx_distinct_users": q_approx_distinct_users,
         "validation_report_events": q_validation_report_events,
     }
@@ -1260,6 +1293,10 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": f"""
             SELECT id, frame, f0
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/frame_sample_expected.parquet')
+        """,
+        "audio_features": f"""
+            SELECT id, n_samples, rms, zero_crossings, f0
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/audio_features_expected.parquet')
         """,
         "validation_report_events": f"""
             WITH t AS (

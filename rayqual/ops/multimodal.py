@@ -94,6 +94,55 @@ class DecodeImage:
         return out
 
 
+class DecodeAudio:
+    """Audio stub: payload bytes → (n_samples, rms, zero_crossings,
+    mfcc-shaped feature vector). ``decoder='fake'`` derives a
+    deterministic waveform from the payload digest (the container has
+    no audio codecs; ``decoder='soundfile'`` raises NotImplementedError
+    at actor construction, by design). Same actor-pool contract as
+    DecodeImage: small batch_size — payloads are large binaries."""
+
+    def __init__(self, decoder: str = "fake", n_coeffs: int = 8):
+        self.n_coeffs = n_coeffs
+        if decoder == "fake":
+            pass
+        elif decoder == "soundfile":
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as err:
+                raise NotImplementedError(
+                    "real audio decode needs soundfile/ffmpeg, not installed; "
+                    "use decoder='fake' for plumbing tests"
+                ) from err
+        else:
+            raise ValueError(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samples, rms, zc, feats = [], [], [], []
+        for i in range(len(batch)):
+            payload = batch.column("payload")[i].as_py() or b""
+            meta = json.loads(batch.column("meta")[i].as_py() or "{}")
+            ns = int(meta.get("n_samples", 2048))
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            wave = rng.standard_normal(ns)
+            n_samples.append(ns)
+            rms.append(float(np.sqrt(np.mean(wave**2)).round(6)))
+            zc.append(int((np.diff(np.sign(wave)) != 0).sum()))
+            # block-mean "spectral" feature: n_coeffs band energies
+            bounds = np.linspace(0, ns, self.n_coeffs + 1).astype(int)
+            feats.append(
+                [float(np.abs(wave[bounds[j]: max(bounds[j + 1], bounds[j] + 1)]).mean().round(6))
+                 for j in range(self.n_coeffs)]
+            )
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
+        out = out.append_column("rms", pa.array(rms, pa.float64()))
+        out = out.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        out = out.append_column("feature", pa.array(feats, pa.list_(pa.float64())))
+        return out
+
+
 class FrameSample:
     """Video stub: emits every Nth 'frame feature' row per video —
     demonstrates flat_map-style 1→N expansion with binary inputs."""
@@ -128,9 +177,13 @@ def synthetic_media_table(n: int, kind: str = "image", seed: int = 11) -> pa.Tab
     """Deterministic synthetic media rows for plumbing tests."""
     rng = np.random.default_rng(seed)
     payloads = [bytes(rng.integers(0, 256, int(rng.integers(64, 256))).tolist()) for _ in range(n)]
+    # n_samples derives from the row index (NOT the rng — inserting a
+    # draw here would shift the sequence and invalidate the committed
+    # expected-output fixtures)
     metas = [
-        json.dumps({"height": int(rng.integers(8, 64)), "width": int(rng.integers(8, 64)), "n_frames": 30})
-        for _ in range(n)
+        json.dumps({"height": int(rng.integers(8, 64)), "width": int(rng.integers(8, 64)),
+                    "n_frames": 30, "n_samples": 512 + (i * 97) % 3584})
+        for i in range(n)
     ]
     return pa.table(
         {
