@@ -859,6 +859,21 @@ def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
     return lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
 
 
+def q_ivf_topk_embeddings(sf_dir: str, k: int = 10):
+    """IVF approximate top-k (seeded mini-kmeans centroids, nprobe
+    inverted lists) — the second ANN scale path next to LSH."""
+    import pyarrow.parquet as pq
+
+    from rayqual.ops.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t.column("vec_id"), 3))
+    queries = np.stack(qt.column("embedding").to_pylist())
+    return ivf_topk(
+        _embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist()
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode plumbing as a checked row: a deterministic
     synthetic media table (seeded payload bytes + typed metadata) runs
@@ -1052,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lsh_embed_neardup_docs": q_lsh_embed_neardup_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,

