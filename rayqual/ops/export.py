@@ -1,0 +1,67 @@
+"""Training-data export: deterministic pseudo-random sharding.
+
+Training pipelines want the corpus "shuffled" into N shards such that
+every shard is an unbiased sample — but a true ``random_shuffle`` is a
+full all-to-all of the content. A deterministic key hash gives the
+same statistical property with NO shuffle at all: the shard column is
+computed per batch and ``write_parquet(partition_cols=["shard"])``
+routes rows as they stream. Reproducible (same keys → same shards on
+any cluster layout), resumable (one directory per shard), and
+downstream readers interleave shards for epoch-level randomness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0):
+    """Append a deterministic ``shard`` column = siphash(key, seed) %
+    n_shards. Keys spread uniformly regardless of input order/skew."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def assign(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = [b.column(c).cast(pa.string()) for c in key_cols]
+        key = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x1f")
+        arr = key.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(arr.astype(object)) + np.uint64(seed)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        return b.append_column("shard", pa.array(shard))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sharded_export(
+    ds,
+    out_dir: str,
+    n_shards: int = 64,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    seed: int = 0,
+) -> dict:
+    """Stream ``ds`` into ``out_dir/shard=K/*.parquet`` and write a
+    ``_export_manifest.json`` (shard sizes, total) afterwards. Returns
+    the manifest dict."""
+    sharded = add_shard_column(ds, key_cols, n_shards, seed)
+    sharded.write_parquet(out_dir, partition_cols=["shard"])
+
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(out_dir, partitioning="hive")
+    counts: dict[str, int] = {}
+    t = dset.to_table(columns=["shard"])
+    vals, cnts = np.unique(np.asarray(t.column("shard")), return_counts=True)
+    counts = {int(v): int(c) for v, c in zip(vals, cnts)}
+    manifest = {"n_shards": n_shards, "seed": seed, "total_rows": int(cnts.sum()),
+                "shard_rows": counts}
+    with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

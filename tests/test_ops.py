@@ -335,3 +335,34 @@ def test_ivf_topk_recall(ray_session):
     assert hits / total >= 0.8, (hits, total)
     # the near-dup pair planted at (0, 10) must be found
     assert 10 in set(approx.loc[approx["query_id"] == 0, "id"])
+
+
+def test_sharded_export(ray_session, tmp_path):
+    """Sharded export: lossless, deterministic across runs, shards
+    statistically balanced, hive layout readable per shard."""
+    import pyarrow.dataset as pads
+
+    from rayqual.ops.export import sharded_export
+
+    n = 3000
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "content": pa.array([f"body {i}" for i in range(n)]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(4)
+    m1 = sharded_export(ds, str(tmp_path / "run1"), n_shards=16)
+    assert m1["total_rows"] == n
+    sizes = np.array(list(m1["shard_rows"].values()))
+    assert len(sizes) == 16
+    # hash-uniform: no shard further than 40% from the mean
+    assert (np.abs(sizes - n / 16) < 0.4 * n / 16).all(), sizes
+    # lossless: union of shards == input paths
+    back = pads.dataset(str(tmp_path / "run1"), partitioning="hive").to_table(columns=["path"])
+    assert sorted(back.column("path").to_pylist()) == sorted(t.column("path").to_pylist())
+    # deterministic: same keys -> same shard layout in a second run
+    m2 = sharded_export(ds, str(tmp_path / "run2"), n_shards=16)
+    assert m1["shard_rows"] == m2["shard_rows"]
