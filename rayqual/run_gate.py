@@ -1,0 +1,107 @@
+"""Flagship runner CLI: ``python -m rayqual.run_gate INPUT_DIR OUT_DIR``
+— the generalized quality gate (langid + heuristics + scrub + dedup)
+over a Parquet corpus of (repo, path, commit, lang, content) rows, as
+a command instead of a library call.
+
+Modes:
+* default — resumable chunked run (per-chunk verdict checkpoints +
+  manifests; a killed job restarts at the last committed chunk);
+* ``--no-resume`` — single-pass in-memory run (small corpora);
+* ``--export-shards N`` — additionally export the kept rows as N
+  deterministic hash shards for training consumption (ops/export.py).
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from time import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rayqual-gate",
+        description="Run the langid+quality+scrub+dedup gate over a Parquet code corpus.",
+    )
+    p.add_argument("input_dir", help="directory of input parquet files")
+    p.add_argument("output_dir", help="output root (kept/, metrics/, verdicts/)")
+    p.add_argument("--chunk-files", type=int, default=16,
+                   help="input files per resumable chunk (default 16)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="single-pass run without chunk checkpoints")
+    p.add_argument("--export-shards", type=int, default=None,
+                   help="also export kept rows as N deterministic hash shards")
+    p.add_argument("--scorer-concurrency", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--num-cpus", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        return _run(args)
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+def _run(args) -> int:
+    import ray.data
+
+    from rayqual.config import RuleConfig
+    from rayqual.pipelines.quality_gate import run_quality_gate, run_quality_gate_resumable
+
+    cfg = RuleConfig()
+    t0 = time()
+    if args.no_resume:
+        ds = ray.data.read_parquet(args.input_dir)
+        _, kept, _ = run_quality_gate(
+            ds, cfg, output_dir=args.output_dir,
+            scorer_concurrency=args.scorer_concurrency,
+            scorer_batch_size=args.batch_size,
+        )
+        kept_dir = f"{args.output_dir}/kept"
+    else:
+        res = run_quality_gate_resumable(
+            args.input_dir, args.output_dir, cfg,
+            chunk_files=args.chunk_files,
+            scorer_concurrency=args.scorer_concurrency,
+            scorer_batch_size=args.batch_size,
+        )
+        kept_dir = res["kept_dir"]
+
+    import pyarrow.dataset as pads
+
+    n_kept = pads.dataset(kept_dir).count_rows()
+    summary = {"kept_rows": int(n_kept), "kept_dir": kept_dir,
+               "metrics_dir": f"{args.output_dir}/metrics",
+               "seconds": round(time() - t0, 3)}
+
+    if args.export_shards:
+        from rayqual.ops.export import sharded_export
+
+        manifest = sharded_export(
+            ray.data.read_parquet(kept_dir),
+            f"{args.output_dir}/shards",
+            n_shards=args.export_shards,
+        )
+        summary["export"] = {"dir": f"{args.output_dir}/shards",
+                             "n_shards": manifest["n_shards"],
+                             "rows": manifest["total_rows"]}
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,3 +70,26 @@ def test_cli_clean_run_writes_txt(ray_session, tmp_path):
     txts = glob.glob(str(tmp_path / "qualityreport" / "acct" / "clean_report_*.txt"))
     assert len(txts) == 1
     assert "does not have any data quality issues" in open(txts[0]).read()
+
+
+def test_gate_runner_cli(ray_session, tmp_path):
+    """Flagship runner CLI end to end on a small corpus: resumable
+    mode, kept/metrics written, sharded export manifest present."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    from rayqual.gen import write_corpus
+    from rayqual.run_gate import main as gate_main
+
+    src = tmp_path / "corpus"
+    write_corpus(str(src), 500, seed=9, parallelism=4)
+    out = tmp_path / "out"
+    rc = gate_main([str(src), str(out), "--chunk-files", "2",
+                    "--scorer-concurrency", "2", "--export-shards", "4"])
+    assert rc == 0
+    kept = pads.dataset(str(out / "kept")).count_rows()
+    assert 0 < kept < 500
+    assert pads.dataset(str(out / "metrics")).count_rows() > 0
+    manifest = json.loads((out / "shards" / "_export_manifest.json").read_text())
+    assert manifest["total_rows"] == kept and manifest["n_shards"] == 4
