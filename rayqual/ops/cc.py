@@ -19,9 +19,13 @@ prevent upstream.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 
 def _labels_from_edges(edges_ds):
@@ -149,6 +153,16 @@ def connected_components(edges_ds, max_rounds: int = 10):
         labels = new_labels
         if not n_changed:
             break
+    else:
+        # min-label propagation advances ≥1 hop per round: hitting the
+        # round cap with changes still happening means a component's
+        # diameter exceeds max_rounds and its labels are NOT minimal —
+        # surface it (a silent wrong answer here splits clusters)
+        logger.warning(
+            "connected_components did not converge in %d rounds (%s nodes still changing); "
+            "raise max_rounds for high-diameter graphs",
+            max_rounds, n_changed,
+        )
     return labels
 
 

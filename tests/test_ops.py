@@ -366,3 +366,23 @@ def test_sharded_export(ray_session, tmp_path):
     # deterministic: same keys -> same shard layout in a second run
     m2 = sharded_export(ds, str(tmp_path / "run2"), n_shards=16)
     assert m1["shard_rows"] == m2["shard_rows"]
+
+
+def test_connected_components_warns_on_nonconvergence(ray_session, caplog):
+    """A chain longer than max_rounds must trigger the non-convergence
+    warning instead of silently splitting the cluster."""
+    import logging
+
+    from rayqual.ops.cc import connected_components
+
+    edges = [(i, i + 1) for i in range(30)]  # diameter 30
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    with caplog.at_level(logging.WARNING, logger="rayqual.ops.cc"):
+        connected_components(ds, max_rounds=3)
+    assert any("did not converge" in r.message for r in caplog.records)
