@@ -204,7 +204,9 @@ def q_dup_partitioned_docs(sf_dir: str):
         key_pad = pc.utf8_lpad(pc.cast(did, pa.string()), 12, "0")
         return pa.table({"doc_id": did, "key_pad": key_pad, "h": sha256_array(v)})
 
-    derived = _docs(sf_dir).map_batches(project, batch_format="pyarrow")
+    # materialize: both the loser computation and the partitioned mark
+    # consume this projection — without it the sha pass runs twice
+    derived = _docs(sf_dir).map_batches(project, batch_format="pyarrow").materialize()
     losers = exact_dedup_losers(derived, hash_col="h", key_cols=("key_pad",))
     marked = mark_duplicates_partitioned(derived, losers, key_cols=("key_pad",), n_buckets=8)
 

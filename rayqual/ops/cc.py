@@ -62,6 +62,10 @@ def connected_components(edges_ds, max_rounds: int = 10):
     _stw()
     from ray.data.aggregate import Min
 
+    # every round re-reads the edges; without this the UPSTREAM lineage
+    # (e.g. the whole propose+verify pipeline feeding the pairs) would
+    # re-execute once per round
+    edges_ds = edges_ds.materialize()
     labels = _labels_from_edges(edges_ds).materialize()
     if labels.count() == 0:
         return labels

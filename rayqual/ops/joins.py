@@ -192,6 +192,8 @@ def asof_broadcast_join(
         lt = batch.column(left_ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
         if packable:
             uk_, span_, tmin_, pr, rank_, rv_ = ray.get(ref)
+            if len(uk_) == 0:  # empty right side -> every probe misses
+                return batch.append_column(out_col, pa.nulls(len(batch), pa.int64()))
             pos = np.searchsorted(uk_, lk)
             pos_c = np.minimum(pos, len(uk_) - 1) if len(uk_) else pos
             found = (len(uk_) > 0) & (pos < len(uk_)) & (uk_[pos_c] == lk)

@@ -373,6 +373,11 @@ def minhash_dedup_losers_distributed(
     def memberships(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= 1_000_000_007 or bb.max() >= 1_000_000_007 or a.min() < 0):
+            raise ValueError(
+                "pair-key packing requires 0 <= id < 1_000_000_007 for injectivity; "
+                "remap ids or switch the pair key to a wider hash"
+            )
         pk = a * np.int64(1_000_000_007) + bb
         return pa.table(
             {

@@ -45,9 +45,12 @@ from rayqual.schema import REPORT_COLUMNS
 
 #: rule-failure sentinel: the reference SILENTLY drops a rule's whole
 #: result set on any exception (catch-all at quality_report.py:124-126,
-#: 175-177). We surface them instead: a kernel exception emits ONE
+#: 175-177). We surface them instead: a kernel exception emits a
 #: report row with VALIDATION_ID=0 naming the rule and the error —
 #: visible in the report, never fatal to the other rules (SURVEY §4).
+#: In the streaming path the row is emitted per failing BATCH with an
+#: identical DQ_REPORT_ID (the id hashes rule+column only), so
+#: consumers can collapse them with a distinct on DQ_REPORT_ID.
 RULE_ERROR_ID = 0
 
 
@@ -310,7 +313,9 @@ def validation_report_dataset(
         head = pa.Table.from_pandas(pd.concat(head_frames, ignore_index=True), preserve_index=False)
         parts.append(ray.data.from_arrow(_with_dq_id(head)))
 
-    plan = _rule_plan(meta, renamed)
+    # the key column is identity, not data — exclude it from the
+    # datatype plan exactly like the parity path does (line ~204)
+    plan = _rule_plan(meta, [c for c in renamed if c.upper() != key_col.upper()])
     empty = REPORT_ARROW_SCHEMA.empty_table()
 
     #: combined per-batch output: report rows AND the V17 (rowhash, key)

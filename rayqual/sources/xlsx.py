@@ -64,9 +64,15 @@ def read_xlsx_grid(path: str, sheet_name: str) -> list[list]:
     with zipfile.ZipFile(path) as zf:
         strings = _shared_strings(zf)
         root = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
-        rows: list[dict[int, object]] = []
+        # rows keyed by their spreadsheet index: Excel OMITS truly empty
+        # rows from sheetData, so document order would shift the header
+        # off its declared position — honor the row `r` attribute
+        rows_by_idx: dict[int, dict[int, object]] = {}
         max_col = -1
-        for row in root.iter(f"{_NS_MAIN}row"):
+        max_row = -1
+        for doc_order, row in enumerate(root.iter(f"{_NS_MAIN}row")):
+            r_attr = row.get("r")
+            row_idx = (int(r_attr) - 1) if r_attr else doc_order
             cells: dict[int, object] = {}
             for c in row.iter(f"{_NS_MAIN}c"):
                 ref = c.get("r")
@@ -86,8 +92,12 @@ def read_xlsx_grid(path: str, sheet_name: str) -> list[list]:
                     val = float(v.text)
                 cells[col] = val
                 max_col = max(max_col, col)
-            rows.append(cells)
-    return [[r.get(j) for j in range(max_col + 1)] for r in rows]
+            rows_by_idx[row_idx] = cells
+            max_row = max(max_row, row_idx)
+    return [
+        [rows_by_idx.get(i, {}).get(j) for j in range(max_col + 1)]
+        for i in range(max_row + 1)
+    ]
 
 
 #: the reference's fixed usecols (read_data.py:131-133) — note

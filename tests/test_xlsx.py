@@ -119,3 +119,42 @@ def test_cli_accepts_xlsx_metadata(ray_session, tmp_path):
     assert ((rep["VALIDATION_ID"] == 9) & (rep["COLUMN_NAME"] == "score")).any()
     # V16 sensitive: the email cell
     assert (rep["VALIDATION_ID"] == 16).any()
+
+
+def test_sparse_rows_honor_r_attribute(tmp_path):
+    """Excel omits truly empty rows from sheetData; the parser must
+    place rows by their `r` attribute, not document order."""
+    strings: list[str] = []
+    # only rows 1, 5, 6, 7 present (preamble rows 2-4 omitted entirely)
+    rows = {
+        1: {"A": "Data Product Intake"},
+        5: {"A": "Attribute_Name", "B": "Data_Type"},
+        6: {"A": "user.id", "B": "integer"},
+        7: {"A": "note", "B": "string"},
+    }
+    row_xml = []
+    for r, cells in sorted(rows.items()):
+        body = "".join(_cell(f"{col}{r}", v, strings) for col, v in cells.items())
+        row_xml.append(f'<row r="{r}">{body}</row>')
+    sheet = f'<worksheet {_MAIN}><sheetData>{"".join(row_xml)}</sheetData></worksheet>'
+    sst_items = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    sst = f'<sst {_MAIN} count="{len(strings)}" uniqueCount="{len(strings)}">{sst_items}</sst>'
+    workbook = (
+        f'<workbook {_MAIN} {_DOCREL}><sheets>'
+        f'<sheet name="DPI-1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<Relationships {_RELNS}>'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    p = tmp_path / "sparse.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    meta = read_metadata_xlsx(str(p))
+    assert meta.attribute_names() == ["user_id", "note"]
+    assert meta.get("user_id").data_type == "integer"
