@@ -81,3 +81,38 @@ def test_timestamp_fail_matches_python_re(values):
     got = K.timestamp_fail(pa.array(values, pa.string()))
     exp = [not (r1.search(v) or r2.search(v)) for v in values]
     assert list(got) == exp, values
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 10**6)),
+        min_size=0, max_size=60, unique_by=lambda t: t[1],
+    )
+)
+def test_group_losers_matches_pandas(ray_session, rows):
+    """group_losers (aggregate + broadcast lookup) == pandas
+    min-per-group ground truth on arbitrary (group, id) tables."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayqual.ops.dedup import group_losers
+
+    t = pa.table(
+        {
+            "g": pa.array([f"grp{a}" for a, _ in rows], pa.string()),
+            "id": pa.array([b for _, b in rows], pa.int64()),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(3).materialize()
+    out = group_losers(ds, "g", "id").to_pandas()
+    # fully-empty Ray datasets drop the schema (the _typed() gotcha) —
+    # callers wrap results; here an absent column just means no losers
+    got = sorted(out["id"].tolist()) if "id" in out.columns else []
+    df = t.to_pandas()
+    if len(df):
+        mins = df.groupby("g")["id"].transform("min")
+        exp = sorted(df.loc[df["id"] != mins, "id"].tolist())
+    else:
+        exp = []
+    assert got == exp
