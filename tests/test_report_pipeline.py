@@ -173,3 +173,49 @@ def test_rule_error_dead_letter(ray_session, monkeypatch):
     assert len(err_d) >= 1
     assert "kernel exploded" in err_d["VALIDATION_MESSAGE"].iloc[0]
     assert (rep_d["VALIDATION_ID"] == 3).any()
+
+
+def test_user_rule_extension_surface(ray_session, monkeypatch):
+    """The contribution model (SURVEY §2.7, reference CONTRIBUTING.md
+    'Adding Your Rule Check'): register a new datatype kernel in
+    DATATYPE_KERNELS + its category/message in CATEGORY_MESSAGE and it
+    flows through BOTH report modes with no other changes."""
+    import re
+
+    import numpy as np
+
+    from rayqual.rules import kernels as K
+    from rayqual.pipelines.validation_report import validation_report
+
+    uuid_rx = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+
+    def uuid_fail(values):
+        arr = K.as_string_array(values)
+        out = np.zeros(len(arr), dtype=bool)
+        for i, v in enumerate(arr.to_pylist()):
+            if v is not None and not uuid_rx.match(v):
+                out[i] = True
+        return out
+
+    monkeypatch.setitem(K.DATATYPE_KERNELS, "uuid", (42, uuid_fail))
+    monkeypatch.setitem(K.CATEGORY_MESSAGE, 42, ("Custom Validation", "Expected uuid datatype"))
+
+    t = pa.table(
+        {
+            "UID": pa.array(
+                ["123e4567-e89b-12d3-a456-426614174000", "not-a-uuid", None], pa.string()
+            ),
+            "RID": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    meta = TableMeta([ColumnMeta("UID", data_type="uuid"), ColumnMeta("RID", data_type=None)])
+
+    rep = validation_report(t, meta, timestamp="TS")  # parity mode
+    rows = rep[rep["VALIDATION_ID"] == 42]
+    assert rows["PRIMARY_KEY_VALUE"].tolist() == ["2"]  # null passes, like the reference
+    assert rows["VALIDATION_CATEGORY"].iloc[0] == "Custom Validation"
+
+    ds = ray_session.data.from_arrow(t).repartition(2)  # streaming mode
+    rep_d = validation_report(ds, meta, key_col="RID", timestamp="TS")
+    rows_d = rep_d[rep_d["VALIDATION_ID"] == 42]
+    assert rows_d["PRIMARY_KEY_VALUE"].tolist() == ["2"]
