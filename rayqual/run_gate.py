@@ -35,7 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-shards", type=int, default=None,
                    help="also export kept rows as N deterministic hash shards")
     p.add_argument("--scorer-concurrency", type=int, default=None)
-    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=2048,
+                   help="rows per scorer batch; LOWER this for corpora with multi-MB files "
+                        "(batch_size x concurrency x row bytes must fit worker heaps)")
+    p.add_argument("--target-block-mb", type=int, default=None,
+                   help="Ray Data target block size in MiB — cap it for very wide rows "
+                        "(SURVEY §7.3: multi-MB content strings need small blocks)")
     p.add_argument("--num-cpus", type=int, default=None)
     return p
 
@@ -61,6 +66,10 @@ def _run(args) -> int:
     from rayqual.config import RuleConfig
     from rayqual.pipelines.quality_gate import run_quality_gate, run_quality_gate_resumable
 
+    if args.target_block_mb:
+        ray.data.DataContext.get_current().target_max_block_size = (
+            args.target_block_mb * 1024 * 1024
+        )
     cfg = RuleConfig()
     t0 = time()
     if args.no_resume:
