@@ -64,16 +64,19 @@ except Exception:  # pragma: no cover — ray not importable yet
     pass
 
 # ---------------------------------------------------------------------------
-# shared regex specs (must be identical in Ray kernels and DuckDB SQL —
-# both engines are RE2, search semantics)
+# shared regex specs — IMPORTED from the kernels so one definition
+# feeds both engines (the oracle SQL interpolates the exact strings
+# the Ray kernels execute; both engines are RE2, search semantics)
 # ---------------------------------------------------------------------------
-_R1 = r"^[\deE.+-]+$"
-_R2_INT = r"^[-+]?\d+[.]?[0]?$"
-_R3_SCI = r"[+-]?\d(\.\d+)?[Ee][+-]?\d+"
-_CAST_INT = r"^[+-]?\d+(\.\d*)?$"
-_TS1 = r"\d{1,4}[-|/]?\d{1,2}[-|/]?\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
-_TS2 = r"\d{1,2}[-|/]?\d{1,2}[-|/]?\d{1,4} \d{1,2}:\d{1,2}:\d{1,2}[,]?\d{1,3}"
-_IPV4 = r"^((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)\.){3}(25[0-5]|(2[0-4]|1\d|[1-9]|)\d)$"
+from rayqual.rules.kernels import (  # noqa: E402
+    IPV4_REGEX_RE2 as _IPV4,
+    REGEX1_CHARSET as _R1,
+    REGEX2_INTEGER as _R2_INT,
+    REGEX3_SCIENTIFIC as _R3_SCI,
+    TIMESTAMP_REGEX_DMY as _TS2,
+    TIMESTAMP_REGEX_YMD as _TS1,
+    _CAST_INTEGRAL as _CAST_INT,
+)
 
 
 def _docs(sf_dir: str):
@@ -368,7 +371,11 @@ def q_sample_docs(sf_dir: str):
 
     def pick(b: pa.Table) -> pa.Table:
         did = b.column("doc_id")
-        h = pc.multiply(did, pa.scalar(2654435761, pa.int64()))
+        # bound the id before multiplying: 1e8 * 2654435761 < 2^63, so
+        # the product can't wrap (Arrow wraps silently, DuckDB raises —
+        # the engines would diverge beyond doc_id ~3.5e9)
+        bounded = pc.subtract(did, pc.multiply(pc.divide(did, 100000007), 100000007))
+        h = pc.multiply(bounded, pa.scalar(2654435761, pa.int64()))
         bucket = pc.subtract(h, pc.multiply(pc.divide(h, 100), 100))
         return pa.table({"doc_id": did}).filter(pc.less(bucket, 5))
 
@@ -524,9 +531,9 @@ def q_ann_topk_embeddings(sf_dir: str, k: int = 10, n_queries: int = 5):
 
     from rayqual.ops.similarity import brute_force_topk
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mask = pc.less(t.column("vec_id"), n_queries)
-    qt = t.filter(mask)
+    # predicate-pushdown read: only row groups containing the query
+    # ids leave storage (the full-table read was O(corpus) driver I/O)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)])
     order = pc.sort_indices(qt.column("vec_id"))
     queries = np.stack(qt.column("embedding").take(order).to_pylist())
     qids = qt.column("vec_id").take(order).to_pylist()
@@ -635,7 +642,8 @@ def q_sample_per_source_docs(sf_dir: str, k: int = 3):
 
     def rank_keys(b: pa.Table) -> pa.Table:
         did = b.column("doc_id")
-        h = pc.multiply(did, pa.scalar(2654435761, pa.int64()))
+        bounded = pc.subtract(did, pc.multiply(pc.divide(did, 100000007), 100000007))
+        h = pc.multiply(bounded, pa.scalar(2654435761, pa.int64()))
         r = pc.subtract(h, pc.multiply(pc.divide(h, 97), 97))
         return pa.table({"source": b.column("source"), "doc_id": did, "r": r})
 
@@ -855,8 +863,7 @@ def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
 
     from rayqual.ops.similarity import lsh_topk
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = t.filter(pc.less(t.column("vec_id"), 3))
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 3)])
     queries = np.stack(qt.column("embedding").to_pylist())
     return lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
 
@@ -868,8 +875,7 @@ def q_ivf_topk_embeddings(sf_dir: str, k: int = 10):
 
     from rayqual.ops.similarity import ivf_topk
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = t.filter(pc.less(t.column("vec_id"), 3))
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 3)])
     queries = np.stack(qt.column("embedding").to_pylist())
     return ivf_topk(
         _embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist()
@@ -1184,7 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_docs": """
             SELECT doc_id FROM documents
-            WHERE (doc_id * 2654435761) % 100 < 5
+            WHERE ((doc_id % 100000007) * 2654435761) % 100 < 5
         """,
         "salted_chars_by_source": """
             SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1284,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY source
-                ORDER BY (doc_id * 2654435761) % 97, doc_id
+                ORDER BY ((doc_id % 100000007) * 2654435761) % 97, doc_id
             ) <= 3
         """,
         "ann_topk_embeddings": """
@@ -1342,6 +1348,15 @@ def oracle_sql() -> dict[str, str]:
                          ELSE TRY_CAST(EPOCHS AS DOUBLE) IS NULL END
               UNION ALL
               SELECT 'MISSING', 2, CAST(NULL AS VARCHAR)
+              UNION ALL
+              -- V17: duplicate (EPOCHS, KVAL) rows; the engine keeps
+              -- the minimum key STRING, so order by the text form
+              SELECT CAST(NULL AS VARCHAR), 17, CAST(event_id AS VARCHAR)
+              FROM t
+              QUALIFY row_number() OVER (
+                PARTITION BY EPOCHS, KVAL
+                ORDER BY CAST(event_id AS VARCHAR)
+              ) > 1
             )
             SELECT substr(sha256(CAST(VALIDATION_ID AS VARCHAR) || '|' ||
                                  COALESCE(COLUMN_NAME, '') || '|' ||

@@ -68,13 +68,18 @@ def minhash_signatures(arr, num_perm: int = 64, shingle_size: int = 12) -> np.nd
     a, b = _minhash_params(num_perm)
     starts = np.cumsum(counts) - counts
     nonempty = counts > 0
+    # reduceat over NONEMPTY segments only: empty docs contribute no
+    # hashes, so consecutive nonempty starts bound exact segments. The
+    # old np.minimum(starts, len-1) clip made a trailing empty doc
+    # truncate the preceding doc's segment — signatures depended on
+    # batch layout (found in round-2 self-review).
+    starts_ne = starts[nonempty]
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             hp = h * a[p] + b[p]
             # xorshift mix to decorrelate high bits
             hp = hp ^ (hp >> _U64(31))
-            mins = np.minimum.reduceat(hp, np.minimum(starts, len(hp) - 1))
-            sig[nonempty, p] = mins[nonempty]
+            sig[nonempty, p] = np.minimum.reduceat(hp, starts_ne)
     return sig
 
 

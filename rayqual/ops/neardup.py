@@ -622,9 +622,15 @@ def lsh_embedding_neardup_pairs(
             }
         )
 
-    return (
+    from ray.data.aggregate import Min
+
+    raw = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
     )
+    # a pair found in several LSH tables appears once per table — the
+    # vectorized (id_a, id_b) aggregate collapses them (cosine is
+    # identical across tables; Min is just the dedup vehicle)
+    return raw.groupby(["id_a", "id_b"]).aggregate(Min("cosine", alias_name="cosine"))
 

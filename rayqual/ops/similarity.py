@@ -47,9 +47,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows_q, rows_i, rows_s = [], [], []
         for qi in range(len(q_ids)):
-            rows_q.append(np.full(kk, q_ids[qi]))
-            rows_i.append(ids[idx[qi]])
-            rows_s.append(sims[qi, idx[qi]])
+            sel = idx[qi]
+            # drop the -inf self mask (with <= k candidates it would
+            # otherwise survive into the final top-k)
+            keep = np.isfinite(sims[qi, sel])
+            sel = sel[keep]
+            rows_q.append(np.full(len(sel), q_ids[qi]))
+            rows_i.append(ids[sel])
+            rows_s.append(sims[qi, sel])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(rows_q)),

@@ -212,3 +212,23 @@ def test_fused_scores_bit_exact_with_standalone():
     ref_b = lm.bits_per_char(sb, cfg.ppl_sample_bytes)
     np.testing.assert_array_equal(fused_s, ref_s)
     np.testing.assert_array_equal(fused_b, ref_b)
+
+
+def test_minhash_signature_batch_layout_invariance():
+    """A doc's signature must not depend on its neighbors — trailing
+    empty/short/null docs in the batch previously truncated the
+    preceding doc's shingle segment."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayqual.functions.hashing import minhash_signatures
+
+    doc = "the quick brown fox jumps over the lazy dog"
+    alone = minhash_signatures(pa.array([doc], pa.string()), 64, 12)[0]
+    for tail in ["", "short", None]:
+        with_tail = minhash_signatures(pa.array([doc, tail], pa.string()), 64, 12)[0]
+        np.testing.assert_array_equal(alone, with_tail, err_msg=f"tail={tail!r}")
+    # and in the middle of a longer batch
+    batch = minhash_signatures(pa.array(["", doc, None, "xy", doc], pa.string()), 64, 12)
+    np.testing.assert_array_equal(batch[1], alone)
+    np.testing.assert_array_equal(batch[4], alone)
