@@ -179,19 +179,25 @@ def distinct_shingle_ratio(
     totals = np.bincount(d, minlength=n)
     if len(d) == 0:
         return out
+    nz = totals > 0
     if n < 4096:
         key = (d.astype(np.uint64) << np.uint64(52)) | (hv >> np.uint64(12))
         key.sort()
-        new = np.ones(len(key), dtype=bool)
-        new[1:] = key[1:] != key[:-1]
-        ds = (key >> np.uint64(52)).astype(np.int64)
-    else:
-        order = np.lexsort((hv, d))
-        ds, hs = d[order], hv[order]
-        new = np.ones(len(ds), dtype=bool)
-        new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        new = np.ones(len(key), dtype=np.int8)
+        np.not_equal(key[1:], key[:-1], out=new[1:].view(bool))
+        # the sort groups docs contiguously in id order with known
+        # lengths, so per-doc distinct counts come from one reduceat —
+        # no second shift/astype pass and no float bincount
+        starts_nz = (np.cumsum(totals) - totals)[nz]
+        distinct = np.zeros(n, dtype=np.int64)
+        distinct[nz] = np.add.reduceat(new, starts_nz)
+        out[nz] = distinct[nz] / totals[nz]
+        return out
+    order = np.lexsort((hv, d))
+    ds, hs = d[order], hv[order]
+    new = np.ones(len(ds), dtype=bool)
+    new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
     distinct = np.bincount(ds, weights=new, minlength=n)
-    nz = totals > 0
     out[nz] = distinct[nz] / totals[nz]
     return out
 
