@@ -23,6 +23,32 @@ def _minhash_params(num_perm: int, seed: int = 0x9E3779B97F4A7C15) -> tuple[np.n
     return a, b
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer over an integer array — the
+    integer-key fast path for bucketing/sketch hashing. The former
+    ``pd.util.hash_array(arr.astype(object))`` boxed every element into
+    a Python object even for int64 keys; this runs 3 multiplies + 3
+    xors on the raw uint64 view instead."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def bucket_hash(arr: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of a key array, picking the vectorized
+    splitmix64 path for integer dtypes and pandas' siphash (stable
+    fixed key, but object-boxing) for strings/objects."""
+    import pandas as pd
+
+    if arr.dtype.kind in ("i", "u"):
+        return splitmix64(arr)
+    if arr.dtype != object:
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr)
+
+
 def sha256_array(arr, active=None) -> pa.Array:
     """Hex sha256 of every row (null → null). The per-row invariant
     column required by BASELINE.json:input_hint. ``active`` (bool mask)

@@ -33,15 +33,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayqual.functions.hashing import bucket_hash
+
 KEY_SEP = "\x1f"
 
 
 def _bucket_ids(keys: pa.Array, n_buckets: int) -> np.ndarray:
-    """Deterministic bucket per key — pandas' vectorized siphash with
-    its fixed default hash key, stable across processes and nodes."""
+    """Deterministic bucket per key — vectorized splitmix64 for integer
+    keys, pandas' siphash (fixed default key, stable across processes
+    and nodes) for strings."""
     arr = keys.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(arr.astype(object))
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    return (bucket_hash(arr) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _key_expr(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayqual.functions.hashing import bucket_hash
+
 
 def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0):
     """Append a deterministic ``shard`` column = siphash(key, seed) %
@@ -33,7 +35,8 @@ def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0
         cols = [b.column(c).cast(pa.string()) for c in key_cols]
         key = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x1f")
         arr = key.to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(arr.astype(object)) + np.uint64(seed)
+        with np.errstate(over="ignore"):
+            h = bucket_hash(arr) + np.uint64(seed)
         shard = (h % np.uint64(n_shards)).astype(np.int64)
         return b.append_column("shard", pa.array(shard))
 

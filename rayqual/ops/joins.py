@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayqual.functions.hashing import bucket_hash
+
 
 def shuffle_hash_join(
     left,
@@ -86,8 +88,7 @@ def shuffle_hash_join(
             if isinstance(key, pa.ChunkedArray):
                 key = key.combine_chunks()
             arr = key.to_numpy(zero_copy_only=False)
-            h = pd.util.hash_array(arr.astype(object))
-            bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+            bucket = (bucket_hash(arr) % np.uint64(n_buckets)).astype(np.int64)
             data = {"__bucket": pa.array(bucket), "__key": key.cast(key_type),
                     "__role": pa.array(np.full(len(b), role, dtype=np.int8))}
             for name, typ in out_fields[3:]:

@@ -570,67 +570,130 @@ def embedding_neardup_pairs(
 
 
 def lsh_embedding_neardup_pairs(
-    ds, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 16, n_tables: int = 6, seed: int = 7
+    ds, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 16, n_tables: int = 6,
+    seed: int = 7, max_bucket: int = 500, driver_verify_threshold: int = 250_000,
 ):
     """Scale path: random-hyperplane LSH buckets (seeded, deterministic)
-    → exact cosine verification within buckets. Approximate recall
-    (missed pairs possible), documented trade-off vs the broadcast
-    exact version."""
+    → exact cosine verification of the proposed candidates. Approximate
+    recall (missed pairs possible), documented trade-off vs the
+    broadcast exact version.
+
+    Shuffle diet (same as the MinHash text path): the normalized
+    vectors are materialized ONCE as a (id, vec) dataset; the band
+    shuffle ships (bkey, id) only — 16 bytes per (row, table) instead
+    of replicating every vector n_tables (6)×. Hyperplanes are
+    generated once on the DRIVER and broadcast via ``ray.put`` (the
+    round-2 version rebuilt them per batch — per-batch state setup).
+    Verify placement is adaptive: small pair lists fetch the cohort
+    vectors and verify in one driver matmul; large ones verify
+    distributed inside ``groupby(pair).map_groups`` (vectors bitcast to
+    the uint64 payload of :func:`_pair_key_verify`)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
+    import ray
+    import ray.data
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        bm = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        bm_n = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {"id": batch.column(id_col), "vec": pa.array(list(bm_n), pa.list_(pa.float64()))}
+        )
+
+    # one vector pass; ≈8·dim bytes/row pinned (spillable) for the verify
+    vec_ds = ds.map_batches(normalize, batch_format="pyarrow").materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    first = vec_ds.take(1)
+    if not first:
+        return ray.data.from_arrow(empty)
+    dim = len(first[0]["vec"])
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.standard_normal((n_tables, n_planes, dim)))
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        bm = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
-        dim = bm.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_tables, n_planes, dim))
-        bm_n = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out_k, out_i, out_v = [], [], []
+        planes = ray.get(planes_ref)
+        bm_n = np.stack(batch.column("vec").to_numpy(zero_copy_only=False))
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        out_k = []
         for t in range(n_tables):
             bits = (bm_n @ planes[t].T) > 0
-            key = np.zeros(len(bm), dtype=np.uint64)
+            key = np.zeros(len(bm_n), dtype=np.uint64)
             for j in range(n_planes):
                 key |= bits[:, j].astype(np.uint64) << _U64(j)
-            key |= _U64(t) << _U64(32)
-            out_k.append(key)
-            out_i.append(ids)
-            out_v.append(bm_n)
+            out_k.append(key | (_U64(t) << _U64(32)))
         return pa.table(
             {
                 "bkey": pa.array(np.concatenate(out_k), pa.uint64()),
-                "id": pa.array(np.concatenate(out_i)),
-                "vec": pa.array(list(np.concatenate(out_v)), pa.list_(pa.float64())),
+                "id": pa.array(np.tile(ids, n_tables)),
             }
         )
 
     def pair_up(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        if len(g) > max_bucket:
+            logger.warning("embedding-LSH bucket capped: %d members > %d", len(g), max_bucket)
+            g = g.head(max_bucket)
         ids = g["id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
         a_idx, b_idx = np.triu_indices(len(g), k=1)
-        ok = sims[a_idx, b_idx] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[a_idx[ok]],
-                "id_b": ids[b_idx[ok]],
-                "cosine": np.round(sims[a_idx, b_idx][ok], 6),
-            }
-        )
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
-    from ray.data.aggregate import Min
-
-    raw = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+    cand = (
+        vec_ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()  # pair LIST only — small by the dup-rate assumption
+        .drop_duplicates(ignore_index=True)
     )
-    # a pair found in several LSH tables appears once per table — the
-    # vectorized (id_a, id_b) aggregate collapses them (cosine is
-    # identical across tables; Min is just the dedup vehicle)
-    return raw.groupby(["id_a", "id_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+
+    if len(cand) <= driver_verify_threshold:
+        cohort = set(cand["id_a"]) | set(cand["id_b"])
+        coref = ray.put(cohort)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            co = ray.get(coref)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            mask = np.fromiter((i in co for i in ids), dtype=bool, count=len(ids))
+            return batch.filter(pa.array(mask))
+
+        sub = pa.concat_tables(
+            vec_ds.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        )
+        ids = sub.column("id").to_numpy(zero_copy_only=False)
+        mat = np.stack(sub.column("vec").to_numpy(zero_copy_only=False))
+        pos = {i: j for j, i in enumerate(ids)}
+        a_pos = np.fromiter((pos[i] for i in cand["id_a"]), dtype=np.int64, count=len(cand))
+        b_pos = np.fromiter((pos[i] for i in cand["id_b"]), dtype=np.int64, count=len(cand))
+        cos = np.einsum("ij,ij->i", mat[a_pos], mat[b_pos])
+        ok = cos >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(cand["id_a"].to_numpy()[ok], pa.int64()),
+                    "id_b": pa.array(cand["id_b"].to_numpy()[ok], pa.int64()),
+                    "cosine": pa.array(np.round(cos[ok], 6), pa.float64()),
+                }
+            )
+        )
+
+    def payload(sub: pa.Table) -> list:
+        mat = np.stack(sub.column("vec").to_numpy(zero_copy_only=False))
+        return [mat[j].view(np.uint64) for j in range(mat.shape[0])]
+
+    def verify(pay_a, pay_b):
+        cos = float(pay_a.view(np.float64) @ pay_b.view(np.float64))
+        return round(cos, 6) if cos >= threshold else None
+
+    out = _pair_key_verify(vec_ds, "id", cand, payload, verify)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "cosine"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 

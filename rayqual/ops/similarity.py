@@ -102,20 +102,18 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
         return out
 
     qkeys = keys_of(qm)  # [q, tables]
-    qkey_sets = [set(qkeys[qi].tolist()) for qi in range(len(qm))]
-    ref = ray.put((qids, qm, qkey_sets))
+    ref = ray.put((qids, qm, qkeys))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        q_ids, q, qsets = ray.get(ref)
+        q_ids, q, qk = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         m = _normalize(np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64))
         bkeys = keys_of(m)  # [batch, tables]
         rows_q, rows_i, rows_s = [], [], []
         for qi in range(len(q_ids)):
-            cand = np.zeros(len(ids), dtype=bool)
-            qs = qsets[qi]
-            for t in range(n_tables):
-                cand |= np.fromiter((kk in qs for kk in bkeys[:, t].tolist()), bool, len(ids))
+            # keys embed the table tag in the high bits, so a flat isin
+            # over the [batch, tables] matrix cannot match across tables
+            cand = np.isin(bkeys, qk[qi]).any(axis=1)
             if exclude_self:
                 cand &= ids != q_ids[qi]
             if not cand.any():

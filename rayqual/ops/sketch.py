@@ -10,8 +10,9 @@ travel — a map_batches partial + tiny reduce, no shuffle.
 
 Standard HLL with the bias-corrected estimator (Flajolet et al. 2007
 constants + small/large-range corrections). Deterministic: hashing is
-pandas' fixed-key siphash, so the estimate is reproducible across runs
-and cluster layouts.
+vectorized splitmix64 for integer keys (no object boxing) and pandas'
+fixed-key siphash for strings, so the estimate is reproducible across
+runs and cluster layouts.
 """
 
 from __future__ import annotations
@@ -19,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
 
 
 def _alpha(m: int) -> float:
@@ -37,7 +40,7 @@ def hll_registers(values: np.ndarray, p: int = 14) -> np.ndarray:
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = pd.util.hash_array(values if values.dtype == object else values.astype(object))
+    h = bucket_hash(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits with 1s
     # rank = position of the first 1 bit from the top of `rest`, 1-based;
