@@ -5,16 +5,28 @@ per cluster. Below ``driver_threshold`` edges the driver-side
 union-find (ops/neardup.py) is faster; above it, this module computes
 components WITHOUT any driver-side graph: iterative min-label
 propagation, where each round every node adopts the smallest label in
-its neighborhood (including its own) via two Ray ``groupby`` passes.
-Converges in O(component diameter) rounds — near-dup clusters are
-small and dense (diameter ≤ ~3 in practice), and ``max_rounds`` bounds
-the worst case.
+its neighborhood (including its own). Converges in O(component
+diameter) rounds — near-dup clusters are small and dense (diameter ≤
+~3 in practice), and ``max_rounds`` bounds the worst case.
 
-Partitioning assumption (SURVEY.md custom-operator rule): the edge
-list may exceed driver memory but each groupby key's rows (a node's
-incident edges) fit a worker — true unless one document pairs with a
-super-linear fraction of the corpus, which the LSH bucket caps
-prevent upstream.
+Execution shape (round-3 rewrite — the round-2 version dispatched a
+Python ``map_groups`` call per NODE per round, prohibitive at 10^12
+nodes): each round is exactly two vectorized exchanges —
+
+1. a BUCKET-grouped label lookup: edge offers (key=peer → dst=node)
+   union current labels (key=node → label), hash-bucketed on the key;
+   one Python call per bucket resolves every offer's peer label with a
+   vectorized pandas index probe;
+2. a ``groupby(node).aggregate(Min(label), Min(old))`` — Ray's
+   segmented sort-based reduce, no per-group Python. ``old`` carries
+   each node's previous label through the same shuffle (offers carry
+   +inf), so convergence (any node with new < old) falls out of the
+   SAME aggregate — no extra union+groupby pass per round.
+
+Partitioning assumption (SURVEY.md custom-operator rule): one hash
+bucket of (offers + labels) rows fits a worker — size ``n_buckets``
+so that holds (a node's incident edges always share its bucket, so
+super-hub nodes need the LSH bucket caps upstream, as before).
 """
 
 from __future__ import annotations
@@ -25,12 +37,16 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayqual.functions.hashing import splitmix64
+
 logger = logging.getLogger(__name__)
+
+_OLD_INF = np.int64(1) << np.int64(62)  # "no previous label" sentinel for offer rows
 
 
 def _labels_from_edges(edges_ds):
     """Initial label per node: min neighbor (or self) seen in any edge."""
-    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
     def explode(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False)
@@ -39,8 +55,6 @@ def _labels_from_edges(edges_ds):
         lab = np.concatenate([np.minimum(a, bb), np.minimum(a, bb)])
         return pa.table({"node": pa.array(node, pa.int64()), "label": pa.array(lab, pa.int64())})
 
-    from ray.data.aggregate import Min
-
     return (
         edges_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("node")
@@ -48,19 +62,15 @@ def _labels_from_edges(edges_ds):
     )
 
 
-def connected_components(edges_ds, max_rounds: int = 10):
+def connected_components(edges_ds, max_rounds: int = 10, n_buckets: int = 64):
     """Dataset of (node, label) where label = min node id of the
-    component. ``edges_ds`` columns: id_a, id_b (int64).
-
-    Each round: ship labels across edges (join by node via groupby) and
-    take the neighborhood min. Stops when a round changes nothing
-    (tracked with a distributed count — no driver materialization of
-    nodes or edges).
-    """
+    component. ``edges_ds`` columns: id_a, id_b (int64)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
     from ray.data.aggregate import Min
+
+    import pyarrow.compute as pc
 
     # every round re-reads the edges; without this the UPSTREAM lineage
     # (e.g. the whole propose+verify pipeline feeding the pairs) would
@@ -70,91 +80,70 @@ def connected_components(edges_ds, max_rounds: int = 10):
     if labels.count() == 0:
         return labels
 
+    def offers_of(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, bb])  # each endpoint offers its label…
+        dst = np.concatenate([bb, a])  # …to the other one
+        return pa.table(
+            {
+                "bucket": pa.array((splitmix64(key) % np.uint64(n_buckets)).astype(np.int64)),
+                "key": pa.array(key, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "label": pa.array(np.full(len(key), -1), pa.int64()),
+            }
+        )
+
+    # offers are label-independent: build the exchange rows once
+    offers = edges_ds.map_batches(offers_of, batch_format="pyarrow").materialize()
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        key = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((splitmix64(key) % np.uint64(n_buckets)).astype(np.int64)),
+                "key": pa.array(key, pa.int64()),
+                "dst": pa.array(np.full(len(key), -1), pa.int64()),
+                "label": b.column("label"),
+            }
+        )
+
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per BUCKET; everything inside is vectorized
+        is_lab = g["dst"].to_numpy() == -1
+        lab = g[is_lab]
+        off = g[~is_lab]
+        lab_key = lab["key"].to_numpy()
+        lab_val = lab["label"].to_numpy()
+        lookup = pd.Series(lab_val, index=lab_key)
+        peer_lab = off["key"].map(lookup).to_numpy(dtype="int64", na_value=_OLD_INF)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([lab_key, off["dst"].to_numpy()]),
+                "label": np.concatenate([lab_val, peer_lab]),
+                # label rows carry the node's previous label; offers +inf —
+                # Min(old) per node is then exactly the previous label
+                "old": np.concatenate([lab_val, np.full(len(off), _OLD_INF, dtype="int64")]),
+            }
+        )
+
+    n_changed = None
     for _ in range(max_rounds):
-        # propagate: for each edge, each endpoint offers its label to
-        # the other; union with current labels; min per node
-        def tag_edges(b: pa.Table) -> pa.Table:
-            a = b.column("id_a").to_numpy(zero_copy_only=False)
-            bb = b.column("id_b").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "node": pa.array(np.concatenate([a, bb]), pa.int64()),
-                    "peer": pa.array(np.concatenate([bb, a]), pa.int64()),
-                }
-            )
-
-        # peer labels: join edge peers with current labels by grouping
-        # (peer, node) rows together with (node, label) rows
-        def as_offer(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": b.column("peer"),
-                    "dst": b.column("node"),
-                    "label": pa.array(np.full(len(b), -1), pa.int64()),
-                }
-            )
-
-        def as_label(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": b.column("node"),
-                    "dst": pa.array(np.full(len(b), -1), pa.int64()),
-                    "label": b.column("label"),
-                }
-            )
-
-        offers = edges_ds.map_batches(tag_edges, batch_format="pyarrow").map_batches(
-            as_offer, batch_format="pyarrow"
-        )
-        lab_rows = labels.map_batches(as_label, batch_format="pyarrow")
-
-        def resolve(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g.loc[g["dst"] == -1, "label"]
-            if len(lab) == 0:
-                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                     "label": pd.Series([], dtype="int64")})
-            lv = int(lab.min())
-            dsts = g.loc[g["dst"] != -1, "dst"].to_numpy()
-            # the key node keeps its label; destinations receive it
-            nodes = np.concatenate([[int(g["key"].iloc[0])], dsts])
-            return pd.DataFrame({"node": nodes.astype("int64"),
-                                 "label": np.full(len(nodes), lv, dtype="int64")})
-
-        new_labels = (
-            offers.union(lab_rows)
-            .groupby("key")
-            .map_groups(resolve, batch_format="pandas")
+        agg = (
+            offers.union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(resolve_bucket, batch_format="pandas")
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+            .aggregate(Min("label", alias_name="label"), Min("old", alias_name="old"))
         )
 
-        # convergence: count label decreases via a distributed compare
-        def pair_lab(tag: int):
-            def f(b: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "node": b.column("node"),
-                        "l": b.column("label"),
-                        "tag": pa.array(np.full(len(b), tag), pa.int64()),
-                    }
-                )
+        def with_changed(b: pa.Table) -> pa.Table:
+            ch = pc.cast(pc.less(b.column("label"), b.column("old")), pa.int64())
+            return pa.table({"node": b.column("node"), "label": b.column("label"), "ch": ch})
 
-            return f
-
-        def changed(g: pd.DataFrame) -> pd.DataFrame:
-            ls = g.groupby("tag")["l"].min()
-            ch = int(len(ls) > 1 and ls.min() != ls.max())
-            return pd.DataFrame({"c": [ch]})
-
-        n_changed = (
-            labels.map_batches(pair_lab(0), batch_format="pyarrow")
-            .union(new_labels.map_batches(pair_lab(1), batch_format="pyarrow"))
-            .groupby("node")
-            .map_groups(changed, batch_format="pandas")
-            .sum("c")
-        )
-        labels = new_labels
+        mat = agg.map_batches(with_changed, batch_format="pyarrow").materialize()
+        n_changed = mat.sum("ch")
+        labels = mat.drop_columns(["ch"])
         if not n_changed:
             break
     else:

@@ -63,6 +63,58 @@ def _union_find_losers(pairs: list[tuple], ids: set) -> set:
     return losers
 
 
+def _prune_singleton_buckets(keys_ds, broadcast_threshold: int = 2_000_000):
+    """Restrict a (bkey, id, ...) exchange dataset to buckets with ≥ 2
+    members before the per-bucket pairing ``map_groups``.
+
+    Why: almost every LSH bucket is a singleton, and Ray's
+    ``map_groups`` pays one Python dispatch per group — bands×n_docs
+    calls at corpus scale (measured as the round-2
+    ``minhash_dedup_docs`` 3× regression). A vectorized
+    ``groupby(bkey).aggregate(Count)`` (per-block partial combine, tiny
+    shuffle of key+count only) finds the hot buckets; their key set —
+    bounded by the number of duplicate GROUPS, not rows — is broadcast
+    via ``ray.put`` and the rows are filtered inside ``map_batches``.
+    Only the filtered (small) subset enters the pairing groupby, so
+    Python dispatch is paid per DUPLICATE bucket only.
+
+    If the hot-bucket set exceeds ``broadcast_threshold`` (a corpus
+    that is mostly duplicates), returns ``keys_ds`` unchanged — the
+    direct groupby then pays per-bucket dispatch but needs no
+    broadcast."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = keys_ds.groupby("bkey").aggregate(Count(alias_name="n"))
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("n"), 1)).select(["bkey"])
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow").materialize()
+    if hot.count() > broadcast_threshold:
+        logger.warning(
+            "singleton-bucket pruning skipped: %d hot buckets exceed broadcast threshold",
+            hot.count(),
+        )
+        return keys_ds
+    vals = [
+        b.column("bkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in hot.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    hot_np = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
+    ref = ray.put(pa.array(hot_np, pa.int64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        hk = ray.get(ref)
+        if len(hk) == 0:
+            return b.slice(0, 0)
+        return b.filter(pc.is_in(b.column("bkey"), value_set=hk))
+
+    return keys_ds.map_batches(keep_hot, batch_format="pyarrow")
+
+
 def minhash_sig_dataset(ds, id_col: str, text_col: str, num_perm: int = 64, shingle_size: int = 12):
     """ONE scan over the text computes every signature; the result
     (id, sig: fixed_size_list<u64, num_perm>) is materialized — at
@@ -106,9 +158,12 @@ def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200) -> 
         keys = minhash_band_keys(sig, bands)
         ids = batch.column("id").to_numpy(zero_copy_only=False)
         # one row per (doc, band): bucket key mixes band index
+        # int64 VIEW of the uint64 key: Ray's sort/groupby path chokes
+        # on uint64 values > 2^63 (silent pickled-object fallback)
         bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
         return pa.table(
-            {"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(np.repeat(ids, bands))}
+            {"bkey": pa.array(bkey.view(np.int64), pa.int64()),
+             "id": pa.array(np.repeat(ids, bands))}
         )
 
     def pair_up(group: pd.DataFrame) -> pd.DataFrame:
@@ -122,8 +177,9 @@ def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200) -> 
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
+    keys = sig_ds.map_batches(keys_only, batch_format="pyarrow")
     pairs = (
-        sig_ds.map_batches(keys_only, batch_format="pyarrow")
+        _prune_singleton_buckets(keys)
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
         .to_pandas()  # pair LIST only — small by the dup-rate assumption
@@ -343,9 +399,12 @@ def minhash_dedup_losers_distributed(
         sig = _sig_matrix(batch)
         keys = minhash_band_keys(sig, bands)
         ids = batch.column("id").to_numpy(zero_copy_only=False)
+        # int64 VIEW of the uint64 key: Ray's sort/groupby path chokes
+        # on uint64 values > 2^63 (silent pickled-object fallback)
         bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
         return pa.table(
-            {"bkey": pa.array(bkey, pa.uint64()), "id": pa.array(np.repeat(ids, bands))}
+            {"bkey": pa.array(bkey.view(np.int64), pa.int64()),
+             "id": pa.array(np.repeat(ids, bands))}
         )
 
     def pair_up(group: pd.DataFrame) -> pd.DataFrame:
@@ -361,7 +420,7 @@ def minhash_dedup_losers_distributed(
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     pairs_ds = (
-        sig_ds.map_batches(keys_only, batch_format="pyarrow")
+        _prune_singleton_buckets(sig_ds.map_batches(keys_only, batch_format="pyarrow"))
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
     )
@@ -457,7 +516,7 @@ def simhash_dedup_losers(
             rows_h.append(h)
         return pa.table(
             {
-                "bkey": pa.array(np.concatenate(rows_k), pa.uint64()),
+                "bkey": pa.array(np.concatenate(rows_k).view(np.int64), pa.int64()),
                 "id": pa.array(np.concatenate(rows_i)),
                 "h": pa.array(np.concatenate(rows_h), pa.uint64()),
             }
@@ -478,7 +537,7 @@ def simhash_dedup_losers(
         return pd.DataFrame({"id_a": ids[a_idx[ok]], "id_b": ids[b_idx[ok]]})
 
     pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
+        _prune_singleton_buckets(ds.map_batches(sigs, batch_format="pyarrow"))
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
         .to_pandas()
@@ -625,7 +684,7 @@ def lsh_embedding_neardup_pairs(
             out_k.append(key | (_U64(t) << _U64(32)))
         return pa.table(
             {
-                "bkey": pa.array(np.concatenate(out_k), pa.uint64()),
+                "bkey": pa.array(np.concatenate(out_k).view(np.int64), pa.int64()),
                 "id": pa.array(np.tile(ids, n_tables)),
             }
         )
@@ -643,7 +702,7 @@ def lsh_embedding_neardup_pairs(
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     cand = (
-        vec_ds.map_batches(bucketize, batch_format="pyarrow")
+        _prune_singleton_buckets(vec_ds.map_batches(bucketize, batch_format="pyarrow"))
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
         .to_pandas()  # pair LIST only — small by the dup-rate assumption
