@@ -171,6 +171,14 @@ class RuleConfig:
     # min key for determinism.
     exact_dedup: bool = True
 
+    # near-duplicate dedup on the gate (rule 26, fail_near_duplicate):
+    # None = off (default); "minhash" = MinHash+LSH losers over the
+    # size-eligible rows' ORIGINAL content (same eligibility as exact
+    # dedup: rows with a non-null content_sha256). Keep = min row id
+    # per near-dup cluster.
+    near_dup: str | None = None
+    near_dup_threshold: float = 0.8
+
     # reference-quirk compatibility (SURVEY.md §7.3): reproduce the
     # double-check negative-range bug and float32 boundary rounding.
     strict_reference_compat: bool = True

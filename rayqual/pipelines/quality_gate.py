@@ -26,11 +26,59 @@ import pandas as pd
 import pyarrow as pa
 
 from rayqual.config import RuleConfig
-from rayqual.ops.dedup import apply_dedup_plan, dedup_plan, loser_keys_ref
+from rayqual.functions.hashing import bucket_hash
+from rayqual.ops.dedup import _key_expr, apply_dedup_plan, dedup_plan, loser_keys_ref
+from rayqual.ops.neardup import minhash_dedup_losers
 from rayqual.stages.score import LangScore
 from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
 
 VERDICT_BOOL_COLS = tuple(f"fail_{r}" for r in DROP_RULES)
+
+
+def _gate_row_ids(batch: pa.Table, key_cols=("repo", "path", "commit")) -> np.ndarray:
+    """Deterministic int63 row id from the composite natural key — the
+    near-dup machinery wants integer ids. Collision space is 2^63 over
+    the key strings (documented assumption; at 10^12 rows switch the
+    near-dup id to an explicit dense id column at ingest)."""
+    key = _key_expr(batch, key_cols)
+    h = bucket_hash(key.to_numpy(zero_copy_only=False))
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def near_dup_losers_ref(verdicts_ds, cfg: RuleConfig):
+    """MinHash+LSH near-dup loser ids over the SIZE-ELIGIBLE rows'
+    original content (rows with a non-null content_sha256 — same
+    eligibility as exact dedup), broadcast once via ``ray.put``.
+    Generalizes reference V17 (validation_rulebook.py:107-127) from
+    exact to near duplicates; keep = min row id per cluster."""
+    import pyarrow.compute as pc
+    import ray
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table({"nid": pa.array(_gate_row_ids(b)), "content": b.column("content")})
+        return t.filter(pc.is_valid(b.column("content_sha256")))
+
+    proj = verdicts_ds.map_batches(project, batch_format="pyarrow")
+    losers = minhash_dedup_losers(proj, "nid", "content", threshold=cfg.near_dup_threshold)
+    return ray.put(np.array(sorted(losers), dtype=np.int64))
+
+
+def mark_near_duplicates(ds, losers_ref):
+    """Append ``fail_near_duplicate`` by recomputing the key-derived row
+    id per batch and probing the broadcast loser array (sorted np.isin
+    — no shuffle; the loser set is small by the near-dup-rate
+    assumption, like the exact-dedup broadcast path)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    def mark(b: pa.Table) -> pa.Table:
+        losers = ray.get(losers_ref)
+        mask = np.isin(_gate_row_ids(b), losers)
+        return b.append_column("fail_near_duplicate", pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
 
 
 def quality_gate_dataset(
@@ -99,8 +147,11 @@ def metrics_rollup(verdicts_ds):
 
     from ray.data.aggregate import Sum
 
+    # optional rule columns (e.g. fail_near_duplicate) aggregate only
+    # when the run added them — probe the input schema once
+    names = set(verdicts_ds.schema().names)
     partials = verdicts_ds.map_batches(partial, batch_format="pyarrow")
-    sum_cols = [c for c in ["n_files"] + agg_cols]
+    sum_cols = ["n_files"] + [c for c in agg_cols if c in names]
     out = partials.groupby("repo").aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )
@@ -219,15 +270,22 @@ def run_quality_gate_resumable(
 
     verdicts = ray.data.read_parquet(part_dirs)
     plan = dedup_plan(verdicts) if cfg.exact_dedup else ("broadcast", loser_keys_ref(set()))
-    final = _finalize(apply_dedup_plan(verdicts, plan), cfg)
+    nref = near_dup_losers_ref(verdicts, cfg) if cfg.near_dup else None
+    marked = apply_dedup_plan(verdicts, plan)
+    if nref is not None:
+        marked = mark_near_duplicates(marked, nref)
+    final = _finalize(marked, cfg)
     final.map_batches(kept_projection, batch_format="pyarrow").write_parquet(f"{output_dir}/kept")
 
     slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
-        f"fail_{r}" for r in DROP_RULES if r != "duplicate"
+        f"fail_{r}" for r in DROP_RULES if r not in ("duplicate", "near_duplicate")
     ]
     # column-pruned read: the metrics pass never touches content bytes
     slim = ray.data.read_parquet(part_dirs, columns=slim_cols)
-    metrics = metrics_rollup(_finalize(apply_dedup_plan(slim, plan), cfg))
+    slim = apply_dedup_plan(slim, plan)
+    if nref is not None:
+        slim = mark_near_duplicates(slim, nref)
+    metrics = metrics_rollup(_finalize(slim, cfg))
     metrics.write_parquet(f"{output_dir}/metrics")
     return {
         "manifests": manifests,
@@ -292,6 +350,9 @@ def run_quality_gate(
         vd = apply_dedup_plan(vd, plan)
     else:
         plan = None
+    nref = near_dup_losers_ref(raw, cfg) if cfg.near_dup else None
+    if nref is not None:
+        vd = mark_near_duplicates(vd, nref)
 
     # mark+finalize stay lazy: the expensive scoring is already pinned,
     # so each consumer (kept write, metrics, caller) re-runs only the
@@ -304,7 +365,7 @@ def run_quality_gate(
     # mark+finalize+combine — otherwise the rollup re-ships gigabytes
     # of text through three map stages just to sum booleans
     slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
-        f"fail_{r}" for r in DROP_RULES if r != "duplicate"
+        f"fail_{r}" for r in DROP_RULES if r not in ("duplicate", "near_duplicate")
     ]
 
     def _slim(b: pa.Table) -> pa.Table:
@@ -313,6 +374,8 @@ def run_quality_gate(
     slim = raw.map_batches(_slim, batch_format="pyarrow", zero_copy_batch=True)
     if plan is not None:
         slim = apply_dedup_plan(slim, plan)
+    if nref is not None:
+        slim = mark_near_duplicates(slim, nref)  # key cols only — slim is enough
     metrics = metrics_rollup(_finalize(slim, cfg))
     if output_dir is not None:
         out = kept

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single-pass run without chunk checkpoints")
     p.add_argument("--export-shards", type=int, default=None,
                    help="also export kept rows as N deterministic hash shards")
+    p.add_argument("--near-dup", choices=["minhash"], default=None,
+                   help="also drop MinHash+LSH near-duplicates (rule 26, "
+                        "fail_near_duplicate); keep = min row id per cluster")
+    p.add_argument("--near-dup-threshold", type=float, default=0.8,
+                   help="estimated-Jaccard threshold for --near-dup (default 0.8)")
     p.add_argument("--scorer-concurrency", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=2048,
                    help="rows per scorer batch; LOWER this for corpora with multi-MB files "
@@ -70,7 +75,7 @@ def _run(args) -> int:
         ray.data.DataContext.get_current().target_max_block_size = (
             args.target_block_mb * 1024 * 1024
         )
-    cfg = RuleConfig()
+    cfg = RuleConfig(near_dup=args.near_dup, near_dup_threshold=args.near_dup_threshold)
     t0 = time()
     if args.no_resume:
         ds = ray.data.read_parquet(args.input_dir)

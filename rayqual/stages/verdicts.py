@@ -37,6 +37,7 @@ RULE_IDS: dict[str, tuple[int, str, str]] = {
     "repetition": (23, "Quality Heuristic", "Highly repetitive content"),
     "langid_mismatch": (24, "Language Model", "Declared language contradicts language ID"),
     "perplexity": (25, "Language Model", "Perplexity above threshold"),
+    "near_duplicate": (26, "Generic Validation", "Near-duplicate content"),
 }
 
 #: stateless heuristic rules in decision order
@@ -46,8 +47,9 @@ STATELESS_RULES = (
 )
 #: stateful (model) rules appended by the LangScore actor stage
 MODEL_RULES = ("langid_mismatch", "perplexity")
-#: all rules that can drop a row, in drop_reasons order
-DROP_RULES = STATELESS_RULES + MODEL_RULES + ("duplicate",)
+#: all rules that can drop a row, in drop_reasons order (columns are
+#: optional — finalize/metrics skip fail_* columns a run didn't add)
+DROP_RULES = STATELESS_RULES + MODEL_RULES + ("duplicate", "near_duplicate")
 
 
 class StatelessVerdicts:

@@ -1,0 +1,121 @@
+"""Near-dup wired into the flagship gate (rule 26, fail_near_duplicate):
+library path + CLI flag. Generalizes reference V17
+(validation_rulebook.py:107-127) from exact to near duplicates."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayqual.config import RuleConfig
+from rayqual.gen import generate_table
+from rayqual.pipelines.quality_gate import _gate_row_ids, run_quality_gate
+
+
+def _near_dup_corpus(n_base: int = 40, n_pairs: int = 6, seed: int = 7) -> pa.Table:
+    """Seed corpus plus injected near-duplicate rows: each of the first
+    ``n_pairs`` base rows gets a copy with a one-token edit under a new
+    (repo, path, commit) key — near (not exact) duplicates."""
+    base = generate_table(n_base, seed=seed).to_pandas()
+    rows = {c: list(base[c]) for c in base.columns}
+    added = []
+    for i in range(n_pairs):
+        text = base["content"].iloc[i]
+        if text is None or len(text) < 200:
+            continue
+        rows["repo"].append("neardup-repo")
+        rows["path"].append(f"copy/{i}.py")
+        rows["commit"].append(f"nd{i:08d}")
+        rows["lang"].append(base["lang"].iloc[i])
+        # one-token edit near the end: high shingle overlap, different sha
+        rows["content"].append(text[:-10] + "_EDITED_X\n")
+        added.append((base["repo"].iloc[i], base["path"].iloc[i], base["commit"].iloc[i],
+                      "neardup-repo", f"copy/{i}.py", f"nd{i:08d}"))
+    assert len(added) >= 3, "corpus must contain usable near-dup pairs"
+    return pa.table({c: pa.array(v) for c, v in rows.items()}), added
+
+
+@pytest.fixture(scope="module")
+def nd_results(ray_session):
+    import ray.data
+
+    table, added = _near_dup_corpus()
+    cfg = RuleConfig(near_dup="minhash", near_dup_threshold=0.8)
+    ds = ray.data.from_arrow(table).repartition(4)
+    vd, kept, metrics = run_quality_gate(ds, cfg, scorer_concurrency=2)
+    return table, added, vd.to_pandas(), kept.to_pandas(), metrics.to_pandas()
+
+
+def test_near_dup_rule_fires_one_per_cluster(nd_results):
+    table, added, vd, kept, metrics = nd_results
+    assert "fail_near_duplicate" in vd.columns
+    flagged = vd[vd["fail_near_duplicate"]]
+    assert len(flagged) >= 3
+    # exactly ONE member of each injected pair is flagged (keep = min id)
+    for orig_repo, orig_path, orig_commit, cp_repo, cp_path, cp_commit in added:
+        pair = vd[
+            ((vd["repo"] == orig_repo) & (vd["path"] == orig_path) & (vd["commit"] == orig_commit))
+            | ((vd["repo"] == cp_repo) & (vd["path"] == cp_path) & (vd["commit"] == cp_commit))
+        ]
+        if not pair["content_sha256"].notna().all():
+            continue  # size-ineligible rows are out of near-dup scope
+        assert pair["fail_near_duplicate"].sum() == 1, (orig_path, cp_path)
+    # flagged rows are dropped with the rule in drop_reasons
+    assert (~flagged["keep"]).all()
+    assert flagged["drop_reasons"].str.contains("near_duplicate").all()
+
+
+def test_near_dup_keeps_min_row_id(nd_results):
+    table, added, vd, kept, metrics = nd_results
+    b = pa.Table.from_pandas(vd[["repo", "path", "commit"]], preserve_index=False)
+    ids = _gate_row_ids(b)
+    flagged_mask = vd["fail_near_duplicate"].to_numpy()
+    for orig_repo, orig_path, orig_commit, cp_repo, cp_path, cp_commit in added:
+        sel = (
+            ((vd["repo"] == orig_repo) & (vd["path"] == orig_path) & (vd["commit"] == orig_commit))
+            | ((vd["repo"] == cp_repo) & (vd["path"] == cp_path) & (vd["commit"] == cp_commit))
+        ).to_numpy()
+        if vd.loc[sel, "content_sha256"].isna().any() or flagged_mask[sel].sum() != 1:
+            continue
+        pair_ids = ids[sel]
+        loser_id = ids[sel & flagged_mask][0]
+        assert loser_id == pair_ids.max()  # min id kept → max id flagged
+
+
+def test_near_dup_in_metrics_rollup(nd_results):
+    table, added, vd, kept, metrics = nd_results
+    assert "fail_near_duplicate" in metrics.columns
+    assert metrics["fail_near_duplicate"].sum() == vd["fail_near_duplicate"].sum()
+
+
+def test_near_dup_off_leaves_gate_unchanged(ray_session):
+    import ray.data
+
+    table, _ = _near_dup_corpus()
+    vd, _, _ = run_quality_gate(
+        ray.data.from_arrow(table).repartition(4), RuleConfig(), scorer_concurrency=2
+    )
+    assert "fail_near_duplicate" not in vd.to_pandas().columns
+
+
+def test_gate_cli_near_dup(ray_session, tmp_path):
+    from rayqual.run_gate import main
+
+    table, added = _near_dup_corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(table, indir / "part0.parquet")
+    out = tmp_path / "out"
+    rc = main([str(indir), str(out), "--no-resume", "--near-dup", "minhash",
+               "--scorer-concurrency", "2"])
+    assert rc == 0
+    import pyarrow.dataset as pads
+
+    kept = pads.dataset(f"{out}/kept").to_table().to_pandas()
+    kept_keys = set(zip(kept["repo"], kept["path"], kept["commit"]))
+    # no near-dup pair survives whole: at most one member is kept
+    for o_r, o_p, o_c, r, p, c in added:
+        both = ((o_r, o_p, o_c) in kept_keys) and ((r, p, c) in kept_keys)
+        assert not both, (o_p, p)
