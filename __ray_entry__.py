@@ -488,23 +488,52 @@ def q_orders_by_priority(sf_dir: str):
     )
 
 
-def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
+def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800, n_buckets: int = 32):
     """Per-user sessionization (windowed/stateful op): a session break
-    is a gap > gap_seconds between consecutive events."""
+    is a gap > gap_seconds between consecutive events.
+
+    Scale shape: users are HASH-BUCKETED and the groupby runs per
+    bucket (one Python dispatch per bucket, not per user — at 10⁹
+    users the per-group form is 10⁹ Python calls); inside a bucket the
+    rows are sorted by (user, ts) once and all per-user gap counts
+    fall out of one vectorized np.diff + reduceat segment pass."""
     import pandas as pd
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = np.sort(g["ts"].astype("int64").to_numpy())  # microseconds
-        breaks = int((np.diff(ts_us) > gap_seconds * 1_000_000).sum()) if len(ts_us) > 1 else 0
+    from rayqual.functions.hashing import splitmix64
+
+    gap_us = gap_seconds * 1_000_000
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)),
+                "user_id": pa.array(uid),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], np.diff(ts)])
+        brk = (~new_user) & (gap > gap_us)
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.append(starts, len(uid)))
+        n_sessions = np.add.reduceat(brk.astype(np.int64), starts) + 1
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [breaks + 1]}
+            {"user_id": uid[starts], "n_events": n_events.astype("int64"),
+             "n_sessions": n_sessions.astype("int64")}
         )
 
     return (
         _events(sf_dir)
         .select_columns(["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 
@@ -613,6 +642,8 @@ def q_events_sliding_10min(sf_dir: str):
     1→2 expansion inside map_batches, then the usual grouped count."""
     import pandas as pd
 
+    from ray.data.aggregate import Count
+
     def expand(b: pa.Table) -> pa.Table:
         us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         w = 600_000_000  # 10 min in µs
@@ -623,21 +654,25 @@ def q_events_sliding_10min(sf_dir: str):
         starts = np.concatenate([start0, start1])
         return pa.table({"win_start_us": pa.array(starts, pa.int64())})
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"win_start_us": [g["win_start_us"].iloc[0]], "n_events": [len(g)]})
-
+    # vectorized Count aggregate (per-block partial combine) — the
+    # round-2 per-window map_groups paid one Python call per window
     return (
         _events(sf_dir)
         .select_columns(["ts"])
         .map_batches(expand, batch_format="pyarrow")
         .groupby("win_start_us")
-        .map_groups(agg, batch_format="pandas")
+        .aggregate(Count(alias_name="n_events"))
     )
 
 
 def q_sample_per_source_docs(sf_dir: str, k: int = 3):
     """Deterministic stratified sample: ``k`` docs per source, ranked
-    by a multiplicative hash (reproducible without a global shuffle)."""
+    by a multiplicative hash (reproducible without a global shuffle).
+
+    Scale note: the per-group ``map_groups`` dispatch is fine at tens
+    of strata; with millions of strata use the sessionize_events shape
+    — hash-bucket the strata and run one vectorized per-bucket top-k
+    (sort + segment reduceat) per Python call."""
     import pandas as pd
 
     def rank_keys(b: pa.Table) -> pa.Table:
@@ -696,28 +731,27 @@ def q_revenue_by_priority(sf_dir: str):
 
 
 def q_events_window_5min(sf_dir: str):
-    """Tumbling 5-minute window aggregate over the event stream."""
-    import pandas as pd
+    """Tumbling 5-minute window aggregate over the event stream.
+
+    Distinct-user counts via TWO vectorized aggregates (no per-window
+    Python dispatch): groupby(window, user).count collapses to one row
+    per (window, user), then groupby(window) counts rows (= distinct
+    users) and sums the per-user event counts."""
+    from ray.data.aggregate import Count, Sum
 
     def bucketize(b: pa.Table) -> pa.Table:
         us = pc.cast(b.column("ts"), pa.int64())
         bucket = pc.multiply(pc.divide(us, 300_000_000), 300_000_000)
         return pa.table({"bucket_us": bucket, "user_id": b.column("user_id")})
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket_us": [g["bucket_us"].iloc[0]],
-                "n_events": [len(g)],
-                "n_users": [g["user_id"].nunique()],
-            }
-        )
-
-    return (
+    per_user = (
         _events(sf_dir)
         .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket_us")
-        .map_groups(agg, batch_format="pandas")
+        .groupby(["bucket_us", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return per_user.groupby("bucket_us").aggregate(
+        Sum("n", alias_name="n_events"), Count(alias_name="n_users")
     )
 
 

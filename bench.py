@@ -162,9 +162,9 @@ def main():
         # ~10-minute phases. A ratio of two levels measured in different
         # phases is meaningless, so each rep runs its levels ADJACENT in
         # time (2, 8, 32 back to back) and the efficiency is computed
-        # WITHIN a rep; the reported figure is the best per-rep paired
-        # efficiency (per-level bests are also reported for absolute
-        # throughput).
+        # WITHIN a rep; the reported figure is the MEDIAN per-rep paired
+        # efficiency (best/min are exposed alongside; per-level bests
+        # are also reported for absolute throughput).
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
         best: dict = {}
         rep_effs = []
@@ -187,19 +187,28 @@ def main():
                     "f2": rep[2], "f8": rep[8], "f32": rep[32],
                 }
             )
-        primary = max(e["eff_2_to_8"] for e in rep_effs)
-        secondary = max(e["eff_8_to_32"] for e in rep_effs)
+        import statistics
+
+        # headline `value` is the MEDIAN paired efficiency (the best is
+        # exposed separately as *_best) — a max-over-reps headline is a
+        # best-case selection and hides reps that missed the target
+        p_effs = [e["eff_2_to_8"] for e in rep_effs]
+        s_effs = [e["eff_8_to_32"] for e in rep_effs]
         print(json.dumps({
             "metric": "scaling_efficiency_N_to_4N_cpus",
-            "value": primary,                         # primary: 2 -> 8, paired
+            "value": round(statistics.median(p_effs), 3),  # primary: 2 -> 8, paired, median
             "unit": "ratio",
             "pair_primary": "2cpu->8cpu (below single-node bandwidth saturation), "
                             "levels of one rep measured adjacent in time",
             "files_per_sec_2": best[2],
             "files_per_sec_8": best[8],
             "files_per_sec_32": best[32],
-            "efficiency_2_to_8": primary,
-            "efficiency_8_to_32": secondary,
+            "efficiency_2_to_8": round(statistics.median(p_effs), 3),
+            "efficiency_2_to_8_best": max(p_effs),
+            "efficiency_2_to_8_min": min(p_effs),
+            "efficiency_8_to_32": round(statistics.median(s_effs), 3),
+            "efficiency_8_to_32_best": max(s_effs),
+            "efficiency_8_to_32_min": min(s_effs),
             "per_rep": rep_effs,
             "rows": BENCH_ROWS,
         }))

@@ -101,7 +101,11 @@ def _run(args) -> int:
         if n == 0:
             url = _write_no_issues(stem, table_name, args.account_id, now)
         elif args.format == "csv":
-            rep_ds.write_csv(f"{stem}.csv")
+            # the reference artifact is ONE csv FILE; Dataset.write_csv
+            # would create a DIRECTORY of part files under that name.
+            # The report is violation-sized (already materialized), so
+            # a driver-side to_csv matches the artifact contract.
+            rep_ds.to_pandas().to_csv(f"{stem}.csv", index=False)
             url = f"{stem}.csv"
         else:
             rep_ds.write_parquet(f"{stem}.parquet")

@@ -115,6 +115,35 @@ def _prune_singleton_buckets(keys_ds, broadcast_threshold: int = 2_000_000):
     return keys_ds.map_batches(keep_hot, batch_format="pyarrow")
 
 
+def _oversized_pairs(ids: np.ndarray, max_bucket: int, strict: bool, kind: str) -> pd.DataFrame:
+    """Pairing policy for a degenerate LSH bucket (> max_bucket members,
+    ``ids`` sorted ascending and de-duplicated).
+
+    * strict=False (default): truncate to the first ``max_bucket``
+      members — O(max_bucket²) pairs; members beyond the cap produce NO
+      candidate pairs from this bucket (logged with the exact exposure
+      count; tests/test_ops.py proves which pairs are lost).
+    * strict=True: STAR pairing — every member pairs with the bucket
+      minimum, n-1 candidates, so no member is silently excluded and a
+      homogeneous boilerplate bucket still collapses to one cluster
+      through verify + union-find. Caveat (documented): a MIXED
+      oversized bucket can contain x,y that verify against each other
+      but not against the minimum; all-pairs would link them, the star
+      does not — the price of O(n) instead of O(n²) candidates."""
+    if strict:
+        return pd.DataFrame(
+            {"id_a": np.full(len(ids) - 1, ids[0]), "id_b": ids[1:]}
+        )
+    logger.warning(
+        "%s bucket capped: %d members > %d — %d members beyond the cap get no "
+        "candidate pairs from this bucket (use strict=True for star pairing)",
+        kind, len(ids), max_bucket, len(ids) - max_bucket,
+    )
+    ids = ids[:max_bucket]
+    a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
+
+
 def minhash_sig_dataset(ds, id_col: str, text_col: str, num_perm: int = 64, shingle_size: int = 12):
     """ONE scan over the text computes every signature; the result
     (id, sig: fixed_size_list<u64, num_perm>) is materialized — at
@@ -144,7 +173,7 @@ def _sig_matrix(batch: pa.Table) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
 
 
-def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200) -> pd.DataFrame:
+def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200, strict: bool = False) -> pd.DataFrame:
     """LSH propose stage over a signature dataset: unique candidate
     (id_a < id_b) pairs. The band shuffle ships ONLY (bkey, id) — 16
     bytes per (doc, band) row, 32× less than attaching the 64×u64
@@ -171,8 +200,7 @@ def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200) -> 
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
         if len(g) > max_bucket:
-            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
-            g = g.head(max_bucket)
+            return _oversized_pairs(g["id"].to_numpy(), max_bucket, strict, "minhash")
         ids = g["id"].to_numpy()
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
@@ -195,10 +223,11 @@ def minhash_propose_pairs(
     bands: int = 8,
     shingle_size: int = 12,
     max_bucket: int = 200,
+    strict: bool = False,
 ) -> pd.DataFrame:
     """Text-input convenience wrapper: signature scan + propose."""
     sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
-    return minhash_propose_from_sigs(sig_ds, bands, max_bucket)
+    return minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict)
 
 
 def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn):
@@ -280,6 +309,7 @@ def minhash_candidate_pairs(
     shingle_size: int = 12,
     threshold: float = 0.8,
     max_bucket: int = 200,
+    strict: bool = False,
     driver_verify_threshold: int = 250_000,
 ):
     """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
@@ -296,7 +326,7 @@ def minhash_candidate_pairs(
     import ray.data
 
     sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
-    cand = minhash_propose_from_sigs(sig_ds, bands, max_bucket)
+    cand = minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict)
     empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
     if len(cand) == 0:
@@ -369,6 +399,7 @@ def minhash_dedup_losers_distributed(
     shingle_size: int = 12,
     threshold: float = 0.8,
     max_bucket: int = 200,
+    strict: bool = False,
     cc_rounds: int = 10,
 ):
     """The 10^12-row dedup path: NOTHING touches the driver — not the
@@ -413,8 +444,7 @@ def minhash_dedup_losers_distributed(
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         if len(g) > max_bucket:
-            logger.warning("minhash bucket capped: %d members > %d", len(g), max_bucket)
-            g = g.head(max_bucket)
+            return _oversized_pairs(g["id"].to_numpy(), max_bucket, strict, "minhash")
         ids = g["id"].to_numpy()
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
@@ -496,7 +526,8 @@ def minhash_dedup_losers_distributed(
 
 
 def simhash_dedup_losers(
-    ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3, max_bucket: int = 500
+    ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3,
+    max_bucket: int = 500, strict: bool = False,
 ) -> list:
     """SimHash near-dup: 4×16-bit band LSH guarantees every pair with
     hamming distance ≤ 3 shares at least one band (pigeonhole); full
@@ -526,11 +557,22 @@ def simhash_dedup_losers(
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        if len(g) > max_bucket:
-            logger.warning("simhash bucket capped: %d members > %d", len(g), max_bucket)
-            g = g.head(max_bucket)
         ids = g["id"].to_numpy()
         hs = g["h"].to_numpy().astype(np.uint64)
+        if len(g) > max_bucket:
+            if strict:
+                # star verify against the bucket minimum (see _oversized_pairs)
+                dist = hamming64(np.full(len(g) - 1, hs[0]), hs[1:])
+                ok = dist <= max_hamming
+                return pd.DataFrame({"id_a": np.full(int(ok.sum()), ids[0]),
+                                     "id_b": ids[1:][ok]})
+            logger.warning(
+                "simhash bucket capped: %d members > %d — %d members beyond the cap "
+                "get no candidate pairs from this bucket (use strict=True)",
+                len(g), max_bucket, len(g) - max_bucket,
+            )
+            g = g.head(max_bucket)
+            ids, hs = ids[:max_bucket], hs[:max_bucket]
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         dist = hamming64(hs[a_idx], hs[b_idx])
         ok = dist <= max_hamming
@@ -630,7 +672,8 @@ def embedding_neardup_pairs(
 
 def lsh_embedding_neardup_pairs(
     ds, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 16, n_tables: int = 6,
-    seed: int = 7, max_bucket: int = 500, driver_verify_threshold: int = 250_000,
+    seed: int = 7, max_bucket: int = 500, strict: bool = False,
+    driver_verify_threshold: int = 250_000,
 ):
     """Scale path: random-hyperplane LSH buckets (seeded, deterministic)
     → exact cosine verification of the proposed candidates. Approximate
@@ -695,8 +738,7 @@ def lsh_embedding_neardup_pairs(
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         if len(g) > max_bucket:
-            logger.warning("embedding-LSH bucket capped: %d members > %d", len(g), max_bucket)
-            g = g.head(max_bucket)
+            return _oversized_pairs(g["id"].to_numpy(), max_bucket, strict, "embedding-LSH")
         ids = g["id"].to_numpy()
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})

@@ -4,8 +4,9 @@ scrub + exact dedup over a (repo, path, commit, lang, content) table.
 Ray-Data plan (BASELINE.json:north_star):
 
     read_parquet (pruned columns)
-      → map_batches(StatelessVerdicts)       # fused stats+rules+scrub+sha, Arrow
-      → map_batches(LangScore, concurrency=N)  # actor pool, models in __init__
+      → map_batches(VerdictScore, concurrency=N)  # ONE fused actor stage:
+        #   stats+rules+scrub+sha (stateless) + langid/perplexity
+        #   (models in __init__) — one object-store pass of content
       → [dedup: project (sha,key) → groupby(sha) → broadcast losers]
       → finalize keep/drop
       → kept rows → write_parquet        (filtered output)
@@ -29,7 +30,7 @@ from rayqual.config import RuleConfig
 from rayqual.functions.hashing import bucket_hash
 from rayqual.ops.dedup import _key_expr, apply_dedup_plan, dedup_plan, loser_keys_ref
 from rayqual.ops.neardup import minhash_dedup_losers
-from rayqual.stages.score import LangScore
+from rayqual.stages.score import LangScore, VerdictScore  # noqa: F401 — LangScore re-exported
 from rayqual.stages.verdicts import DROP_RULES, StatelessVerdicts, finalize_decision
 
 VERDICT_BOOL_COLS = tuple(f"fail_{r}" for r in DROP_RULES)
@@ -102,14 +103,17 @@ def quality_gate_dataset(
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         scorer_concurrency = max(2, cpus - 2)
-    ds = ds.map_batches(StatelessVerdicts(cfg), batch_format="pyarrow", zero_copy_batch=True)
+    # ONE fused actor stage (stateless verdicts + scoring): the
+    # two-stage chain shipped every content block through the object
+    # store twice; fusing removes a full write+read of the corpus bytes
     ds = ds.map_batches(
-        LangScore,
+        VerdictScore,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=scorer_batch_size,
         concurrency=scorer_concurrency,
         num_cpus=1,
+        zero_copy_batch=True,
     )
     return ds
 

@@ -49,8 +49,10 @@ from rayqual.schema import REPORT_COLUMNS
 #: report row with VALIDATION_ID=0 naming the rule and the error —
 #: visible in the report, never fatal to the other rules (SURVEY §4).
 #: In the streaming path the row is emitted per failing BATCH with an
-#: identical DQ_REPORT_ID (the id hashes rule+column only), so
-#: consumers can collapse them with a distinct on DQ_REPORT_ID.
+#: identical DQ_REPORT_ID (the id hashes 0.{failing_vid}+column — one
+#: id per (rule, column), distinct across rules), so consumers can
+#: collapse them with a distinct on DQ_REPORT_ID without losing a
+#: second rule's error on the same column.
 RULE_ERROR_ID = 0
 
 
@@ -245,11 +247,25 @@ REPORT_ARROW_SCHEMA = pa.schema(
 def _with_dq_id(table: pa.Table) -> pa.Table:
     """Deterministic, order-independent report id: first 16 hex chars
     of sha256('vid|column|key') — computable per block with no global
-    sequence (and expressible in the DuckDB oracle)."""
+    sequence (and expressible in the DuckDB oracle).
+
+    Rule-error dead-letter rows all carry VALIDATION_ID=0, so their id
+    additionally folds in the FAILING rule's vid (parsed from the
+    message) — otherwise two different rules erroring on the same
+    column would collide and a 'distinct on DQ_REPORT_ID' collapse
+    would silently drop one of them."""
     import pyarrow.compute as pc
 
+    vid_str = pc.cast(table.column("VALIDATION_ID"), pa.string())
+    failing = pc.extract_regex(table.column("VALIDATION_MESSAGE"), r"^rule (?P<v>\d+) failed")
+    failing_vid = pc.coalesce(pc.struct_field(failing, 0), pa.scalar("", pa.string()))
+    vid_str = pc.if_else(
+        pc.equal(table.column("VALIDATION_ID"), RULE_ERROR_ID),
+        pc.binary_join_element_wise(vid_str, failing_vid, "."),
+        vid_str,
+    )
     canon = pc.binary_join_element_wise(
-        pc.cast(table.column("VALIDATION_ID"), pa.string()),
+        vid_str,
         pc.coalesce(pc.cast(table.column("COLUMN_NAME"), pa.string()), pa.scalar("", pa.string())),
         pc.coalesce(pc.cast(table.column("PRIMARY_KEY_VALUE"), pa.string()), pa.scalar("", pa.string())),
         "|",
@@ -421,6 +437,15 @@ def validation_report_dataset(
     dup_kmin = np.asarray(dup_tbl.column("kmin").to_pylist(), dtype=object)
     dref = ray.put((dup_index, dup_kmin))
 
+    # V17 winner semantics (documented deviation, ADVICE r2): the
+    # engine keeps the lexicographic-MIN key STRING per duplicate
+    # group; the reference's dropDuplicates keeps the FIRST row in
+    # input order, so with sequential numeric ROW_IDs the flagged
+    # loser sets differ when string order diverges from numeric order
+    # (keys '9' vs '10': engine flags '9', reference flags 10).
+    # Deterministic-min is intentional — input order is not stable
+    # under distributed reads; callers needing reference parity should
+    # zero-pad sequential ids (see q_dup_partitioned_docs's key_pad).
     def dup_report(batch: pa.Table) -> pa.Table:
         idx, kmin = ray.get(dref)
         if len(idx) == 0 or len(batch) == 0:

@@ -17,6 +17,26 @@ import pyarrow as pa
 from rayqual.config import RuleConfig
 from rayqual.functions.models import fused_scores, get_models
 from rayqual.functions.textstats import string_bytes
+from rayqual.stages.verdicts import StatelessVerdicts
+
+
+class VerdictScore:
+    """FUSED stateless-verdict + scoring actor stage (round-3 memory
+    lever): running StatelessVerdicts and LangScore as separate
+    map_batches stages writes every content block to the object store
+    twice (stateless output → scorer input); fusing them into one
+    actor-pool ``__call__`` removes that full write+read of the corpus
+    bytes. Same computations in the same order — output is column-for-
+    column identical to the two-stage chain (asserted in
+    tests/test_pipeline_e2e.py)."""
+
+    def __init__(self, config: RuleConfig | None = None):
+        cfg = config or RuleConfig()
+        self._stateless = StatelessVerdicts(cfg)
+        self._score = LangScore(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._score(self._stateless(batch))
 
 
 class LangScore:

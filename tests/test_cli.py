@@ -93,3 +93,39 @@ def test_gate_runner_cli(ray_session, tmp_path):
     assert pads.dataset(str(out / "metrics")).count_rows() > 0
     manifest = json.loads((out / "shards" / "_export_manifest.json").read_text())
     assert manifest["total_rows"] == kept and manifest["n_shards"] == 4
+
+
+def test_cli_streaming_csv_single_file(ray_session, tmp_path):
+    """--key-col + --format csv must produce ONE csv FILE (the
+    reference artifact), not a Dataset.write_csv directory."""
+    import os
+
+    data, meta = _write_fixture(tmp_path)
+    rc = main([data, meta, "acct", "bkt", "--out-dir", str(tmp_path),
+               "--key-col", "ID", "--format", "csv"])
+    assert rc == 0
+    files = glob.glob(str(tmp_path / "qualityreport" / "acct" / "widgets_report_*.csv"))
+    assert len(files) == 1
+    assert os.path.isfile(files[0]), "streaming csv output must be a single file"
+    rep = pd.read_csv(files[0])
+    assert (rep["VALIDATION_ID"] == 5).any()
+    assert rep["DQ_REPORT_ID"].str.len().eq(16).all()
+
+
+def test_rule_error_dead_letter_ids_distinct_per_rule(ray_session):
+    """Two DIFFERENT rules erroring on the SAME column must get
+    DISTINCT dead-letter DQ_REPORT_IDs (the id folds in the failing
+    rule's vid), so a distinct-on-id collapse keeps both errors."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayqual.pipelines.validation_report import _rule_error_rows, _with_dq_id
+
+    rows_a = _rule_error_rows("COL", 5, ValueError("boom"), "t", "TS", "a", "b")
+    rows_b = _rule_error_rows("COL", 14, ValueError("boom"), "t", "TS", "a", "b")
+    t = pa.Table.from_pandas(
+        pd.concat([pd.DataFrame(rows_a), pd.DataFrame(rows_b)], ignore_index=True),
+        preserve_index=False,
+    )
+    out = _with_dq_id(t).to_pandas()
+    assert out["DQ_REPORT_ID"].nunique() == 2

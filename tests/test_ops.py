@@ -386,3 +386,32 @@ def test_connected_components_warns_on_nonconvergence(ray_session, caplog):
     with caplog.at_level(logging.WARNING, logger="rayqual.ops.cc"):
         connected_components(ds, max_rounds=3)
     assert any("did not converge" in r.message for r in caplog.records)
+
+
+def test_max_bucket_cap_vs_strict_star(ray_session, caplog):
+    """Pathological boilerplate corpus: 120 near-identical docs land in
+    one LSH bucket. With max_bucket=30 the default mode truncates —
+    members beyond the cap are provably lost (and the exposure is
+    logged) — while strict=True star-pairs through the bucket minimum
+    and recovers every loser."""
+    import logging
+
+    import ray.data
+
+    from rayqual.ops.neardup import minhash_dedup_losers
+
+    n = 120
+    base = "def handler(request):\n    return Response(status=200, body=render(request))\n" * 6
+    texts = [base + f"# footer {i % 2}\n" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    with caplog.at_level(logging.WARNING, logger="rayqual.ops.neardup"):
+        capped = minhash_dedup_losers(ds, "doc_id", "text", max_bucket=30, threshold=0.8)
+    strict = minhash_dedup_losers(ds, "doc_id", "text", max_bucket=30, threshold=0.8, strict=True)
+
+    # strict mode: every doc but the minimum is a loser (one cluster)
+    assert strict == list(range(1, n))
+    # capped mode: docs beyond the cap produce no pairs — losers missing
+    assert len(capped) < len(strict)
+    assert set(capped) <= set(strict)
