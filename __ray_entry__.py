@@ -783,7 +783,15 @@ def q_langid_docs(sf_dir: str):
     )
 
     def strip(b: pa.Table) -> pa.Table:
-        return b.select(["commit", "pred_lang", "ppl_bits_per_char"])
+        # ppl rounded to 6dp: the committed fixture oracle is the
+        # pure-Python LM (rayqual/oracle.py) whose float sums agree to
+        # ~1e-14 but not bit-exactly; 6dp makes the hash compare stable
+        # (fixture generation asserts rounded equality row by row)
+        ppl = pc.round(b.column("ppl_bits_per_char"), ndigits=6)
+        return pa.table(
+            {"commit": b.column("commit"), "pred_lang": b.column("pred_lang"),
+             "ppl_bits_per_char": ppl}
+        )
 
     return out.map_batches(strip, batch_format="pyarrow")
 
@@ -899,7 +907,12 @@ def q_lsh_topk_embeddings(sf_dir: str, k: int = 10):
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 3)])
     queries = np.stack(qt.column("embedding").to_pylist())
-    return lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
+    out = lsh_topk(_embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist())
+
+    def strip(b: pa.Table) -> pa.Table:  # ids only — hash-stable vs the fixture
+        return b.select(["query_id", "id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
 
 
 def q_ivf_topk_embeddings(sf_dir: str, k: int = 10):
@@ -911,9 +924,14 @@ def q_ivf_topk_embeddings(sf_dir: str, k: int = 10):
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 3)])
     queries = np.stack(qt.column("embedding").to_pylist())
-    return ivf_topk(
+    out = ivf_topk(
         _embeddings(sf_dir), queries, k=k, query_ids=qt.column("vec_id").to_pylist()
     )
+
+    def strip(b: pa.Table) -> pa.Table:  # ids only — hash-stable vs the fixture
+        return b.select(["query_id", "id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -1343,6 +1361,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # --- fixture oracles for the non-SQL operators ----------------
+        # Each fixture was produced by an INDEPENDENT single-process
+        # naive implementation (rayqual/oracle_ops.py; pure-Python gate
+        # in rayqual/oracle.py for flagship/langid) and cross-checked
+        # EXACT against the Ray pipeline at generation time by
+        # tools/make_fixtures.py. Fixtures encode sf0.01 (the driver's
+        # correctness scale) — regenerate with the tool if the synthetic
+        # tables or operator specs change.
+        "minhash_dedup_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/minhash_dedup_docs_sf001_expected.parquet')
+        """,
+        "minhash_dedup_distributed_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/minhash_dedup_distributed_docs_sf001_expected.parquet')
+        """,
+        "simhash_dedup_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/simhash_dedup_docs_sf001_expected.parquet')
+        """,
+        "ngram_jaccard_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/ngram_jaccard_docs_sf001_expected.parquet')
+        """,
+        "fingerprint_docs": f"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/fingerprint_docs_sf001_expected.parquet')
+        """,
+        "lsh_embed_neardup_docs": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "lsh_topk_embeddings": f"""
+            SELECT query_id, id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_topk_embeddings_sf001_expected.parquet')
+        """,
+        "ivf_topk_embeddings": f"""
+            SELECT query_id, id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/ivf_topk_embeddings_sf001_expected.parquet')
+        """,
+        "approx_distinct_users": f"""
+            SELECT approx_distinct_users
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/approx_distinct_users_sf001_expected.parquet')
+        """,
+        "flagship_quality_gate": f"""
+            SELECT repo, path, "commit", keep, drop_reasons, pred_lang,
+                   content_sha256, pii_count
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/flagship_quality_gate_sf001_expected.parquet')
+        """,
+        "langid_docs": f"""
+            SELECT "commit", pred_lang, ppl_bits_per_char
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/langid_docs_sf001_expected.parquet')
         """,
         "multimodal_decode": f"""
             SELECT id, height, width, r_mean, g_mean, b_mean, f0

@@ -1,0 +1,316 @@
+"""Single-process naive oracle implementations for the non-SQL
+operators (MinHash/SimHash/Jaccard dedup, fingerprints, embedding LSH,
+LSH/IVF top-k, HLL) — the fixture-generation side of the correctness
+gate for the queries DuckDB cannot express.
+
+Design rule (same as :mod:`rayqual.oracle` for the flagship): these are
+deliberately NAIVE, loop-heavy, dict-based implementations of the same
+specs — independent of the vectorized Arrow/numpy kernels and of Ray.
+Shared CONSTANTS (permutation parameters, RNG seeds, thresholds) are
+imported from the spec modules: they define the operator, exactly like
+RuleConfig thresholds. ``tools/make_fixtures.py`` runs these against
+the Ray pipelines at sf0.01 and refuses to write a fixture on any
+disagreement.
+
+Pure-Python shingle hashing reuses :func:`rayqual.oracle._shingle_hashes_py`
+(rolling recurrence — a different algorithm computing the same
+polynomial hash as the kernel's vectorized prefix form).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from rayqual.functions.hashing import _minhash_params
+from rayqual.oracle import _shingle_hashes_py
+
+_MOD = 1 << 64
+_U64MAX = _MOD - 1
+
+
+def _union_find_losers_py(pairs, *_):
+    """Naive union-find: losers = every cluster member but the min."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    clusters: dict = {}
+    for x in parent:
+        clusters.setdefault(find(x), []).append(x)
+    losers = []
+    for members in clusters.values():
+        keep = min(members)
+        losers.extend(m for m in members if m != keep)
+    return sorted(losers)
+
+
+def _minhash_sig_py(text: str, num_perm: int = 64, shingle_size: int = 12) -> tuple:
+    """Per-doc minhash signature with pure-Python ints (spec: affine
+    permutation + xorshift-31 mix, min per permutation; empty docs get
+    the all-max signature)."""
+    a, b = _minhash_params(num_perm)
+    hs = _shingle_hashes_py(text.encode("utf-8"), shingle_size) if text is not None else []
+    if not hs:
+        return tuple([_U64MAX] * num_perm)
+    hset = hs  # multiset is fine: min is idempotent
+    sig = []
+    for p in range(num_perm):
+        ap, bp = int(a[p]), int(b[p])
+        best = _U64MAX
+        for h in hset:
+            hp = (h * ap + bp) % _MOD
+            hp ^= hp >> 31
+            if hp < best:
+                best = hp
+        sig.append(best)
+    return tuple(sig)
+
+
+def minhash_dedup_losers_py(df: pd.DataFrame, id_col: str, text_col: str,
+                            num_perm: int = 64, bands: int = 8, shingle_size: int = 12,
+                            threshold: float = 0.8) -> list:
+    """Naive MinHash+LSH dedup. Buckets are (band, band-rows) tuples —
+    grouping-equivalent to the kernel's FNV band fold (a fold collision
+    could only add a candidate pair, which the est-jaccard verify then
+    rejects; fixture generation cross-checks equality regardless)."""
+    ids = list(df[id_col])
+    sigs = {i: _minhash_sig_py(t, num_perm, shingle_size)
+            for i, t in zip(ids, df[text_col])}
+    r = num_perm // bands
+    buckets: dict = {}
+    for i in ids:
+        s = sigs[i]
+        for b in range(bands):
+            buckets.setdefault((b, s[b * r:(b + 1) * r]), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    good = []
+    for a_, b_ in sorted(cand):
+        sa, sb = sigs[a_], sigs[b_]
+        est = sum(1 for u, v in zip(sa, sb) if u == v) / num_perm
+        if est >= threshold:
+            good.append((a_, b_))
+    return _union_find_losers_py(good)
+
+
+def ngram_jaccard_losers_py(df: pd.DataFrame, id_col: str, text_col: str,
+                            shingle_size: int = 12, threshold: float = 0.7) -> list:
+    """Naive exact n-gram Jaccard dedup: MinHash-LSH propose (bucket
+    co-membership only, no est filter — mirroring the operator), exact
+    Jaccard of shingle-hash SETS, union-find."""
+    ids = list(df[id_col])
+    sigs = {i: _minhash_sig_py(t, 64, shingle_size) for i, t in zip(ids, df[text_col])}
+    sets = {i: set(_shingle_hashes_py(t.encode("utf-8"), shingle_size)) if t is not None else set()
+            for i, t in zip(ids, df[text_col])}
+    r = 64 // 8
+    buckets: dict = {}
+    for i in ids:
+        s = sigs[i]
+        for b in range(8):
+            buckets.setdefault((b, s[b * r:(b + 1) * r]), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    good = []
+    for a_, b_ in sorted(cand):
+        sa, sb = sets[a_], sets[b_]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            good.append((a_, b_))
+    return _union_find_losers_py(good)
+
+
+def simhash_dedup_losers_py(df: pd.DataFrame, id_col: str, text_col: str,
+                            shingle_size: int = 8, max_hamming: int = 3) -> list:
+    """Naive SimHash dedup: per-doc 64-bit sign-of-bit-sums hash
+    (strict majority; ties → 0), 4×16-bit band buckets, full hamming
+    verify in-bucket, union-find."""
+    ids = list(df[id_col])
+    hashes = {}
+    for i, t in zip(ids, df[text_col]):
+        hs = _shingle_hashes_py(t.encode("utf-8"), shingle_size) if t is not None else []
+        if not hs:
+            hashes[i] = 0
+            continue
+        total = len(hs)
+        h64 = 0
+        for j in range(64):
+            ones = sum((h >> j) & 1 for h in hs)
+            if 2.0 * ones > total:
+                h64 |= 1 << j
+        hashes[i] = h64
+    buckets: dict = {}
+    for i in ids:
+        for band in range(4):
+            chunk = (hashes[i] >> (band * 16)) & 0xFFFF
+            buckets.setdefault((band, chunk), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    good = [(a, b) for a, b in sorted(cand)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= max_hamming]
+    return _union_find_losers_py(good)
+
+
+def fingerprint_py(text: str | None, shingle_size: int = 16, num_mins: int = 4) -> int:
+    """Naive winnowing fingerprint: XOR-fold of mix(h)·FNV over the
+    ``num_mins`` smallest shingle hashes (positions of the sorted
+    multiset, duplicates retained); empty docs → 0."""
+    hs = _shingle_hashes_py(text.encode("utf-8"), shingle_size) if text is not None else []
+    if not hs:
+        return 0
+    out = 0
+    for h in sorted(hs)[:num_mins]:
+        contrib = ((h ^ (h >> 29)) * 1099511628211) % _MOD
+        out ^= contrib
+    return out
+
+
+def lsh_embedding_pairs_py(ids: np.ndarray, vecs: np.ndarray, threshold: float = 0.95,
+                           n_planes: int = 16, n_tables: int = 6, seed: int = 7) -> list:
+    """Naive random-hyperplane LSH near-dup: dict buckets per (table,
+    bit-pattern), exact cosine verify of bucket co-members."""
+    dim = vecs.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    buckets: dict = {}
+    for row, i in enumerate(ids):
+        for t in range(n_tables):
+            bits = tuple(bool(vn[row] @ planes[t][j] > 0) for j in range(n_planes))
+            buckets.setdefault((t, bits), []).append(row)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    pairs = []
+    for ra, rb in cand:
+        cos = float(vn[ra] @ vn[rb])
+        if cos >= threshold:
+            a_, b_ = int(ids[ra]), int(ids[rb])
+            pairs.append((min(a_, b_), max(a_, b_)))
+    return sorted(set(pairs))
+
+
+def lsh_topk_py(ids: np.ndarray, vecs: np.ndarray, queries: np.ndarray, qids: list,
+                k: int = 10, n_planes: int = 12, n_tables: int = 8, seed: int = 7) -> list:
+    """Naive LSH top-k: candidates = rows sharing any (table, bucket)
+    with the query; exact cosine rescore; ties by ascending id."""
+    dim = vecs.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def key_of(v, t):
+        return tuple(bool(v @ planes[t][j] > 0) for j in range(n_planes))
+
+    rows = []
+    for qi, qid in enumerate(qids):
+        qkeys = {(t, key_of(qn[qi], t)) for t in range(n_tables)}
+        cand = [r for r in range(len(ids))
+                if ids[r] != qid and any((t, key_of(vn[r], t)) in qkeys for t in range(n_tables))]
+        scored = sorted(((float(vn[r] @ qn[qi]), int(ids[r])) for r in cand),
+                        key=lambda sc: (-sc[0], sc[1]))[:k]
+        rows.extend((int(qid), i) for _, i in scored)
+    return rows
+
+
+def ivf_topk_py(ids: np.ndarray, vecs: np.ndarray, queries: np.ndarray, qids: list,
+                k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                train_sample: int = 2048, kmeans_seed: int = 13) -> list:
+    """Naive IVF top-k replicating the spec'd seeded mini-kmeans
+    (sample = first train_sample rows in file order) + nprobe lists."""
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sm = vn[:train_sample]
+    rng = np.random.default_rng(kmeans_seed)
+    cents = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)].copy()
+    for _ in range(8):
+        assign = np.argmax(sm @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sm[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, : min(nprobe, len(cents))]
+    assign_all = np.argmax(vn @ cents.T, axis=1)
+    rows = []
+    for qi, qid in enumerate(qids):
+        cand = [r for r in range(len(ids))
+                if assign_all[r] in probe[qi] and ids[r] != qid]
+        scored = sorted(((float(vn[r] @ qn[qi]), int(ids[r])) for r in cand),
+                        key=lambda sc: (-sc[0], sc[1]))[:k]
+        rows.extend((int(qid), i) for _, i in scored)
+    return rows
+
+
+def _splitmix64_py(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) % _MOD
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % _MOD
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % _MOD
+    return z ^ (z >> 31)
+
+
+def approx_distinct_py(values, p: int = 14) -> float:
+    """Naive HLL with per-value python-int splitmix64 hashing and the
+    same estimator arithmetic (IEEE doubles, same op order) as the
+    vectorized sketch."""
+    m = 1 << p
+    regs = [0] * m
+    for v in values:
+        h = _splitmix64_py(int(v) % _MOD)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) % _MOD
+        # rank = leading-zero count of rest (from bit 63) + 1, capped
+        rank = 1
+        probe = rest
+        for _ in range(64 - p):
+            if probe & (1 << 63):
+                break
+            rank += 1
+            probe = (probe << 1) % _MOD
+        if rank > regs[idx]:
+            regs[idx] = rank
+    regs_np = np.asarray(regs, dtype=np.uint8)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs_np.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs_np == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Generate the committed expected-output fixtures for the rows-only
+queries (the ones DuckDB cannot express), at the driver's correctness
+scale factor sf0.01.
+
+For every fixture, the expected result comes from an INDEPENDENT
+single-process naive implementation (rayqual/oracle_ops.py for the
+LSH/sketch operators; rayqual/oracle.py's pure-Python gate for the
+flagship and langid), the Ray pipeline is run side by side, and the
+script REFUSES to write the fixture on any disagreement — so a
+committed fixture certifies that two independent implementations of
+the spec agreed at generation time. ``oracle_sql()`` then serves each
+fixture to the driver via read_parquet.
+
+Usage: python tools/make_fixtures.py   (owns its Ray session)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF = "/root/testdata/sf0.01"
+FIX = os.path.join(REPO, "tests", "fixtures")
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def check_equal(name: str, got: pd.DataFrame, exp: pd.DataFrame):
+    g, e = norm(got), norm(exp)
+    assert list(g.columns) == list(e.columns), f"{name}: columns {list(g.columns)} vs {list(e.columns)}"
+    assert len(g) == len(e), f"{name}: rows {len(g)} vs {len(e)}"
+    for c in g.columns:
+        gv = g[c].fillna("∅").astype(str).to_numpy()
+        ev = e[c].fillna("∅").astype(str).to_numpy()
+        bad = gv != ev
+        assert not bad.any(), f"{name}: col {c} differs at {np.flatnonzero(bad)[:5]}"
+    print(f"{name}: independent vs Ray EXACT ({len(g)} rows)")
+
+
+def write_fixture(name: str, df: pd.DataFrame, schema: pa.Schema):
+    path = os.path.join(FIX, f"{name}_sf001_expected.parquet")
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    print(f"wrote {path}")
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as m
+    from rayqual import oracle_ops as oo
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    emb_ids = emb_t.column("vec_id").to_numpy()
+    emb_vecs = np.stack(emb_t.column("embedding").to_pylist()).astype(np.float64)
+
+    # --- minhash dedup (driver + distributed share one expected set) ---
+    losers = oo.minhash_dedup_losers_py(docs, "doc_id", "text", threshold=0.8)
+    exp = pd.DataFrame({"doc_id": pd.Series(losers, dtype="int64")})
+    check_equal("minhash_dedup_docs", m.q_minhash_dedup_docs(SF).to_pandas(), exp)
+    check_equal("minhash_dedup_distributed_docs", m.q_minhash_dedup_distributed_docs(SF), exp)
+    sch = pa.schema([("doc_id", pa.int64())])
+    write_fixture("minhash_dedup_docs", exp, sch)
+    write_fixture("minhash_dedup_distributed_docs", exp, sch)
+
+    # --- simhash ---
+    losers = oo.simhash_dedup_losers_py(docs, "doc_id", "text", max_hamming=3)
+    exp = pd.DataFrame({"doc_id": pd.Series(losers, dtype="int64")})
+    check_equal("simhash_dedup_docs", m.q_simhash_dedup_docs(SF).to_pandas(), exp)
+    write_fixture("simhash_dedup_docs", exp, sch)
+
+    # --- exact n-gram jaccard ---
+    losers = oo.ngram_jaccard_losers_py(docs, "doc_id", "text", threshold=0.7)
+    exp = pd.DataFrame({"doc_id": pd.Series(losers, dtype="int64")})
+    check_equal("ngram_jaccard_docs", m.q_ngram_jaccard_docs(SF).to_pandas(), exp)
+    write_fixture("ngram_jaccard_docs", exp, sch)
+
+    # --- fingerprints ---
+    fps = [format(oo.fingerprint_py(t), "016x") for t in docs["text"]]
+    exp = pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                        "fingerprint": pd.Series(fps, dtype="object")})
+    check_equal("fingerprint_docs", m.q_fingerprint_docs(SF).to_pandas(), exp)
+    write_fixture("fingerprint_docs", exp,
+                  pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]))
+
+    # --- embedding LSH near-dup (with the query's dup injection) ---
+    inj = emb_vecs.copy()
+    rng = np.random.default_rng(99)
+    shared = rng.standard_normal((3, inj.shape[1]))
+    dup = emb_ids % 50 == 0
+    inj[dup] = shared[(emb_ids[dup] // 50) % 3]
+    pairs = oo.lsh_embedding_pairs_py(emb_ids, inj, threshold=0.95)
+    exp = pd.DataFrame({"id_a": pd.Series([a for a, _ in pairs], dtype="int64"),
+                        "id_b": pd.Series([b for _, b in pairs], dtype="int64")})
+    check_equal("lsh_embed_neardup_docs", m.q_lsh_embed_neardup_docs(SF), exp)
+    write_fixture("lsh_embed_neardup_docs", exp,
+                  pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+    # --- LSH / IVF top-k (queries = vec_id < 3 in file order) ---
+    qmask = emb_ids < 3
+    queries = emb_vecs[qmask]
+    qids = [int(i) for i in emb_ids[qmask]]
+    rows = oo.lsh_topk_py(emb_ids, emb_vecs, queries, qids, k=10)
+    exp = pd.DataFrame({"query_id": pd.Series([q for q, _ in rows], dtype="int64"),
+                        "id": pd.Series([i for _, i in rows], dtype="int64")})
+    check_equal("lsh_topk_embeddings", m.q_lsh_topk_embeddings(SF).to_pandas(), exp)
+    write_fixture("lsh_topk_embeddings", exp,
+                  pa.schema([("query_id", pa.int64()), ("id", pa.int64())]))
+
+    rows = oo.ivf_topk_py(emb_ids, emb_vecs, queries, qids, k=10)
+    exp = pd.DataFrame({"query_id": pd.Series([q for q, _ in rows], dtype="int64"),
+                        "id": pd.Series([i for _, i in rows], dtype="int64")})
+    check_equal("ivf_topk_embeddings", m.q_ivf_topk_embeddings(SF).to_pandas(), exp)
+    write_fixture("ivf_topk_embeddings", exp,
+                  pa.schema([("query_id", pa.int64()), ("id", pa.int64())]))
+
+    # --- HLL approx distinct ---
+    users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).column("user_id").to_numpy()
+    est = round(oo.approx_distinct_py(users[pd.notna(users)]), 2)
+    exp = pd.DataFrame({"approx_distinct_users": [float(est)]})
+    check_equal("approx_distinct_users", m.q_approx_distinct_users(SF), exp)
+    write_fixture("approx_distinct_users", exp,
+                  pa.schema([("approx_distinct_users", pa.float64())]))
+
+    # --- flagship gate (pure-Python oracle, rayqual/oracle.py) ---
+    from rayqual.config import RuleConfig
+    from rayqual.oracle import oracle_quality_gate
+
+    tbl = pa.concat_tables(m._docs_as_code(SF).iter_batches(batch_format="pyarrow"))
+    ora = oracle_quality_gate(tbl, RuleConfig())
+    cols = ["repo", "path", "commit", "keep", "drop_reasons", "pred_lang",
+            "content_sha256", "pii_count"]
+    exp = ora[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+    check_equal("flagship_quality_gate", m.q_flagship_quality_gate(SF), exp)
+    write_fixture(
+        "flagship_quality_gate", exp,
+        pa.schema([("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+                   ("keep", pa.bool_()), ("drop_reasons", pa.string()),
+                   ("pred_lang", pa.string()), ("content_sha256", pa.string()),
+                   ("pii_count", pa.int64())]),
+    )
+
+    # --- langid (pure-Python oracle ppl, rounded to 6dp) ---
+    exp = ora[["commit", "pred_lang", "ppl_bits_per_char"]].copy()
+    exp["ppl_bits_per_char"] = exp["ppl_bits_per_char"].round(6)
+    check_equal("langid_docs", m.q_langid_docs(SF).to_pandas(), exp)
+    write_fixture(
+        "langid_docs", exp.reset_index(drop=True),
+        pa.schema([("commit", pa.string()), ("pred_lang", pa.string()),
+                   ("ppl_bits_per_char", pa.float64())]),
+    )
+
+    print("ALL FIXTURES WRITTEN")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
