@@ -56,11 +56,16 @@ def con(sf_tiny):
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
+# Fixture-backed oracles encode sf0.01 (the driver's correctness scale),
+# so those queries must run at sf0.01 here; live-SQL oracles are
+# scale-independent and run at the fast sf0.001.
+FIXTURE_ORACLES = {n for n, sql in ORACLES.items() if "tests/fixtures/" in sql}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(ray_session, con, sf_tiny, name):
-    got = to_pandas(QUERIES[name](sf_tiny))
+def test_query_matches_oracle(ray_session, con, sf_tiny, sf_small, name):
+    sf = sf_small if name in FIXTURE_ORACLES else sf_tiny
+    got = to_pandas(QUERIES[name](sf))
     exp = con.execute(ORACLES[name]).df()
     compare(got, exp, name)
 
