@@ -255,6 +255,19 @@ def q_token_count_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
 
 
+def q_topk_tokens_docs(sf_dir: str):
+    """Exact distributed heavy hitters: the 20 most frequent whitespace
+    tokens over documents.text (batch pre-combine → vocab-sized groupby
+    → per-block top-k → tiny driver reduce; ops/heavyhitters.py).
+    Column-pruned read: only ``text`` leaves storage."""
+    import ray.data
+
+    from rayqual.ops.heavyhitters import topk_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return topk_tokens(ds, "text", k=20)
+
+
 def q_sensitive_check_docs(sf_dir: str):
     """Reference V16 (anchored phone/email) over a derived column with
     injected PII (doc_id % 23 → email, % 23 == 1 → phone) so the check
@@ -1094,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": q_quality_filter_docs,
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
+        "topk_tokens_docs": q_topk_tokens_docs,
         "sensitive_check_docs": q_sensitive_check_docs,
         "integer_check_events": q_integer_check_events,
         "timestamp_check_events": q_timestamp_check_events,
@@ -1181,6 +1195,17 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": """
             SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS token_count
             FROM documents
+        """,
+        "topk_tokens_docs": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 20
         """,
         "sensitive_check_docs": f"""
             WITH t AS (

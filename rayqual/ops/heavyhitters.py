@@ -1,0 +1,84 @@
+"""Exact distributed heavy hitters: top-k most frequent tokens.
+
+The pattern LLM-corpus vocabulary analysis needs at 100 TB: never ship
+tokens row-by-row, never sort the full vocabulary.
+
+Three stages, each with bounded exchange volume:
+
+1. map_batches pre-combine — split each batch's text on whitespace
+   (RE2 ``\\s+``, identical semantics to the DuckDB oracle) and reduce
+   it to ONE row per distinct token per batch with
+   ``pyarrow.compute.value_counts`` (a single C++ hash pass). The
+   shuffle therefore sees O(batch_vocab x batches) rows regardless of
+   how many total tokens the corpus holds — the same batch-level
+   combine the flagship metrics rollup uses (rayqual/ops/agg.py).
+2. groupby(token).aggregate(Sum) — the only all-to-all exchange, sized
+   by corpus vocabulary, not corpus tokens. Token strings are short;
+   skew is impossible by construction (each (token, batch) pair is one
+   row going in).
+3. per-block local top-k, then one tiny driver-side reduce — instead
+   of a full sort of the vocabulary, every output block keeps its own
+   best k rows (vectorized argpartition-style via pandas nlargest on
+   <= block rows), so the driver folds <= k x num_blocks candidate
+   rows. Ties break deterministically: count desc, then token asc.
+
+Reference analogue: the reference engine has no vocabulary operator;
+this generalizes its duplicate_check counting idiom
+(dp_data_quality/validation_rulebook.py:107-127) from rows to tokens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_token_counts(b: pa.Table, text_col: str) -> pa.Table:
+    """One row per distinct token in the batch (the pre-combine)."""
+    toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+    return pa.table(
+        {
+            "token": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def _local_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic top-k of one block: cnt desc, token asc."""
+    if len(df) <= k:
+        return df
+    return df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+
+
+def topk_tokens(ds, text_col: str = "text", k: int = 20) -> pd.DataFrame:
+    """Exact global top-k whitespace tokens of ``ds[text_col]``.
+
+    Returns a k-row pandas DataFrame (token, cnt), deterministically
+    tie-broken (cnt desc, token asc). Exact — the pre-combine and the
+    Sum are lossless; only the *candidate pruning* in stage 3 relies on
+    the fact that the global top-k is a subset of the union of
+    per-block top-k's of the fully aggregated per-token counts.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(
+            lambda b: _batch_token_counts(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    candidates = totals.map_batches(
+        lambda df: _local_topk(df, k), batch_format="pandas"
+    ).to_pandas()
+    out = _local_topk(candidates, k).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out

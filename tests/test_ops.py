@@ -415,3 +415,25 @@ def test_max_bucket_cap_vs_strict_star(ray_session, caplog):
     # capped mode: docs beyond the cap produce no pairs — losers missing
     assert len(capped) < len(strict)
     assert set(capped) <= set(strict)
+
+
+def test_topk_tokens_exact_and_tiebreak(ray_session):
+    """topk_tokens equals a naive Python counter, including the
+    deterministic tie-break (cnt desc, token asc) at the k boundary."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from rayqual.ops.heavyhitters import topk_tokens
+
+    texts = [
+        "aa bb cc aa", "bb cc dd\n\tee", "  aa   zz ", "cc dd ee ff",
+        "", "gg gg hh hh ii ii",  # three tokens tied at 2
+    ] * 3
+    t = pa.table({"text": pa.array(texts)})
+    got = topk_tokens(ray.data.from_arrow(t).repartition(4), "text", k=5)
+
+    cnt = Counter(tok for s in texts for tok in re.split(r"\s+", s) if tok)
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["token"], got["cnt"])) == exp
