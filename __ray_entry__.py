@@ -255,6 +255,33 @@ def q_token_count_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
 
 
+def q_events_range_count_1h(sf_dir: str):
+    """Distributed range join (§2.6): for each event, how many events
+    of the same user land in the following hour — time-bucketed
+    build-side replication, probes answered once per group
+    (ops/joins.py:range_count_join). Column-pruned read."""
+    import ray.data
+
+    from rayqual.ops.joins import range_count_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return range_count_join(
+        ds, ds, key="user_id", ts_us="ts_us", window_us=3_600_000_000,
+        left_id="event_id", out_col="n_next_1h",
+    )
+
+
 def q_topk_tokens_docs(sf_dir: str):
     """Exact distributed heavy hitters: the 20 most frequent whitespace
     tokens over documents.text (batch pre-combine → vocab-sized groupby
@@ -1108,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
+        "events_range_count_1h": q_events_range_count_1h,
         "sensitive_check_docs": q_sensitive_check_docs,
         "integer_check_events": q_integer_check_events,
         "timestamp_check_events": q_timestamp_check_events,
@@ -1195,6 +1223,16 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": """
             SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS token_count
             FROM documents
+        """,
+        "events_range_count_1h": """
+            SELECT e1.event_id,
+                   CAST(count(e2.event_id) AS BIGINT) AS n_next_1h
+            FROM events e1
+            LEFT JOIN events e2
+              ON e2.user_id = e1.user_id
+             AND e2.ts > e1.ts
+             AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+            GROUP BY e1.event_id
         """,
         "topk_tokens_docs": """
             WITH toks AS (

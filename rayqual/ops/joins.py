@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayqual.functions.hashing import bucket_hash
+from rayqual.functions.hashing import bucket_hash, splitmix64
 
 
 def shuffle_hash_join(
@@ -110,6 +110,124 @@ def shuffle_hash_join(
         .union(right.map_batches(bucketed(right_on, right_cols, 1), batch_format="pyarrow"))
         .groupby("__bucket")
         .map_groups(join_group, batch_format="pandas")
+    )
+
+
+def range_count_join(
+    left,
+    right,
+    key: str,
+    ts_us: str,
+    window_us: int,
+    left_id: str,
+    out_col: str,
+    n_key_buckets: int = 32,
+):
+    """Distributed RANGE JOIN (count form): for each left row, the
+    number of right rows with the same ``key`` and timestamp in
+    ``(left.ts, left.ts + window_us]``. Returns a Dataset of
+    ``(left_id, out_col)`` with every left row present exactly once.
+
+    Shape (the documented range-join partitioning): time is cut into
+    buckets of exactly ``window_us``; a match for a probe at time t
+    lives in t's bucket or the next one, so the BUILD side is
+    replicated into its own and the PREVIOUS bucket (2x of a 3-column
+    projection — content never moves) while each probe is emitted
+    ONCE and answered completely inside its group — no second
+    aggregation pass. Groups are (key-hash bucket, time bucket) so one
+    hot time slice spreads over ``n_key_buckets`` workers; inside a
+    group the count is one vectorized ``searchsorted`` over packed
+    (dense key rank, ts) int64s — the asof join's packing, re-used,
+    bounds-checked per group (span <= 2*window, so it fits for any
+    real key cardinality; unpackable groups would raise rather than
+    silently truncate).
+
+    Partitioning assumption (SURVEY.md custom-operator rule): one
+    (key-bucket x window) slice of probe+build rows fits a worker —
+    at 100 TB size ``n_key_buckets`` so that holds; a single key's
+    rows within one window always share a group.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    w = np.int64(window_us)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def _gid(kb: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        # deterministic group id for (key bucket, time bucket); both
+        # sides compute it identically, collisions only merge groups
+        return splitmix64(
+            (kb.astype(np.uint64) * mix) ^ tb.astype(np.uint64)
+        ).view(np.int64)
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = (bucket_hash(k) % np.uint64(n_key_buckets)).astype(np.int64)
+        tb = t // w
+        return pa.table(
+            {
+                "gid": pa.array(_gid(kb, tb)),
+                "k": pa.array(k),
+                "t": pa.array(t),
+                "lid": b.column(left_id).cast(pa.int64()),
+                "role": pa.array(np.zeros(len(b), dtype=np.int8)),
+            }
+        )
+
+    def build_rows(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = (bucket_hash(k) % np.uint64(n_key_buckets)).astype(np.int64)
+        tb = t // w
+        k2 = np.concatenate([k, k])
+        t2 = np.concatenate([t, t])
+        tb2 = np.concatenate([tb, tb - 1])  # own + previous bucket
+        kb2 = np.concatenate([kb, kb])
+        return pa.table(
+            {
+                "gid": pa.array(_gid(kb2, tb2)),
+                "k": pa.array(k2),
+                "t": pa.array(t2),
+                "lid": pa.array(np.full(len(k2), -1, dtype=np.int64)),
+                "role": pa.array(np.ones(len(k2), dtype=np.int8)),
+            }
+        )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["role"].to_numpy()
+        pk = g.loc[role == 0, "k"].to_numpy(np.int64)
+        if len(pk) == 0:  # build-only group (e.g. the replicated edge)
+            return pd.DataFrame({left_id: np.empty(0, np.int64),
+                                 out_col: np.empty(0, np.int64)})
+        pt = g.loc[role == 0, "t"].to_numpy(np.int64)
+        lid = g.loc[role == 0, "lid"].to_numpy(np.int64)
+        bk = g.loc[role == 1, "k"].to_numpy(np.int64)
+        bt = g.loc[role == 1, "t"].to_numpy(np.int64)
+        if len(bk) == 0:
+            return pd.DataFrame({left_id: lid, out_col: np.zeros(len(lid), np.int64)})
+        uk = np.unique(np.concatenate([pk, bk]))
+        tmin = min(int(pt.min()), int(bt.min()))
+        span = max(int(pt.max()), int(bt.max())) - tmin + int(w) + 3
+        if len(uk) * span >= (1 << 63):  # pragma: no cover — see docstring
+            raise ValueError("range_count_join: group key x span domain exceeds int64 packing")
+        brank = np.searchsorted(uk, bk).astype(np.int64)
+        packed = brank * span + (bt - tmin + 1)
+        packed.sort()
+        prank = np.searchsorted(uk, pk).astype(np.int64)
+        lo = prank * span + (pt - tmin + 1)          # exclusive lower bound
+        hi = prank * span + (pt + int(w) - tmin + 1)  # inclusive upper bound
+        cnt = np.searchsorted(packed, hi, side="right") - np.searchsorted(
+            packed, lo, side="right"
+        )
+        return pd.DataFrame({left_id: lid, out_col: cnt.astype(np.int64)})
+
+    return (
+        left.map_batches(probe_rows, batch_format="pyarrow")
+        .union(right.map_batches(build_rows, batch_format="pyarrow"))
+        .groupby("gid")
+        .map_groups(count_group, batch_format="pandas")
     )
 
 

@@ -437,3 +437,49 @@ def test_topk_tokens_exact_and_tiebreak(ray_session):
     cnt = Counter(tok for s in texts for tok in re.split(r"\s+", s) if tok)
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["token"], got["cnt"])) == exp
+
+
+def test_range_count_join_vs_brute_force(ray_session):
+    """range_count_join equals an all-pairs brute force on a corpus
+    crafted to cross time-bucket boundaries (window 100, ts up to 1000,
+    duplicate timestamps, keys absent from the build side)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayqual.ops.joins import range_count_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 12, n).astype(np.int64),
+            "t": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    # build side: overlapping but not identical rows (some keys missing)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 300).astype(np.int64),
+            "t": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    W = 100
+    got = (
+        range_count_join(
+            ray.data.from_pandas(left.rename(columns={"k": "key", "t": "ts"})).repartition(5),
+            ray.data.from_pandas(right.rename(columns={"k": "key", "t": "ts"})).repartition(3),
+            key="key", ts_us="ts", window_us=W, left_id="lid", out_col="cnt",
+            n_key_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = [
+        int(((right["k"] == k) & (right["t"] > t) & (right["t"] <= t + W)).sum())
+        for k, t in zip(left["k"], left["t"])
+    ]
+    assert len(got) == n
+    assert got["cnt"].tolist() == exp
