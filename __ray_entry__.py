@@ -295,6 +295,19 @@ def q_topk_tokens_docs(sf_dir: str):
     return topk_tokens(ds, "text", k=20)
 
 
+def q_mg_topk_tokens_docs(sf_dir: str):
+    """Misra-Gries sketch-prune + exact-recount top-k tokens — the
+    scale path for vocabularies too large for an exact groupby; result
+    provably equals the exact top-k (completeness checked at runtime
+    against the measured MG decrement). Same oracle as the exact op."""
+    import ray.data
+
+    from rayqual.ops.heavyhitters import mg_topk_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return mg_topk_tokens(ds, "text", k=20, m=8192)
+
+
 def q_sensitive_check_docs(sf_dir: str):
     """Reference V16 (anchored phone/email) over a derived column with
     injected PII (doc_id % 23 → email, % 23 == 1 → phone) so the check
@@ -1135,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
+        "mg_topk_tokens_docs": q_mg_topk_tokens_docs,
         "events_range_count_1h": q_events_range_count_1h,
         "sensitive_check_docs": q_sensitive_check_docs,
         "integer_check_events": q_integer_check_events,
@@ -1235,6 +1249,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e1.event_id
         """,
         "topk_tokens_docs": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 20
+        """,
+        "mg_topk_tokens_docs": """
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
               FROM documents

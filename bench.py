@@ -112,6 +112,7 @@ def run_queries(sf_dir: str) -> dict:
         "top_parts_by_count", "orders_by_priority", "sessionize_events",
         "flatten_props_events", "ann_topk_embeddings", "embed_neardup_pairs",
         "minhash_dedup_docs", "langid_docs", "validation_report_events",
+        "topk_tokens_docs", "events_range_count_1h",
     ]
     qs = entrymod.queries()
     out = {}

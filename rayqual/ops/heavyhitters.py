@@ -29,6 +29,7 @@ this generalizes its duplicate_check counting idiom
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,6 +54,119 @@ def _local_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     if len(df) <= k:
         return df
     return df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, m: int):
+    """Misra-Gries compress to ≤ m counters. Returns (tokens, counts,
+    decrement): the threshold subtracted from every survivor. Mass
+    argument: the top m+1 counters each lose ≥ decrement, so the sum of
+    decrements over any sequence of compresses is ≤ N/(m+1) — the
+    classic MG error bound, preserved under merging (Agarwal et al.,
+    "Mergeable Summaries", PODS'12)."""
+    if len(tokens) <= m:
+        return tokens, counts, 0
+    thresh = int(np.partition(counts, -(m + 1))[-(m + 1)])
+    keep = counts > thresh
+    return tokens[keep], counts[keep] - thresh, thresh
+
+
+# sentinel carrying the accumulated decrement through the merge
+# groupby; impossible as a real token (empty tokens are filtered)
+_DECR = ""
+
+
+def mg_topk_tokens(
+    ds, text_col: str = "text", k: int = 20, m: int = 8192
+) -> pd.DataFrame:
+    """Approximate-prune / exact-verify top-k tokens — the scale path
+    for when the full vocabulary is too large for an exact groupby
+    (10^11 distinct tokens at 100 TB).
+
+    Pass 1 (sketch): each batch computes exact in-batch counts, then
+    Misra-Gries-compresses them to ≤ m counters (provable undercount
+    ≤ N/(m+1) summed over all compresses); the merge is a plain
+    ``groupby(token).Sum`` over ≤ m rows per batch — mergeability is
+    what makes MG the right sketch here. A final per-block + driver
+    compress yields ≤ m candidates plus the total decrement D.
+
+    Pass 2 (verify): the top ~2k candidate tokens are broadcast and
+    counted EXACTLY in one more scan (batch pre-combine → tiny
+    groupby). Completeness is CHECKED, not assumed: any non-candidate
+    token's true count is ≤ D, so if the k-th exact candidate count
+    is > D the result provably equals the exact top-k; otherwise this
+    raises with the measured D (increase m). Returns the same
+    (token, cnt) frame as :func:`topk_tokens`.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        t = _batch_token_counts(b, text_col)
+        toks = t.column("token").to_numpy(zero_copy_only=False)
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+        toks, cnts, decr = _mg_compress(toks, cnts, m)
+        return pa.table(
+            {
+                "token": pa.array(np.concatenate([toks, [_DECR]]), pa.string()),
+                "cnt": pa.array(np.concatenate([cnts, [decr]]), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_compress(df: pd.DataFrame) -> pd.DataFrame:
+        is_d = df["token"].to_numpy() == _DECR
+        decr0 = int(df.loc[is_d, "cnt"].sum())
+        toks, cnts, decr = _mg_compress(
+            df.loc[~is_d, "token"].to_numpy(), df.loc[~is_d, "cnt"].to_numpy(np.int64), m
+        )
+        return pd.DataFrame(
+            {"token": np.concatenate([toks, [_DECR]]),
+             "cnt": np.concatenate([cnts, [decr0 + decr]]).astype(np.int64)}
+        )
+
+    cand = merged.map_batches(block_compress, batch_format="pandas").to_pandas()
+    is_d = cand["token"].to_numpy() == _DECR
+    total_decr = int(cand.loc[is_d, "cnt"].sum())
+    toks, cnts, decr = _mg_compress(
+        cand.loc[~is_d, "token"].to_numpy(), cand.loc[~is_d, "cnt"].to_numpy(np.int64), m
+    )
+    total_decr += decr
+
+    # pass 2: exact recount of the top candidate cohort (2k for slack);
+    # the cohort is broadcast once and probed with Arrow is_in (C++
+    # hash membership — no per-row Python)
+    order = np.lexsort((toks, -cnts))
+    cohort = toks[order[: max(2 * k, k + 8)]]
+    cohort_ref = ray.put(pa.array(cohort, pa.string()))
+
+    def recount(b: pa.Table) -> pa.Table:
+        t = _batch_token_counts(b, text_col)
+        mask = pc.is_in(t.column("token"), value_set=ray.get(cohort_ref))
+        return t.filter(mask)
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = _local_topk(exact, k).reset_index(drop=True)
+    kth = int(out["cnt"].iloc[-1]) if len(out) >= k else 0
+    if kth <= total_decr:
+        raise ValueError(
+            f"mg_topk_tokens: completeness not provable (k-th count {kth} <= "
+            f"total MG decrement {total_decr}); increase m (currently {m})"
+        )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
 
 
 def topk_tokens(ds, text_col: str = "text", k: int = 20) -> pd.DataFrame:

@@ -27,6 +27,8 @@ SCALE_SENSITIVE = [
     "event_users_not_customers",
     "validation_report_events",
     "revenue_by_priority",
+    "events_range_count_1h",
+    "topk_tokens_docs",
 ]
 
 

@@ -483,3 +483,32 @@ def test_range_count_join_vs_brute_force(ray_session):
     ]
     assert len(got) == n
     assert got["cnt"].tolist() == exp
+
+
+def test_mg_topk_matches_exact_and_bound_check_fires(ray_session):
+    """Misra-Gries prune + exact recount equals the exact operator when
+    the completeness check passes (m forced small enough to compress
+    but large enough to prove), and raises — never silently truncates —
+    when m is too small for the data."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from rayqual.ops.heavyhitters import mg_topk_tokens, topk_tokens
+
+    rng = np.random.default_rng(11)
+    # zipf-ish corpus: heavy hitters w0..w9 plus a long tail
+    words = [f"w{i}" for i in range(10)] + [f"tail{i}" for i in range(3000)]
+    probs = np.array([50.0] * 10 + [1.0] * 3000)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(words, size=40, p=probs)) for _ in range(300)
+    ]
+    ds = ray.data.from_items([{"text": s} for s in texts]).repartition(6)
+
+    exact = topk_tokens(ds, "text", k=5)
+    approx = mg_topk_tokens(ds, "text", k=5, m=512)
+    assert approx.equals(exact)
+
+    with pytest.raises(ValueError, match="completeness not provable"):
+        mg_topk_tokens(ds, "text", k=5, m=4)
