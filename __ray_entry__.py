@@ -276,9 +276,12 @@ def q_events_range_count_1h(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     ).map_batches(prep, batch_format="pyarrow")
+    # n_groups caps per-group dispatch: the sf corpora span ~720 hourly
+    # buckets × 32 key buckets but only O(10^4-10^5) rows — merged
+    # groups stay small and the packed probe is exact regardless
     return range_count_join(
         ds, ds, key="user_id", ts_us="ts_us", window_us=3_600_000_000,
-        left_id="event_id", out_col="n_next_1h",
+        left_id="event_id", out_col="n_next_1h", n_groups=256,
     )
 
 

@@ -122,6 +122,7 @@ def range_count_join(
     left_id: str,
     out_col: str,
     n_key_buckets: int = 32,
+    n_groups: int | None = None,
 ):
     """Distributed RANGE JOIN (count form): for each left row, the
     number of right rows with the same ``key`` and timestamp in
@@ -156,10 +157,17 @@ def range_count_join(
 
     def _gid(kb: np.ndarray, tb: np.ndarray) -> np.ndarray:
         # deterministic group id for (key bucket, time bucket); both
-        # sides compute it identically, collisions only merge groups
-        return splitmix64(
-            (kb.astype(np.uint64) * mix) ^ tb.astype(np.uint64)
-        ).view(np.int64)
+        # sides compute it identically, collisions only merge groups —
+        # harmless for correctness (the packed searchsorted filters by
+        # exact key and timestamp), so ``n_groups`` may CAP the group
+        # count to amortize per-group dispatch when the time domain is
+        # long relative to the data (e.g. 720 hourly buckets over a
+        # 100 k-row table). Leave it None at scale: merged groups lose
+        # time-locality, growing both group size and the packing span.
+        g = splitmix64((kb.astype(np.uint64) * mix) ^ tb.astype(np.uint64))
+        if n_groups is not None:
+            g = g % np.uint64(n_groups)
+        return g.view(np.int64)
 
     def probe_rows(b: pa.Table) -> pa.Table:
         k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -181,13 +189,18 @@ def range_count_join(
         t = b.column(ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
         kb = (bucket_hash(k) % np.uint64(n_key_buckets)).astype(np.int64)
         tb = t // w
-        k2 = np.concatenate([k, k])
-        t2 = np.concatenate([t, t])
-        tb2 = np.concatenate([tb, tb - 1])  # own + previous bucket
-        kb2 = np.concatenate([kb, kb])
+        g_own = _gid(kb, tb)
+        g_prev = _gid(kb, tb - 1)  # replica for the previous bucket
+        # under an n_groups cap the two gids can collide; keeping both
+        # replicas in one merged group would double-count, so drop the
+        # prev-bucket replica when it lands in the own-bucket group
+        keep = g_prev != g_own
+        gid2 = np.concatenate([g_own, g_prev[keep]])
+        k2 = np.concatenate([k, k[keep]])
+        t2 = np.concatenate([t, t[keep]])
         return pa.table(
             {
-                "gid": pa.array(_gid(kb2, tb2)),
+                "gid": pa.array(gid2),
                 "k": pa.array(k2),
                 "t": pa.array(t2),
                 "lid": pa.array(np.full(len(k2), -1, dtype=np.int64)),

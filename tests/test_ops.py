@@ -484,6 +484,28 @@ def test_range_count_join_vs_brute_force(ray_session):
     assert len(got) == n
     assert got["cnt"].tolist() == exp
 
+    # capped-group regime: tiny n_groups forces adjacent time buckets to
+    # collide into merged groups — the prev-bucket replica of a build row
+    # must not be double-counted there (regression: gid % n_groups)
+    for ng in (1, 2, 7):
+        got_c = (
+            range_count_join(
+                ray.data.from_pandas(
+                    left.rename(columns={"k": "key", "t": "ts"})
+                ).repartition(5),
+                ray.data.from_pandas(
+                    right.rename(columns={"k": "key", "t": "ts"})
+                ).repartition(3),
+                key="key", ts_us="ts", window_us=W, left_id="lid",
+                out_col="cnt", n_key_buckets=4, n_groups=ng,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert len(got_c) == n
+        assert got_c["cnt"].tolist() == exp
+
 
 def test_mg_topk_matches_exact_and_bound_check_fires(ray_session):
     """Misra-Gries prune + exact recount equals the exact operator when
