@@ -544,6 +544,158 @@ def q_orders_by_priority(sf_dir: str):
     )
 
 
+def q_top_docs_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k longest documents per source (window-rank
+    shape). Scale: per-batch vectorized prune caps the shuffle at
+    k rows per source per batch; key-bucketed final selection, one
+    lexsort per bucket — never a per-key Python dispatch."""
+    from rayqual.ops.window import grouped_topk
+
+    return grouped_topk(
+        _docs(sf_dir).select_columns(["source", "n_chars", "doc_id"]),
+        key="source", order="n_chars", k=k, tiebreak="doc_id",
+    )
+
+
+def q_running_order_total(sf_dir: str):
+    """Per-customer running order total (keyed prefix sum in exact
+    integer cents — no float accumulation-order ambiguity). Customers
+    are hash-bucketed; inside a bucket one lexsort + segmented cumsum
+    covers every customer (the sessionize_events scale reasoning)."""
+    import ray.data
+
+    from rayqual.ops.window import grouped_running_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+                "cents": cents,
+            }
+        )
+
+    out = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["odate_us", "o_orderkey"],
+        value_col="cents",
+        out_col="running_cents",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "running_cents"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_urgent_lineitem_by_flag(sf_dir: str):
+    """Semi-join via broadcast bloom filter: lineitems of URGENT orders,
+    aggregated by return flag. The fact table is never shuffled — a
+    ~0.5 MB bitmap built from the (streamed) key side prunes each batch
+    locally; an exact broadcast key array removes bloom false
+    positives (see rayqual/ops/bloom.py for the past-driver-capacity
+    escalation path)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from rayqual.ops.bloom import bloom_semijoin
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def urgent(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        return pa.table({"o_orderkey": b.column("o_orderkey")}).filter(m)
+
+    keys = orders.map_batches(urgent, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    out = bloom_semijoin(li, keys, big_on="l_orderkey", key_on="o_orderkey")
+    return out.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
+    )
+
+
+def q_order_count_histogram(sf_dir: str):
+    """TPC-H Q13 shape (orders-per-customer histogram) WITHOUT the
+    customer⋈orders shuffle join: per-batch partial counts shrink the
+    exchange to (custkey, partial) rows, a second tiny groupby
+    histograms the counts, and the zero bucket is total customers minus
+    customers having orders — valid because every o_custkey is a
+    customer (FK; the oracle's LEFT JOIN asserts the same)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk), "c": pa.array(c.astype(np.int64))})
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c", alias_name="n_orders"))
+    )
+    hist = counts.groupby("n_orders").aggregate(Count(alias_name="n_cust")).to_pandas()
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = int(n_customers) - int(hist["n_cust"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"n_orders": [0], "n_cust": [zero]})], ignore_index=True
+        )
+    return hist.astype({"n_orders": "int64", "n_cust": "int64"})
+
+
+def q_docs_above_p90_by_source(sf_dir: str):
+    """Quantile-threshold filter (composition): exact p90 of doc length
+    from the histogram-trick quantile (groupby of the small-domain
+    length column, driver cumsum over the tiny histogram), broadcast as
+    a closure constant into a second streaming filter pass + grouped
+    count. Two passes, but pass 1 reads ONE int column."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir)
+        .select_columns(["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum()
+    n = int(cum.iloc[-1])
+    thr = int(hist.loc[(cum >= int(np.ceil(0.90 * n))).idxmax(), "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b.column("source")}).filter(
+            pc.greater(b.column("n_chars"), thr)
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["source", "n_chars"])
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800, n_buckets: int = 32):
     """Per-user sessionization (windowed/stateful op): a session break
     is a gap > gap_seconds between consecutive events.
@@ -1176,6 +1328,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_5min": q_events_window_5min,
         "events_sliding_10min": q_events_sliding_10min,
         "sample_per_source_docs": q_sample_per_source_docs,
+        "top_docs_per_source": q_top_docs_per_source,
+        "running_order_total": q_running_order_total,
+        "urgent_lineitem_by_flag": q_urgent_lineitem_by_flag,
+        "order_count_histogram": q_order_count_histogram,
+        "docs_above_p90_by_source": q_docs_above_p90_by_source,
         # rows-only (non-SQL-expressible: model scoring / LSH / pipelines)
         "flagship_quality_gate": q_flagship_quality_gate,
         "langid_docs": q_langid_docs,
@@ -1347,6 +1504,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "top_docs_per_source": """
+            SELECT source, n_chars, doc_id, rk FROM (
+              SELECT source, n_chars, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rk
+              FROM documents)
+            WHERE rk <= 3
+        """,
+        "running_order_total": """
+            SELECT o_orderkey,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS running_cents
+            FROM orders
+        """,
+        "urgent_lineitem_by_flag": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "order_count_histogram": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust FROM (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY n_orders
+        """,
+        "docs_above_p90_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE n_chars > (SELECT quantile_disc(n_chars, 0.90) FROM documents)
+            GROUP BY source
+        """,
         "event_users_not_customers": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)

@@ -1,0 +1,122 @@
+"""Bloom-filter semi-join — shuffle-free pre-filtering of a big fact
+table against a key set from another table.
+
+No reference counterpart (the reference's only cross-table op is a
+driver column-name diff, reference validation_rulebook.py:55-57); this
+is the canonical 100-TB join-pruning pattern: instead of shuffling the
+big side to co-locate it with the key set, a compact bit array built
+from the key side is BROADCAST once (``ray.put``) and every big-side
+batch is filtered locally — rows whose key cannot be in the set never
+enter any downstream exchange.
+
+Two phases, both streaming:
+
+1. BUILD — the key side emits one fixed-size local bitmap per batch
+   (``n_bits`` bits, a few hundred KB); the driver ORs the per-batch
+   bitmaps (n_batches small rows — never the keys themselves). On a
+   real cluster this OR is a tree reduce; the bitmap count is
+   O(input/batch_size), not O(rows).
+2. PROBE — the big side tests ``n_hashes`` splitmix64 probes per key
+   against the broadcast bitmap, fully vectorized. Bloom hits include
+   FALSE POSITIVES (rate ~(1-e^{-kn/m})^k), so the survivors are
+   verified EXACTLY against a broadcast sorted key array
+   (``np.searchsorted``). The exact key array is the same data the
+   bitmap was built from — kept only when it fits the driver
+   (``max_exact_keys``); past that the caller chains the survivors
+   into ``shuffle_hash_join`` instead, with the bloom having already
+   cut the shuffled volume by the filter's selectivity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash, splitmix64
+
+
+def _probe_positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit positions; hash i is splitmix64 of the
+    key hash mixed with an odd per-hash constant."""
+    h = bucket_hash(keys)  # uint64, stable across batches/processes
+    out = np.empty((len(keys), n_hashes), dtype=np.uint64)
+    for i in range(n_hashes):
+        salt = np.uint64((0x9E3779B97F4A7C15 * (2 * i + 1)) & 0xFFFFFFFFFFFFFFFF)
+        out[:, i] = splitmix64(h ^ salt) % np.uint64(n_bits)
+    return out
+
+
+def build_bloom(key_ds, key_col: str, n_bits: int = 1 << 22, n_hashes: int = 4) -> np.ndarray:
+    """Stream the key side once; return the OR of per-batch bitmaps
+    (uint8 array of n_bits/8 bytes). Only bitmaps cross to the driver."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    n_bytes = n_bits // 8
+
+    def bitmap(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        pos = _probe_positions(keys, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8)).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for batch in key_ds.map_batches(bitmap, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in batch.column("bitmap").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return acc
+
+
+def bloom_semijoin(
+    big_ds,
+    key_ds,
+    big_on: str,
+    key_on: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+    max_exact_keys: int = 5_000_000,
+):
+    """Rows of ``big_ds`` whose ``big_on`` appears in ``key_ds.key_on``
+    (exact semi-join; the bloom is the scale pre-filter, a broadcast
+    sorted key array removes its false positives)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Count
+
+    bits = build_bloom(key_ds, key_on, n_bits=n_bits, n_hashes=n_hashes)
+
+    # exact verify set: distinct keys, pre-shrunk by a groupby — refuse
+    # rather than silently materialize an oversized driver array
+    distinct = key_ds.groupby(key_on).aggregate(Count(alias_name="__c")).drop_columns(["__c"])
+    keys_df = distinct.to_pandas()
+    if len(keys_df) > max_exact_keys:
+        raise ValueError(
+            f"bloom_semijoin: {len(keys_df)} distinct keys exceed max_exact_keys="
+            f"{max_exact_keys}; chain the bloom survivors into shuffle_hash_join instead"
+        )
+    exact = np.sort(keys_df[key_on].to_numpy())
+    ref = ray.put((bits, exact))
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits_, exact_ = ray.get(ref)
+        keys = b.column(big_on).to_numpy(zero_copy_only=False)
+        pos = _probe_positions(keys, n_bits, n_hashes)
+        byte = bits_[(pos >> np.uint64(3)).astype(np.int64)]
+        hit = (byte & np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8))) != 0
+        maybe = hit.all(axis=1)
+        if not maybe.any():
+            return b.slice(0, 0)
+        sub = b.filter(pa.array(maybe))
+        skeys = keys[maybe]
+        i = np.searchsorted(exact_, skeys)
+        ok = (i < len(exact_)) & (exact_[np.minimum(i, len(exact_) - 1)] == skeys)
+        return sub.filter(pa.array(ok))
+
+    return big_ds.map_batches(probe, batch_format="pyarrow")

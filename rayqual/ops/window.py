@@ -1,0 +1,164 @@
+"""Keyed window operators — grouped top-k and grouped running sums.
+
+The reference has no windowed operators (its widest per-key op is the
+duplicate_check groupby, reference validation_rulebook.py:107-127);
+these extend the engine's §2.6 window surface (tumbling / sliding /
+sessionize live in the query layer) with the two remaining classic
+shapes a training-data pipeline needs:
+
+* ``grouped_topk`` — top-k rows per key (e.g. the k longest documents
+  per source). Scale shape: a PER-BATCH vectorized prune first caps
+  every key at k rows per batch, so the shuffle carries at most
+  k x n_batches rows per key instead of the whole table; keys are then
+  HASH-BUCKETED and each bucket resolves its final top-k in ONE
+  lexsort + segment pass (one Python dispatch per bucket, never per
+  key — the sessionize_events reasoning).
+* ``grouped_running_sum`` — per-key prefix sums in a deterministic
+  order (e.g. a customer's running order total). Same bucketed shape;
+  inside a bucket one lexsort orders (key, order_cols...) and the
+  per-key cumsum falls out of a single np.cumsum minus a per-segment
+  base — no per-key dispatch, no global sort.
+
+Partitioning assumption (documented per the custom-operator rule):
+one hash bucket of rows fits a worker — size ``n_buckets`` to the
+cluster; a single key always lands in one bucket, so a key whose rows
+alone exceed worker memory needs upstream salting (top-k tolerates
+salting naturally: per-salt top-k then re-merge; running sums do not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Indices where a new key run begins in a sorted key array."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, dtype=np.int64)
+    new = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    return np.flatnonzero(new)
+
+
+def _rank_within_runs(n: int, starts: np.ndarray) -> np.ndarray:
+    """0-based rank of each row within its key run (rows sorted)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    counts = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def grouped_topk(
+    ds,
+    key: str,
+    order: str,
+    k: int,
+    extra_cols: list[str] | None = None,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    n_buckets: int = 32,
+    rank_col: str = "rk",
+):
+    """Top-``k`` rows per ``key`` ordered by ``order`` (desc by
+    default), ties broken by ``tiebreak`` ascending (required for a
+    deterministic result). Returns ``key, order, *extra_cols,
+    rank_col`` with rank 1..k per key.
+
+    ``key`` may be any hashable dtype; ``order`` and ``tiebreak`` must
+    be numeric (int64-castable) for the vectorized lexsort.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    if tiebreak is None:
+        raise ValueError("grouped_topk: a tiebreak column is required for determinism")
+    extra = [c for c in (extra_cols or []) if c not in (key, order, tiebreak)]
+    cols = [key, order, tiebreak] + extra
+
+    def _select(tbl: pa.Table, cap: int, with_rank: bool) -> pa.Table:
+        kv = tbl.column(key).to_numpy(zero_copy_only=False)
+        ov = tbl.column(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = tbl.column(tiebreak).to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact per-table key codes (no hash-collision run corruption)
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        o_sort = -ov if descending else ov
+        # lexsort is last-key-primary: (key, order, tiebreak)
+        idx = np.lexsort((tv, o_sort, codes))
+        starts = _segment_starts(codes[idx])
+        rank = _rank_within_runs(len(idx), starts)
+        keep = rank < cap
+        sel = tbl.take(pa.array(idx[keep]))
+        if with_rank:
+            sel = sel.append_column(rank_col, pa.array(rank[keep] + 1, type=pa.int64()))
+        return sel
+
+    def prune_batch(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        out = _select(b, k, with_rank=False)
+        kv = out.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return out.append_column("__bucket", pa.array(bucket))
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.Table.from_pandas(g.drop(columns="__bucket"), preserve_index=False)
+        return _select(tbl, k, with_rank=True).to_pandas()
+
+    return (
+        ds.map_batches(prune_batch, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )
+
+
+def grouped_running_sum(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    n_buckets: int = 32,
+):
+    """Per-``key`` prefix sums of ``value_col`` in ``order_cols`` order
+    (all int64-castable; (key, *order_cols) must be unique for a
+    deterministic result). Emits every input row with ``out_col``
+    appended. Values are summed as int64 — exact, no float
+    accumulation-order ambiguity (callers convert currency to cents
+    first, the pricing_summary convention)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    cols = [key] + order_cols + [value_col]
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        kv = g[key].to_numpy()
+        sort_keys = tuple(g[c].to_numpy(np.int64) for c in reversed(order_cols))
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(sort_keys + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        starts = _segment_starts(codes[idx])
+        v = g[value_col].to_numpy(np.int64)
+        cs = np.cumsum(v)
+        if len(starts):
+            base = cs[starts] - v[starts]
+            counts = np.diff(np.append(starts, len(v)))
+            cs = cs - np.repeat(base, counts)
+        g[out_col] = cs
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )

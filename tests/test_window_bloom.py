@@ -1,0 +1,186 @@
+"""Tests for the keyed window operators (grouped top-k, grouped
+running sum) and the bloom-filter semi-join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def make_keyed_df(n=2000, n_keys=37, seed=7):
+    rng = _rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n).astype(np.int64),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+            "tid": np.arange(n, dtype=np.int64),  # unique tiebreak / order
+        }
+    )
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from rayqual.ops.window import grouped_topk
+
+    df = make_keyed_df()
+    ds = ray_session.data.from_pandas(df).repartition(8)
+    got = (
+        grouped_topk(ds, key="k", order="v", k=3, tiebreak="tid")
+        .to_pandas()
+        .sort_values(["k", "rk"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "v", "tid"], ascending=[True, False, True]).copy()
+    exp["rk"] = exp.groupby("k").cumcount() + 1
+    exp = exp[exp["rk"] <= 3].sort_values(["k", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "tid", "rk"]], exp[["k", "v", "tid", "rk"]])
+
+
+def test_grouped_topk_ascending_and_small_groups(ray_session):
+    from rayqual.ops.window import grouped_topk
+
+    # groups smaller than k must emit all their rows; ascending order
+    df = pd.DataFrame(
+        {
+            "k": np.array([0, 0, 1, 2, 2, 2, 2], dtype=np.int64),
+            "v": np.array([5, 3, 9, 1, 1, 2, 0], dtype=np.int64),
+            "tid": np.arange(7, dtype=np.int64),
+        }
+    )
+    ds = ray_session.data.from_pandas(df).repartition(3)
+    got = (
+        grouped_topk(ds, key="k", order="v", k=3, descending=False, tiebreak="tid")
+        .to_pandas()
+        .sort_values(["k", "rk"])
+        .reset_index(drop=True)
+    )
+    # group 0: both rows; group 1: one row; group 2: three smallest (ties by tid)
+    assert got[got["k"] == 0]["v"].tolist() == [3, 5]
+    assert got[got["k"] == 1]["v"].tolist() == [9]
+    assert got[got["k"] == 2][["v", "tid"]].values.tolist() == [[0, 6], [1, 3], [1, 4]]
+    assert got["rk"].tolist() == [1, 2, 1, 1, 2, 3]
+
+
+def test_grouped_topk_string_keys(ray_session):
+    from rayqual.ops.window import grouped_topk
+
+    df = make_keyed_df(n=500, n_keys=11)
+    df["k"] = "src_" + df["k"].astype(str)
+    ds = ray_session.data.from_pandas(df).repartition(4)
+    got = grouped_topk(ds, key="k", order="v", k=2, tiebreak="tid").to_pandas()
+    exp = df.sort_values(["k", "v", "tid"], ascending=[True, False, True])
+    exp = exp.groupby("k").head(2)
+    assert sorted(got["tid"]) == sorted(exp["tid"])
+
+
+def test_grouped_topk_requires_tiebreak(ray_session):
+    from rayqual.ops.window import grouped_topk
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        grouped_topk(None, key="k", order="v", k=3)
+
+
+def test_grouped_running_sum_matches_pandas(ray_session):
+    from rayqual.ops.window import grouped_running_sum
+
+    df = make_keyed_df()
+    ds = ray_session.data.from_pandas(df).repartition(8)
+    got = (
+        grouped_running_sum(ds, key="k", order_cols=["tid"], value_col="v", out_col="run")
+        .to_pandas()
+        .sort_values("tid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "tid"]).copy()
+    exp["run"] = exp.groupby("k")["v"].cumsum()
+    exp = exp.sort_values("tid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "tid", "run"]], exp[["k", "v", "tid", "run"]])
+
+
+def test_grouped_running_sum_multi_order_cols(ray_session):
+    from rayqual.ops.window import grouped_running_sum
+
+    rng = _rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300).astype(np.int64),
+            "d": rng.integers(0, 10, 300).astype(np.int64),
+            "tid": np.arange(300, dtype=np.int64),
+            "v": rng.integers(0, 100, 300).astype(np.int64),
+        }
+    )
+    ds = ray_session.data.from_pandas(df).repartition(5)
+    got = (
+        grouped_running_sum(ds, key="k", order_cols=["d", "tid"], value_col="v")
+        .to_pandas()
+        .sort_values("tid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "d", "tid"]).copy()
+    exp["running"] = exp.groupby("k")["v"].cumsum()
+    exp = exp.sort_values("tid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["tid", "running"]], exp[["tid", "running"]])
+
+
+def test_bloom_semijoin_exact(ray_session):
+    from rayqual.ops.bloom import bloom_semijoin
+
+    rng = _rng(3)
+    big = pd.DataFrame(
+        {
+            "id": rng.integers(0, 10_000, 5000).astype(np.int64),
+            "payload": np.arange(5000, dtype=np.int64),
+        }
+    )
+    keys = pd.DataFrame({"key": rng.choice(10_000, 400, replace=False).astype(np.int64)})
+    big_ds = ray_session.data.from_pandas(big).repartition(6)
+    key_ds = ray_session.data.from_pandas(keys).repartition(3)
+    got = bloom_semijoin(big_ds, key_ds, big_on="id", key_on="key").to_pandas()
+    exp = big[np.isin(big["id"], keys["key"])]
+    assert sorted(got["payload"]) == sorted(exp["payload"])
+
+
+def test_bloom_semijoin_tiny_bitmap_still_exact(ray_session):
+    """A deliberately undersized bitmap forces bloom false positives;
+    the exact-verify pass must still produce the exact semi-join."""
+    from rayqual.ops.bloom import bloom_semijoin
+
+    rng = _rng(9)
+    big = pd.DataFrame({"id": rng.integers(0, 2000, 3000).astype(np.int64)})
+    keys = pd.DataFrame({"key": rng.choice(2000, 50, replace=False).astype(np.int64)})
+    big_ds = ray_session.data.from_pandas(big).repartition(4)
+    key_ds = ray_session.data.from_pandas(keys)
+    # 256 bits for 50 keys * 4 hashes -> heavy FP rate
+    got = bloom_semijoin(big_ds, key_ds, big_on="id", key_on="key", n_bits=256).to_pandas()
+    exp = big[np.isin(big["id"], keys["key"])]
+    assert sorted(got["id"]) == sorted(exp["id"])
+
+
+def test_bloom_build_has_no_false_negatives(ray_session):
+    from rayqual.ops.bloom import _probe_positions, build_bloom
+
+    keys = pd.DataFrame({"key": np.arange(1000, dtype=np.int64) * 17})
+    key_ds = ray_session.data.from_pandas(keys).repartition(5)
+    bits = build_bloom(key_ds, "key", n_bits=1 << 16)
+    pos = _probe_positions(keys["key"].to_numpy(), 1 << 16, 4)
+    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+    hit = (byte & np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8))) != 0
+    assert hit.all(), "a member key missed the bloom filter"
+
+
+def test_bloom_semijoin_refuses_oversized_key_set(ray_session):
+    from rayqual.ops.bloom import bloom_semijoin
+
+    keys = pd.DataFrame({"key": np.arange(100, dtype=np.int64)})
+    big = pd.DataFrame({"id": np.arange(10, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_exact_keys"):
+        bloom_semijoin(
+            ray_session.data.from_pandas(big),
+            ray_session.data.from_pandas(keys),
+            big_on="id",
+            key_on="key",
+            max_exact_keys=50,
+        )
