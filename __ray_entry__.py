@@ -696,6 +696,29 @@ def q_docs_above_p90_by_source(sf_dir: str):
     )
 
 
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any normalized
+    50-byte window with the eval set (docs with doc_id % 97 == 0 stand
+    in for a held-out benchmark). Scale shape: the benchmark's DISTINCT
+    window hashes are broadcast once; the corpus is one streaming probe
+    pass — no shuffle anywhere (rayqual/ops/decontam.py). Oracle: the
+    committed fixture from the pure-Python window-set implementation
+    (rayqual/oracle_ops.py:decontam_py)."""
+    from rayqual.ops.decontam import decontaminate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    out = decontaminate(docs, bench, text_col="text", id_col="doc_id")
+    return _typed(out, {"doc_id": "int64", "n_hits": "int64"})
+
+
 def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800, n_buckets: int = 32):
     """Per-user sessionization (windowed/stateful op): a session break
     is a gap > gap_seconds between consecutive events.
@@ -1348,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
         "approx_distinct_users": q_approx_distinct_users,
+        "decontam_docs": q_decontam_docs,
         "validation_report_events": q_validation_report_events,
     }
 
@@ -1692,6 +1716,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": f"""
             SELECT approx_distinct_users
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/approx_distinct_users_sf001_expected.parquet')
+        """,
+        "decontam_docs": f"""
+            SELECT doc_id, n_hits
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/decontam_docs_sf001_expected.parquet')
         """,
         "flagship_quality_gate": f"""
             SELECT repo, path, "commit", keep, drop_reasons, pred_lang,

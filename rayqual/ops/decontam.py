@@ -1,0 +1,179 @@
+"""Benchmark decontamination — flag corpus documents that share any
+normalized k-byte window with a (small) benchmark / eval set.
+
+No reference counterpart (the reference validates single tables,
+reference validation_rulebook.py); this is the canonical
+training-data hygiene op: before training, every document that
+overlaps an evaluation benchmark must be found and dropped, or the
+eval is contaminated. The standard recipe (normalized n-gram overlap)
+is expressed here in the broadcast-not-shuffle shape:
+
+1. NORMALIZE (spec shared with the pure-Python oracle,
+   rayqual/oracle_ops.py): on UTF-8 bytes, A-Z → a-z, every run of
+   whitespace (tab/newlines/space) → one 0x20, leading/trailing runs
+   dropped. Byte-level and fully vectorized — one LUT pass + one keep
+   mask over the batch's concatenated buffer, never per-row Python.
+2. BENCHMARK HASHES — the eval set is streamed once through
+   map_batches; each batch emits only its DISTINCT window hashes
+   (polynomial k-gram hash, textstats.shingle_hashes), the driver
+   unions them into one sorted uint64 array and broadcasts it with
+   ``ray.put``. Only hashes ever cross the wire; benchmark text stays
+   in its blocks.
+3. PROBE — every corpus batch computes its own normalized window
+   hashes and counts membership via ``np.searchsorted`` against the
+   broadcast array. No shuffle at any point: the corpus is touched by
+   exactly one streaming pass.
+
+Partitioning assumption (custom-operator rule): the DISTINCT benchmark
+hash array fits every worker's heap (an eval set of 10k docs × 3 KB is
+~30 M hashes = 240 MB; ``max_bench_hashes`` refuses past the limit —
+for benchmark sets beyond it, front this probe with the bloom bitmap
+of rayqual/ops/bloom.py and verify survivors against a sharded hash
+table instead of one broadcast array).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.functions.textstats import (
+    StringBytes,
+    _WS_BYTES,
+    shingle_hashes,
+    string_bytes,
+)
+
+#: default normalized window width (bytes). ~a dozen words of code or
+#: prose — long enough that sharing one window is overwhelming evidence
+#: of copying, short enough to catch partial inclusions.
+DECONTAM_K = 50
+
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+
+
+def normalize_bytes(arr) -> StringBytes:
+    """Byte-level normalization of a string array (spec step 1).
+    Returns a StringBytes view over a NEW compact buffer; nulls → empty
+    docs (null_mask preserved)."""
+    sb = string_bytes(arr)
+    n = sb.n_docs
+    b = sb.concat_bytes()
+    if len(b) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return StringBytes(data=b, starts=z, ends=z, null_mask=sb.null_mask)
+    lens = sb.lengths
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc_start_pos = np.cumsum(lens) - lens
+
+    low = _LOWER_LUT[b]
+    ws = _WS_BYTES[b]
+    prev_ws = np.empty(len(b), dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    prev_ws[doc_start_pos[lens > 0]] = True  # doc start acts as whitespace
+    keep = ~(ws & prev_ws)
+
+    out_b = np.where(ws, np.uint8(32), low)[keep]
+    out_doc = doc_ids[keep]
+    new_lens = np.bincount(out_doc, minlength=n).astype(np.int64)
+    ends = np.cumsum(new_lens)
+    # drop the single trailing space a trailing whitespace run leaves
+    nonempty = new_lens > 0
+    last = ends[nonempty] - 1
+    trailing = np.zeros(len(out_b), dtype=bool)
+    trailing[last[out_b[last] == 32]] = True
+    if trailing.any():
+        out_b = out_b[~trailing]
+        new_lens = np.bincount(out_doc[~trailing], minlength=n).astype(np.int64)
+        ends = np.cumsum(new_lens)
+    starts = ends - new_lens
+    return StringBytes(data=out_b, starts=starts, ends=ends, null_mask=sb.null_mask)
+
+
+def _window_hashes(sb: StringBytes, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, doc_of_hash) of every k-byte window of each doc of a
+    normalized StringBytes (windows never cross doc boundaries)."""
+    b = sb.data
+    h = shingle_hashes(b, k)
+    if len(h) == 0:
+        return h, np.empty(0, dtype=np.int64)
+    doc_ids = np.repeat(np.arange(sb.n_docs, dtype=np.int64), sb.lengths)
+    valid = doc_ids[: len(h)] == doc_ids[k - 1:]
+    return h[valid], doc_ids[: len(h)][valid]
+
+
+def benchmark_hashes(
+    bench_ds, text_col: str, k: int = DECONTAM_K, max_bench_hashes: int = 50_000_000
+) -> np.ndarray:
+    """Stream the benchmark set once; return its sorted distinct window
+    hashes. Per-batch distinct runs on the worker, the driver unions
+    only hash arrays."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        sb = normalize_bytes(batch.column(text_col))
+        h, _ = _window_hashes(sb, k)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(distinct, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    out = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    if len(out) > max_bench_hashes:
+        raise ValueError(
+            f"decontaminate: benchmark has {len(out)} distinct window hashes, above "
+            f"max_bench_hashes={max_bench_hashes}; front the probe with a bloom bitmap "
+            "(rayqual/ops/bloom.py) and shard the exact verify instead of broadcasting"
+        )
+    return out.view(np.uint64)
+
+
+def decontaminate(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+    max_bench_hashes: int = 50_000_000,
+):
+    """Flag every row of ``ds`` sharing at least one normalized k-byte
+    window with ``bench_ds``. Returns a Dataset of (id_col, n_hits) for
+    the CONTAMINATED rows only (n_hits = number of matching window
+    positions in the doc); callers drop/inspect by anti-joining on id.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    bench = benchmark_hashes(bench_ds, text_col, k=k, max_bench_hashes=max_bench_hashes)
+    ref = ray.put(np.sort(bench))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        sb = normalize_bytes(batch.column(text_col))
+        h, d = _window_hashes(sb, k)
+        if len(h) == 0 or len(bh) == 0:
+            return pa.table(
+                {id_col: pa.array([], batch.schema.field(id_col).type),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        i = np.searchsorted(bh, h)
+        hit = (i < len(bh)) & (bh[np.minimum(i, len(bh) - 1)] == h)
+        n_hits = np.bincount(d[hit], minlength=sb.n_docs)
+        flagged = np.flatnonzero(n_hits > 0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(flagged)),
+                "n_hits": pa.array(n_hits[flagged], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

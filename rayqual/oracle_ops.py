@@ -314,3 +314,44 @@ def approx_distinct_py(values, p: int = 14) -> float:
     elif est > (1 << 32) / 30.0:
         est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
     return float(est)
+
+
+def _norm_bytes_py(s: str | None) -> bytes:
+    """Pure-Python mirror of rayqual.ops.decontam.normalize_bytes:
+    UTF-8 bytes, A-Z lowered, whitespace runs collapsed to one 0x20,
+    leading/trailing runs dropped."""
+    if s is None:
+        return b""
+    out = bytearray()
+    prev_ws = True
+    for x in s.encode("utf-8"):
+        if x in (9, 10, 11, 12, 13, 32):
+            if not prev_ws:
+                out.append(32)
+            prev_ws = True
+        else:
+            out.append(x + 32 if 65 <= x <= 90 else x)
+            prev_ws = False
+    if out and out[-1] == 32:
+        out.pop()
+    return bytes(out)
+
+
+def decontam_py(df: pd.DataFrame, id_col: str, text_col: str,
+                bench_mod: int = 97, k: int = 50) -> list[tuple[int, int]]:
+    """Naive benchmark decontamination: eval set = rows with
+    id % bench_mod == 0; a row is contaminated if any normalized k-byte
+    window hash appears in the eval set's window-hash set; n_hits
+    counts matching window POSITIONS. Dict/set based, loops per doc."""
+    bench: set = set()
+    for _, r in df.iterrows():
+        if int(r[id_col]) % bench_mod == 0:
+            bench.update(_shingle_hashes_py(_norm_bytes_py(r[text_col]), k))
+    rows = []
+    for _, r in df.iterrows():
+        hits = sum(
+            1 for h in _shingle_hashes_py(_norm_bytes_py(r[text_col]), k) if h in bench
+        )
+        if hits:
+            rows.append((int(r[id_col]), hits))
+    return rows

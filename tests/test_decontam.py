@@ -1,0 +1,128 @@
+"""Tests for benchmark decontamination (rayqual/ops/decontam.py)
+against the independent pure-Python window-set oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayqual.oracle_ops import _norm_bytes_py, decontam_py
+from rayqual.ops.decontam import (
+    benchmark_hashes,
+    decontaminate,
+    normalize_bytes,
+)
+
+TRICKY = [
+    "Hello   World",
+    "  leading run",
+    "trailing run   ",
+    "\t\n mixed\r\n\x0b WS \x0c here \n",
+    "",
+    None,
+    "ALLCAPS",
+    "   ",
+    "a",
+    "x" * 200,
+    "tab\tsep\tvals\nline TWO  done ",
+    "unicode: héllo wörld ÄÖÜ",  # non-ascii bytes pass through untouched
+]
+
+
+def test_normalize_matches_python_oracle():
+    sb = normalize_bytes(pa.array(TRICKY, pa.string()))
+    for i, s in enumerate(TRICKY):
+        got = sb.data[sb.starts[i]: sb.ends[i]].tobytes()
+        assert got == _norm_bytes_py(s), repr(s)
+    assert sb.null_mask.tolist() == [s is None for s in TRICKY]
+
+
+def test_normalize_random_roundtrip():
+    rng = np.random.default_rng(5)
+    alphabet = list("AbC xyz\t\n  QQ0")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 60))) for _ in range(300)]
+    sb = normalize_bytes(pa.array(texts, pa.string()))
+    for i, s in enumerate(texts):
+        assert sb.data[sb.starts[i]: sb.ends[i]].tobytes() == _norm_bytes_py(s), repr(s)
+
+
+def _corpus():
+    """Synthetic corpus with planted contamination: doc 0 is 'benchmark'
+    (id % 97 == 0 when ids are small), docs 3/5 embed a long verbatim
+    slice of it, doc 7 is unrelated, doc 9 shares only short substrings
+    (below the window size)."""
+    bench_text = (
+        "def evaluate(model, dataset):\n"
+        "    score = 0\n"
+        "    for example in dataset:\n"
+        "        score += model.predict(example.input) == example.label\n"
+        "    return score / len(dataset)\n"
+    )
+    snippet = "for example in dataset:\n        score += model.predict(example.input)"
+    texts = {
+        0: bench_text,
+        1: "completely unrelated prose about architecture and design.",
+        3: "# copied helper\n" + snippet + " # trailing comment",
+        5: bench_text.upper(),  # case differs → normalized match
+        7: "SELECT * FROM lineitem WHERE l_quantity > 40;",
+        9: "score += 1  # short shared fragment only",
+    }
+    ids = sorted(texts)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "text": [texts[i] for i in ids]})
+
+
+def test_decontaminate_matches_oracle(ray_session):
+    df = _corpus()
+    ds = ray_session.data.from_pandas(df).repartition(3)
+    bench = ray_session.data.from_pandas(df[df["doc_id"] % 97 == 0])
+    got = (
+        decontaminate(ds, bench, text_col="text", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(decontam_py(df, "doc_id", "text", bench_mod=97, k=50),
+                       columns=["doc_id", "n_hits"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    # the planted copies are caught, the clean docs are not
+    assert set(got["doc_id"]) == {0, 3, 5}
+
+
+def test_decontaminate_matches_oracle_random(ray_session):
+    rng = np.random.default_rng(17)
+    words = ["alpha", "beta", "gamma", "delta", "return", "score", "model\n"]
+    base = [" ".join(rng.choice(words, 40)) for _ in range(40)]
+    # make ~1/4 of docs embed a slice of doc 0 or doc 97-like bench docs
+    texts = []
+    for i in range(40):
+        t = base[i]
+        if i % 4 == 1:
+            t = t[:50] + " " + base[0][30:120] + " " + t[50:]
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": pd.Series(range(40), dtype="int64"), "text": texts})
+    ds = ray_session.data.from_pandas(df).repartition(4)
+    bench = ray_session.data.from_pandas(df[df["doc_id"] % 97 == 0])
+    got = (
+        decontaminate(ds, bench, text_col="text", id_col="doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = pd.DataFrame(decontam_py(df, "doc_id", "text", bench_mod=97, k=50),
+                       columns=["doc_id", "n_hits"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    assert len(got) > 1  # planted overlaps actually fire
+
+
+def test_empty_benchmark_flags_nothing(ray_session):
+    df = _corpus()
+    ds = ray_session.data.from_pandas(df)
+    bench = ray_session.data.from_pandas(df[df["doc_id"] < 0])
+    got = decontaminate(ds, bench, text_col="text", id_col="doc_id").to_pandas()
+    assert len(got) == 0
+
+
+def test_benchmark_hashes_refuses_oversized(ray_session):
+    df = _corpus()
+    bench = ray_session.data.from_pandas(df)
+    with pytest.raises(ValueError, match="max_bench_hashes"):
+        benchmark_hashes(bench, "text", max_bench_hashes=10)

@@ -98,6 +98,14 @@ def main():
     write_fixture("fingerprint_docs", exp,
                   pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]))
 
+    # --- benchmark decontamination ---
+    rows = oo.decontam_py(docs, "doc_id", "text", bench_mod=97, k=50)
+    exp = pd.DataFrame({"doc_id": pd.Series([i for i, _ in rows], dtype="int64"),
+                        "n_hits": pd.Series([h for _, h in rows], dtype="int64")})
+    check_equal("decontam_docs", m.q_decontam_docs(SF), exp)
+    write_fixture("decontam_docs", exp,
+                  pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]))
+
     # --- embedding LSH near-dup (with the query's dup injection) ---
     inj = emb_vecs.copy()
     rng = np.random.default_rng(99)
