@@ -311,6 +311,21 @@ def q_mg_topk_tokens_docs(sf_dir: str):
     return mg_topk_tokens(ds, "text", k=20, m=8192)
 
 
+def q_vocab_df_docs(sf_dir: str):
+    """Document-frequency vocabulary: top-100 whitespace tokens by
+    (df = docs containing, tf = total occurrences) — the
+    tokenizer-training / TF-IDF prerequisite. Exchange is one row per
+    distinct token per batch (per-batch Arrow hash pre-combine of BOTH
+    df and tf; df sums across batches because a doc lives in exactly
+    one batch; rayqual/ops/vocab.py). Column-pruned read."""
+    import ray.data
+
+    from rayqual.ops.vocab import df_vocab
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return df_vocab(ds, "text", top_n=100)
+
+
 def q_sensitive_check_docs(sf_dir: str):
     """Reference V16 (anchored phone/email) over a derived column with
     injected PII (doc_id % 23 → email, % 23 == 1 → phone) so the check
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
+        "vocab_df_docs": q_vocab_df_docs,
         "mg_topk_tokens_docs": q_mg_topk_tokens_docs,
         "events_range_count_1h": q_events_range_count_1h,
         "sensitive_check_docs": q_sensitive_check_docs,
@@ -1442,6 +1458,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "vocab_df_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            ), t AS (
+              SELECT doc_id, token FROM toks WHERE token <> ''
+            )
+            SELECT token,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM t
+            GROUP BY token
+            ORDER BY df DESC, token
+            LIMIT 100
         """,
         "mg_topk_tokens_docs": """
             WITH toks AS (

@@ -1,0 +1,107 @@
+"""Document-frequency vocabulary — the tokenizer-training / TF-IDF
+prerequisite over a 100 TB corpus.
+
+For every whitespace token: ``df`` = number of documents containing it
+at least once, ``tf`` = total occurrences. Both are exact, and the
+exchange volume is bounded the same way as the heavy-hitter op
+(rayqual/ops/heavyhitters.py): the shuffle sees ONE row per distinct
+token per batch, never one row per token occurrence — the batch-level
+pre-combine collapses occurrences (tf) and per-doc membership (df)
+before anything crosses the wire. df sums correctly across batches
+because a document lives in exactly one batch.
+
+Stages:
+
+1. map_batches pre-combine — RE2 ``\\s+`` split (semantics shared with
+   the DuckDB oracle), then two Arrow C++ hash passes per batch:
+   ``group_by(token).count`` over all occurrences (tf) and over the
+   per-(doc, token) distinct pairs (df). No Python per row or token.
+2. ``groupby(token).aggregate(Sum(df), Sum(tf))`` — the only
+   all-to-all exchange, sized by (vocabulary x batches), not corpus
+   tokens. Skew-free by construction.
+3. top-N by (df desc, token asc) without a full vocabulary sort:
+   per-block local top-N, then one tiny driver reduce (<= N x blocks
+   rows), exactly the heavy-hitter stage-3 shape.
+
+Reference analogue: none (the reference validates table cells,
+dp_data_quality/validation_rulebook.py); this is a training-pipeline
+extension op per SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_df_tf(b: pa.Table, text_col: str) -> pa.Table:
+    """(token, df, tf) of ONE batch: df = docs in the batch containing
+    the token, tf = occurrences in the batch. One row per distinct
+    token — the pre-combine that bounds the shuffle."""
+    toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    doc = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({"token": flat.filter(keep), "doc": doc.filter(keep)})
+    tf = pairs.group_by("token").aggregate([("doc", "count")])
+    df = (
+        pairs.group_by(["token", "doc"])
+        .aggregate([])
+        .group_by("token")
+        .aggregate([("doc", "count")])
+    )
+    joined = df.rename_columns(["token", "df"]).join(
+        tf.rename_columns(["token", "tf"]), keys="token"
+    )
+    return pa.table(
+        {
+            "token": joined.column("token"),
+            "df": pc.cast(joined.column("df"), pa.int64()),
+            "tf": pc.cast(joined.column("tf"), pa.int64()),
+        }
+    )
+
+
+def _local_top(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Deterministic per-block top-n: df desc, token asc."""
+    if len(df) <= n:
+        return df
+    return df.sort_values(["df", "token"], ascending=[False, True]).head(n)
+
+
+def df_vocab(
+    ds, text_col: str = "text", top_n: int = 100, min_df: int = 1
+) -> pd.DataFrame:
+    """Exact top-``top_n`` vocabulary of ``ds[text_col]`` by document
+    frequency. Returns a pandas DataFrame (token, df, tf) sorted
+    (df desc, token asc); rows with df < ``min_df`` are dropped before
+    the top-n cut."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(lambda b: _batch_df_tf(b, text_col), batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+    if min_df > 1:
+        totals = totals.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)),
+            batch_format="pyarrow",
+        )
+    candidates = totals.map_batches(
+        lambda d: _local_top(d, top_n), batch_format="pandas"
+    ).to_pandas()
+    out = (
+        _local_top(candidates, top_n)
+        .sort_values(["df", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    out["df"] = out["df"].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return out

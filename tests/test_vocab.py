@@ -1,0 +1,78 @@
+"""Tests for the document-frequency vocabulary op (rayqual/ops/vocab.py)
+against an independent pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayqual.ops.vocab import df_vocab
+
+
+def _naive(texts, top_n=100, min_df=1):
+    """Pure-pandas df/tf oracle: python re split per doc."""
+    import re
+
+    rows = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = [x for x in re.split(r"\s+", t) if x != ""]
+        rows.extend((i, x) for x in toks)
+    d = pd.DataFrame(rows, columns=["doc", "token"])
+    if len(d) == 0:
+        return pd.DataFrame({"token": [], "df": [], "tf": []})
+    agg = d.groupby("token").agg(df=("doc", "nunique"), tf=("doc", "size")).reset_index()
+    agg = agg[agg["df"] >= min_df]
+    agg = agg.sort_values(["df", "token"], ascending=[False, True]).head(top_n)
+    return agg.reset_index(drop=True).astype({"df": "int64", "tf": "int64"})
+
+
+def _ds(ray, texts, nparts=3):
+    df = pd.DataFrame({"doc_id": pd.Series(range(len(texts)), dtype="int64"),
+                       "text": texts})
+    return ray.data.from_pandas(df).repartition(nparts)
+
+
+def test_df_vocab_matches_naive(ray_session):
+    rng = np.random.default_rng(11)
+    words = ["def", "return", "score", "model", "x", "y", "if", "else"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 30))) for _ in range(60)]
+    texts += [None, "", "   ", "tab\tsep\nnewline  runs"]
+    got = df_vocab(_ds(ray_session, texts), top_n=50)
+    exp = _naive(texts, top_n=50)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_df_vocab_partition_invariance(ray_session):
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(words, 15)) for _ in range(40)]
+    a = df_vocab(_ds(ray_session, texts, nparts=1), top_n=10)
+    b = df_vocab(_ds(ray_session, texts, nparts=7), top_n=10)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_df_vocab_min_df(ray_session):
+    texts = ["rare common", "common", "common other", "other common"]
+    got = df_vocab(_ds(ray_session, texts), top_n=10, min_df=2)
+    exp = _naive(texts, top_n=10, min_df=2)
+    pd.testing.assert_frame_equal(got, exp)
+    assert "rare" not in set(got["token"])
+
+
+def test_df_vocab_tie_break_at_cut(ray_session):
+    # five tokens all df=1: the top-2 cut must take the lexicographically
+    # smallest two (df desc, token asc), invariant to partitioning
+    texts = ["e", "c", "a", "d", "b"]
+    got = df_vocab(_ds(ray_session, texts, nparts=5), top_n=2)
+    assert got["token"].tolist() == ["a", "b"]
+
+
+def test_df_vocab_df_le_tf_and_bounds(ray_session):
+    rng = np.random.default_rng(7)
+    words = ["p", "q", "r"]
+    texts = [" ".join(rng.choice(words, 20)) for _ in range(30)]
+    got = df_vocab(_ds(ray_session, texts), top_n=10)
+    assert (got["df"] <= got["tf"]).all()
+    assert (got["df"] <= len(texts)).all()
+    assert (got["df"] >= 1).all()
