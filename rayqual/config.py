@@ -179,6 +179,15 @@ class RuleConfig:
     near_dup: str | None = None
     near_dup_threshold: float = 0.8
 
+    # benchmark decontamination on the gate (rule 27,
+    # fail_benchmark_contaminated): path/dir of a parquet eval set with
+    # a text column named decontam_text_col; None = off (default). A
+    # row is dropped when it shares any normalized decontam_k-byte
+    # window with the eval set (rayqual/ops/decontam.py).
+    decontam_bench: str | None = None
+    decontam_text_col: str = "content"
+    decontam_k: int = 50
+
     # reference-quirk compatibility (SURVEY.md §7.3): reproduce the
     # double-check negative-range bug and float32 boundary rounding.
     strict_reference_compat: bool = True

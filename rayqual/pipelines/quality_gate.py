@@ -64,11 +64,11 @@ def near_dup_losers_ref(verdicts_ds, cfg: RuleConfig):
     return ray.put(np.array(sorted(losers), dtype=np.int64))
 
 
-def mark_near_duplicates(ds, losers_ref):
-    """Append ``fail_near_duplicate`` by recomputing the key-derived row
-    id per batch and probing the broadcast loser array (sorted np.isin
-    — no shuffle; the loser set is small by the near-dup-rate
-    assumption, like the exact-dedup broadcast path)."""
+def _mark_ids(ds, losers_ref, col: str):
+    """Append boolean ``col`` by recomputing the key-derived row id per
+    batch and probing the broadcast loser array (sorted np.isin — no
+    shuffle; the loser set is small by the low-hit-rate assumption,
+    like the exact-dedup broadcast path)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
@@ -77,9 +77,55 @@ def mark_near_duplicates(ds, losers_ref):
     def mark(b: pa.Table) -> pa.Table:
         losers = ray.get(losers_ref)
         mask = np.isin(_gate_row_ids(b), losers)
-        return b.append_column("fail_near_duplicate", pa.array(mask, pa.bool_()))
+        return b.append_column(col, pa.array(mask, pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def mark_near_duplicates(ds, losers_ref):
+    """Append ``fail_near_duplicate`` from the broadcast near-dup loser
+    id array (see :func:`_mark_ids`)."""
+    return _mark_ids(ds, losers_ref, "fail_near_duplicate")
+
+
+def contaminated_ids_ref(verdicts_ds, cfg: RuleConfig):
+    """Benchmark-contaminated gate row ids, broadcast once.
+
+    The eval set at ``cfg.decontam_bench`` (parquet, text column
+    ``cfg.decontam_text_col``) is streamed once into a sorted distinct
+    window-hash array; the gate's size-eligible rows (non-null
+    content_sha256 — same eligibility as dedup) are probed in one
+    streaming pass (rayqual/ops/decontam.py — no shuffle either side).
+    The contaminated-id list is tiny by the contamination-rate
+    assumption (an eval set overlaps a sliver of a 100 TB corpus)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from rayqual.ops.decontam import decontaminate
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table({"nid": pa.array(_gate_row_ids(b)), "content": b.column("content")})
+        return t.filter(pc.is_valid(b.column("content_sha256")))
+
+    proj = verdicts_ds.map_batches(project, batch_format="pyarrow")
+    bench = ray.data.read_parquet(cfg.decontam_bench).map_batches(
+        lambda b: pa.table({"content": b.column(cfg.decontam_text_col)}),
+        batch_format="pyarrow",
+    )
+    flagged = decontaminate(proj, bench, text_col="content", id_col="nid", k=cfg.decontam_k)
+    ids = [
+        i
+        for batch in flagged.iter_batches(batch_format="pyarrow")
+        for i in batch.column("nid").to_numpy(zero_copy_only=False)
+    ]
+    return ray.put(np.array(sorted(ids), dtype=np.int64))
+
+
+def mark_contaminated(ds, ids_ref):
+    """Append ``fail_benchmark_contaminated`` from the broadcast
+    contaminated-id array (see :func:`_mark_ids`)."""
+    return _mark_ids(ds, ids_ref, "fail_benchmark_contaminated")
 
 
 def quality_gate_dataset(
@@ -275,20 +321,26 @@ def run_quality_gate_resumable(
     verdicts = ray.data.read_parquet(part_dirs)
     plan = dedup_plan(verdicts) if cfg.exact_dedup else ("broadcast", loser_keys_ref(set()))
     nref = near_dup_losers_ref(verdicts, cfg) if cfg.near_dup else None
+    cref = contaminated_ids_ref(verdicts, cfg) if cfg.decontam_bench else None
     marked = apply_dedup_plan(verdicts, plan)
     if nref is not None:
         marked = mark_near_duplicates(marked, nref)
+    if cref is not None:
+        marked = mark_contaminated(marked, cref)
     final = _finalize(marked, cfg)
     final.map_batches(kept_projection, batch_format="pyarrow").write_parquet(f"{output_dir}/kept")
 
     slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
-        f"fail_{r}" for r in DROP_RULES if r not in ("duplicate", "near_duplicate")
+        f"fail_{r}" for r in DROP_RULES
+        if r not in ("duplicate", "near_duplicate", "benchmark_contaminated")
     ]
     # column-pruned read: the metrics pass never touches content bytes
     slim = ray.data.read_parquet(part_dirs, columns=slim_cols)
     slim = apply_dedup_plan(slim, plan)
     if nref is not None:
         slim = mark_near_duplicates(slim, nref)
+    if cref is not None:
+        slim = mark_contaminated(slim, cref)
     metrics = metrics_rollup(_finalize(slim, cfg))
     metrics.write_parquet(f"{output_dir}/metrics")
     return {
@@ -355,8 +407,11 @@ def run_quality_gate(
     else:
         plan = None
     nref = near_dup_losers_ref(raw, cfg) if cfg.near_dup else None
+    cref = contaminated_ids_ref(raw, cfg) if cfg.decontam_bench else None
     if nref is not None:
         vd = mark_near_duplicates(vd, nref)
+    if cref is not None:
+        vd = mark_contaminated(vd, cref)
 
     # mark+finalize stay lazy: the expensive scoring is already pinned,
     # so each consumer (kept write, metrics, caller) re-runs only the
@@ -369,7 +424,8 @@ def run_quality_gate(
     # mark+finalize+combine — otherwise the rollup re-ships gigabytes
     # of text through three map stages just to sum booleans
     slim_cols = ["repo", "path", "commit", "pii_count", "toxicity_count"] + [
-        f"fail_{r}" for r in DROP_RULES if r not in ("duplicate", "near_duplicate")
+        f"fail_{r}" for r in DROP_RULES
+        if r not in ("duplicate", "near_duplicate", "benchmark_contaminated")
     ]
 
     def _slim(b: pa.Table) -> pa.Table:
@@ -380,6 +436,8 @@ def run_quality_gate(
         slim = apply_dedup_plan(slim, plan)
     if nref is not None:
         slim = mark_near_duplicates(slim, nref)  # key cols only — slim is enough
+    if cref is not None:
+        slim = mark_contaminated(slim, cref)
     metrics = metrics_rollup(_finalize(slim, cfg))
     if output_dir is not None:
         out = kept

@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fail_near_duplicate); keep = min row id per cluster")
     p.add_argument("--near-dup-threshold", type=float, default=0.8,
                    help="estimated-Jaccard threshold for --near-dup (default 0.8)")
+    p.add_argument("--decontam-bench", default=None, metavar="PARQUET",
+                   help="also drop rows overlapping this parquet eval set (rule 27, "
+                        "fail_benchmark_contaminated; normalized 50-byte window overlap)")
+    p.add_argument("--decontam-text-col", default="content",
+                   help="text column of the --decontam-bench parquet (default content)")
     p.add_argument("--scorer-concurrency", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=2048,
                    help="rows per scorer batch; LOWER this for corpora with multi-MB files "
@@ -75,7 +80,9 @@ def _run(args) -> int:
         ray.data.DataContext.get_current().target_max_block_size = (
             args.target_block_mb * 1024 * 1024
         )
-    cfg = RuleConfig(near_dup=args.near_dup, near_dup_threshold=args.near_dup_threshold)
+    cfg = RuleConfig(near_dup=args.near_dup, near_dup_threshold=args.near_dup_threshold,
+                     decontam_bench=args.decontam_bench,
+                     decontam_text_col=args.decontam_text_col)
     t0 = time()
     if args.no_resume:
         ds = ray.data.read_parquet(args.input_dir)

@@ -38,6 +38,7 @@ RULE_IDS: dict[str, tuple[int, str, str]] = {
     "langid_mismatch": (24, "Language Model", "Declared language contradicts language ID"),
     "perplexity": (25, "Language Model", "Perplexity above threshold"),
     "near_duplicate": (26, "Generic Validation", "Near-duplicate content"),
+    "benchmark_contaminated": (27, "Generic Validation", "Overlaps evaluation benchmark"),
 }
 
 #: stateless heuristic rules in decision order
@@ -49,7 +50,9 @@ STATELESS_RULES = (
 MODEL_RULES = ("langid_mismatch", "perplexity")
 #: all rules that can drop a row, in drop_reasons order (columns are
 #: optional — finalize/metrics skip fail_* columns a run didn't add)
-DROP_RULES = STATELESS_RULES + MODEL_RULES + ("duplicate", "near_duplicate")
+DROP_RULES = STATELESS_RULES + MODEL_RULES + (
+    "duplicate", "near_duplicate", "benchmark_contaminated",
+)
 
 
 class StatelessVerdicts:

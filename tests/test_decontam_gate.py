@@ -1,0 +1,136 @@
+"""Benchmark decontamination wired into the flagship gate (rule 27,
+fail_benchmark_contaminated): library path + CLI flag. No reference
+counterpart — the canonical eval-hygiene step of a training pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayqual.config import RuleConfig
+from rayqual.gen import generate_table
+from rayqual.pipelines.quality_gate import run_quality_gate
+
+
+def _contaminated_corpus(n_base: int = 40, n_copies: int = 5, seed: int = 13):
+    """Seed corpus plus rows embedding a verbatim slice of a synthetic
+    eval set. Returns (corpus_table, bench_table, contaminated_keys)."""
+    base = generate_table(n_base, seed=seed).to_pandas()
+    bench_texts = [
+        "def eval_case_%d(model):\n    prediction = model.generate(PROMPTS[%d])\n"
+        "    return exact_match(prediction, ANSWERS[%d])\n" % (i, i, i)
+        for i in range(4)
+    ]
+    rows = {c: list(base[c]) for c in base.columns}
+    contaminated = []
+    for i in range(n_copies):
+        text = base["content"].iloc[i]
+        if text is None or len(text) < 200:
+            continue
+        rows["repo"].append("contam-repo")
+        rows["path"].append(f"leaked/{i}.py")
+        rows["commit"].append(f"ct{i:08d}")
+        rows["lang"].append(base["lang"].iloc[i])
+        # splice a full eval case into otherwise-organic content
+        rows["content"].append(text[:100] + "\n" + bench_texts[i % 4] + text[100:])
+        contaminated.append(("contam-repo", f"leaked/{i}.py", f"ct{i:08d}"))
+    assert len(contaminated) >= 3
+    corpus = pa.table({c: pa.array(v) for c, v in rows.items()})
+    bench = pa.table({"content": pa.array(bench_texts)})
+    return corpus, bench, contaminated
+
+
+@pytest.fixture(scope="module")
+def dc_results(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus, bench, contaminated = _contaminated_corpus()
+    bench_path = tmp_path_factory.mktemp("bench") / "bench.parquet"
+    pq.write_table(bench, bench_path)
+    cfg = RuleConfig(decontam_bench=str(bench_path))
+    vd, kept, metrics = run_quality_gate(
+        ray.data.from_arrow(corpus).repartition(4), cfg, scorer_concurrency=2
+    )
+    return contaminated, vd.to_pandas(), kept.to_pandas(), metrics.to_pandas()
+
+
+def test_contaminated_rows_flagged_and_dropped(dc_results):
+    contaminated, vd, kept, metrics = dc_results
+    assert "fail_benchmark_contaminated" in vd.columns
+    keys = set(zip(vd[vd["fail_benchmark_contaminated"]]["repo"],
+                   vd[vd["fail_benchmark_contaminated"]]["path"],
+                   vd[vd["fail_benchmark_contaminated"]]["commit"]))
+    assert set(contaminated) <= keys
+    flagged = vd[vd["fail_benchmark_contaminated"]]
+    assert (~flagged["keep"]).all()
+    assert flagged["drop_reasons"].str.contains("benchmark_contaminated").all()
+    kept_keys = set(zip(kept["repo"], kept["path"], kept["commit"]))
+    assert not (set(contaminated) & kept_keys)
+
+
+def test_clean_rows_not_flagged(dc_results):
+    contaminated, vd, kept, metrics = dc_results
+    clean = vd[vd["repo"] != "contam-repo"]
+    # organic corpus rows share no 50-byte normalized window with the
+    # synthetic eval cases
+    assert not clean["fail_benchmark_contaminated"].any()
+
+
+def test_decontam_in_metrics_rollup(dc_results):
+    contaminated, vd, kept, metrics = dc_results
+    assert "fail_benchmark_contaminated" in metrics.columns
+    assert (metrics["fail_benchmark_contaminated"].sum()
+            == vd["fail_benchmark_contaminated"].sum())
+
+
+def test_decontam_off_leaves_gate_unchanged(ray_session):
+    import ray.data
+
+    corpus, _, _ = _contaminated_corpus()
+    vd, _, _ = run_quality_gate(
+        ray.data.from_arrow(corpus).repartition(4), RuleConfig(), scorer_concurrency=2
+    )
+    assert "fail_benchmark_contaminated" not in vd.to_pandas().columns
+
+
+def test_decontam_resumable_path(ray_session, tmp_path):
+    from rayqual.pipelines.quality_gate import run_quality_gate_resumable
+
+    corpus, bench, contaminated = _contaminated_corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(corpus, indir / "part0.parquet")
+    bench_path = tmp_path / "bench.parquet"
+    pq.write_table(bench, bench_path)
+    res = run_quality_gate_resumable(
+        str(indir), str(tmp_path / "out"),
+        RuleConfig(decontam_bench=str(bench_path)),
+        scorer_concurrency=2,
+    )
+    import pyarrow.dataset as pads
+
+    kept = pads.dataset(res["kept_dir"]).to_table().to_pandas()
+    kept_keys = set(zip(kept["repo"], kept["path"], kept["commit"]))
+    assert not (set(contaminated) & kept_keys)
+    metrics = pads.dataset(res["metrics_dir"]).to_table().to_pandas()
+    assert metrics["fail_benchmark_contaminated"].sum() >= len(contaminated)
+
+
+def test_gate_cli_decontam(ray_session, tmp_path):
+    from rayqual.run_gate import main
+
+    corpus, bench, contaminated = _contaminated_corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(corpus, indir / "part0.parquet")
+    bench_path = tmp_path / "bench.parquet"
+    pq.write_table(bench, bench_path)
+    out = tmp_path / "out"
+    rc = main([str(indir), str(out), "--no-resume",
+               "--decontam-bench", str(bench_path), "--scorer-concurrency", "2"])
+    assert rc == 0
+    import pyarrow.dataset as pads
+
+    kept = pads.dataset(f"{out}/kept").to_table().to_pandas()
+    kept_keys = set(zip(kept["repo"], kept["path"], kept["commit"]))
+    assert not (set(contaminated) & kept_keys)
