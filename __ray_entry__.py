@@ -326,6 +326,19 @@ def q_vocab_df_docs(sf_dir: str):
     return df_vocab(ds, "text", top_n=100)
 
 
+def q_tfidf_top_terms_docs(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (idf = ln((N+1)/(df+1)); ties:
+    score desc, token asc). Two streaming passes — exact global df
+    broadcast once via ray.put, then one per-batch Arrow group_by +
+    pandas C hash-join + lexsort top-k; per-occurrence rows never enter
+    a shuffle (rayqual/ops/vocab.py:tfidf_top_terms)."""
+    from rayqual.ops.vocab import tfidf_top_terms
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = tfidf_top_terms(ds, text_col="text", id_col="doc_id", k=3)
+    return _typed(out, {"doc_id": "int64", "rank": "int64", "token": "string"})
+
+
 def q_sensitive_check_docs(sf_dir: str):
     """Reference V16 (anchored phone/email) over a derived column with
     injected PII (doc_id % 23 → email, % 23 == 1 → phone) so the check
@@ -1342,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": q_token_count_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
         "vocab_df_docs": q_vocab_df_docs,
+        "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "mg_topk_tokens_docs": q_mg_topk_tokens_docs,
         "events_range_count_1h": q_events_range_count_1h,
         "sensitive_check_docs": q_sensitive_check_docs,
@@ -1474,6 +1488,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY df DESC, token
             LIMIT 100
+        """,
+        "tfidf_top_terms_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            ), t AS (
+              SELECT doc_id, token FROM toks WHERE token <> ''
+            ), dft AS (
+              SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+            ), scored AS (
+              SELECT tf.doc_id, tf.token,
+                     tf.tf * ln((n.n + 1.0) / (dft.df + 1.0)) AS score
+              FROM tf JOIN dft USING (token) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, token,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, token
+                     ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token
+            FROM ranked WHERE rank <= 3
         """,
         "mg_topk_tokens_docs": """
             WITH toks AS (

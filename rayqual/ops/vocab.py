@@ -30,6 +30,7 @@ extension op per SURVEY.md §2.6.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -105,3 +106,96 @@ def df_vocab(
     out["df"] = out["df"].astype("int64")
     out["tf"] = out["tf"].astype("int64")
     return out
+
+
+def _df_table(ds, text_col: str):
+    """Full (token, df) table as a Dataset (exact, pre-combined)."""
+    from ray.data.aggregate import Sum
+
+    def batch_df(b: pa.Table) -> pa.Table:
+        t = _batch_df_tf(b, text_col)
+        return t.select(["token", "df"])
+
+    return (
+        ds.map_batches(batch_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def tfidf_top_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_vocab: int = 50_000_000,
+):
+    """Per-document top-``k`` terms by tf·idf with
+    idf = ln((N+1)/(df+1)), N = total rows of ``ds``.
+
+    Two streaming text passes (exact idf needs the global df before any
+    score exists) + zero shuffles of per-occurrence rows:
+
+    1. df pass — the pre-combined exact df table (see :func:`df_vocab`;
+       the only exchange, vocabulary-sized), collected and broadcast
+       once via ``ray.put``. Partitioning assumption (documented per
+       the custom-operator rule): the (token, df) vocabulary fits a
+       worker's heap — ``max_vocab`` refuses past the limit; beyond it,
+       shuffle-join per-doc tf against the df table on token instead.
+    2. score pass — per batch: per-(doc, token) tf via one Arrow hash
+       group_by, a pandas C hash-join against the broadcast df frame,
+       vectorized score + per-doc top-k via one lexsort (ties: score
+       desc, token asc). Emits (id_col, rank, token) — rank 1-based.
+
+    Returns a Dataset; docs with fewer than k distinct tokens emit
+    fewer rows, null/empty docs emit none.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    n_docs = ds.count()
+    df_pd = _df_table(ds, text_col).to_pandas()
+    if len(df_pd) > max_vocab:
+        raise ValueError(
+            f"tfidf_top_terms: vocabulary has {len(df_pd)} tokens, above "
+            f"max_vocab={max_vocab}; shuffle-join tf against the df table instead "
+            "of broadcasting"
+        )
+    df_ref = ray.put(df_pd.set_index("token")["df"])
+
+    def score(b: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"token": flat.filter(keep), "d": doc.filter(keep)})
+        tf = pairs.group_by(["d", "token"]).aggregate([("token", "count")])
+        if len(tf) == 0:
+            return pa.table({id_col: pa.array([], b.schema.field(id_col).type),
+                             "rank": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        d = tf.column("d").to_numpy(zero_copy_only=False)
+        tok = tf.column("token").to_numpy(zero_copy_only=False)
+        cnt = tf.column("token_count").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = dfs.reindex(tok).to_numpy(dtype=np.float64)
+        sc = cnt * np.log((n_docs + 1.0) / (dfv + 1.0))
+        order = np.lexsort((tok, -sc, d))
+        d_o = d[order]
+        starts = np.flatnonzero(np.r_[True, d_o[1:] != d_o[:-1]])
+        rank = np.arange(len(d_o)) - np.repeat(starts, np.diff(np.r_[starts, len(d_o)]))
+        sel = order[rank < k]
+        ids = b.column(id_col).take(pa.array(d[sel]))
+        return pa.table(
+            {
+                id_col: ids,
+                "rank": pa.array(rank[rank < k] + 1, pa.int64()),
+                "token": pa.array(tok[sel], pa.string()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

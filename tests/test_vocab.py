@@ -5,7 +5,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from rayqual.ops.vocab import df_vocab
+from rayqual.ops.vocab import df_vocab, tfidf_top_terms
 
 
 def _naive(texts, top_n=100, min_df=1):
@@ -66,6 +66,69 @@ def test_df_vocab_tie_break_at_cut(ray_session):
     texts = ["e", "c", "a", "d", "b"]
     got = df_vocab(_ds(ray_session, texts, nparts=5), top_n=2)
     assert got["token"].tolist() == ["a", "b"]
+
+
+def _naive_tfidf(texts, k=3):
+    """Independent pandas/python tf-idf oracle."""
+    import re
+
+    rows = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        rows.extend((i, x) for x in re.split(r"\s+", t) if x != "")
+    d = pd.DataFrame(rows, columns=["doc_id", "token"])
+    if len(d) == 0:
+        return pd.DataFrame({"doc_id": [], "rank": [], "token": []})
+    n = len(texts)
+    df = d.groupby("token")["doc_id"].nunique()
+    tf = d.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+    tf["score"] = tf["tf"] * np.log((n + 1.0) / (df.reindex(tf["token"]).to_numpy() + 1.0))
+    tf = tf.sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+    tf["rank"] = tf.groupby("doc_id").cumcount() + 1
+    out = tf[tf["rank"] <= k][["doc_id", "rank", "token"]].reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "rank": "int64"})
+
+
+def test_tfidf_matches_naive(ray_session):
+    rng = np.random.default_rng(31)
+    words = ["def", "return", "score", "model", "x", "y", "if", "else",
+             "rare1", "rare2", "rare3"]
+    weights = np.array([20, 20, 10, 10, 10, 10, 8, 8, 1, 1, 1], dtype=float)
+    texts = [
+        " ".join(rng.choice(words, rng.integers(0, 40), p=weights / weights.sum()))
+        for _ in range(50)
+    ]
+    texts += [None, "", "solo"]
+    got = (
+        tfidf_top_terms(_ds(ray_session, texts), k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = _naive_tfidf(texts, k=3)
+    pd.testing.assert_frame_equal(got, exp)
+    # rare tokens outrank common ones where both occur
+    assert len(got) > 20
+
+
+def test_tfidf_partition_invariance(ray_session):
+    rng = np.random.default_rng(41)
+    words = ["p", "q", "r", "s"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(30)]
+    a = tfidf_top_terms(_ds(ray_session, texts, nparts=1), k=2).to_pandas()
+    b = tfidf_top_terms(_ds(ray_session, texts, nparts=6), k=2).to_pandas()
+    key = ["doc_id", "rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_tfidf_refuses_oversized_vocab(ray_session):
+    texts = ["a b c d e f g h"]
+    with pytest.raises(ValueError, match="max_vocab"):
+        tfidf_top_terms(_ds(ray_session, texts, nparts=1), max_vocab=3).to_pandas()
 
 
 def test_df_vocab_df_le_tf_and_bounds(ray_session):
