@@ -113,6 +113,7 @@ def run_queries(sf_dir: str) -> dict:
         "flatten_props_events", "ann_topk_embeddings", "embed_neardup_pairs",
         "minhash_dedup_docs", "langid_docs", "validation_report_events",
         "topk_tokens_docs", "events_range_count_1h",
+        "decontam_docs", "vocab_df_docs", "tfidf_top_terms_docs",
     ]
     qs = entrymod.queries()
     out = {}
