@@ -1273,6 +1273,29 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [float(round(est, 2))]})
 
 
+def q_approx_len_quantiles_docs(sf_dir: str):
+    """DDSketch (log-bucketed, relative-error <= 1%) p50/p95/p99 of
+    document char length — the mergeable quantile sketch: each batch
+    ships only its (bucket, count) histogram rows; deterministic and
+    partition-invariant, so it sits behind a committed fixture oracle
+    from the independent scalar-math implementation
+    (rayqual/oracle_ops.py:dd_quantiles_py)."""
+    import pyarrow.compute as pc_
+
+    from rayqual.ops.sketch import approx_quantiles
+
+    def lens(b: pa.Table) -> pa.Table:
+        return pa.table({"len": pc_.utf8_length(b.column("text")).cast(pa.float64())})
+
+    import pandas as pd
+
+    ds = _docs(sf_dir).select_columns(["text"]).map_batches(lens, batch_format="pyarrow")
+    p50, p95, p99 = approx_quantiles(ds, "len", qs=(0.5, 0.95, 0.99), alpha=0.01)
+    return pd.DataFrame(
+        {"p50": [round(p50, 6)], "p95": [round(p95, 6)], "p99": [round(p99, 6)]}
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Audio decode plumbing as a checked row (same contract as
     multimodal_decode: deterministic fake decoder, committed expected
@@ -1401,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_len_quantiles_docs": q_approx_len_quantiles_docs,
         "decontam_docs": q_decontam_docs,
         "validation_report_events": q_validation_report_events,
     }
@@ -1793,6 +1817,10 @@ def oracle_sql() -> dict[str, str]:
         "decontam_docs": f"""
             SELECT doc_id, n_hits
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/decontam_docs_sf001_expected.parquet')
+        """,
+        "approx_len_quantiles_docs": f"""
+            SELECT p50, p95, p99
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/approx_len_quantiles_docs_sf001_expected.parquet')
         """,
         "flagship_quality_gate": f"""
             SELECT repo, path, "commit", keep, drop_reasons, pred_lang,

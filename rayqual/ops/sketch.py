@@ -1,5 +1,5 @@
-"""Approximate aggregates: HyperLogLog count-distinct over a Dataset
-column.
+"""Approximate aggregates: HyperLogLog count-distinct and a
+DDSketch-style quantile sketch over a Dataset column.
 
 The reference has no sketches (SURVEY.md §2.6); at 10^12 rows an exact
 count-distinct is an all-to-all shuffle of every key, while a HLL
@@ -92,3 +92,90 @@ def approx_distinct(ds, column: str, p: int = 14) -> float:
         for row in b.column("regs").to_pylist():
             np.maximum(merged, np.asarray(row, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# --- DDSketch-style quantile sketch -----------------------------------
+#
+# Log-bucketed histogram with RELATIVE-error guarantee alpha (Masson,
+# Rim & Lee, "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees", VLDB'19): positive x goes to bucket
+# ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha); a bucket's
+# midpoint 2*gamma^b/(gamma+1) is within alpha·x of every member.
+# Mergeable (bucket counts add) and — unlike sampling sketches (KLL) —
+# fully DETERMINISTIC: the result is a pure function of the multiset,
+# invariant to partitioning and merge order, so it can sit behind a
+# fixture oracle. Bucket count is bounded by the value RANGE, not n:
+# log_gamma(max/min) ≈ 1380 buckets for a 10^6 range at alpha=0.01.
+
+#: sentinel bucket for x <= 0 values (doc lengths can be 0)
+_DD_ZERO_BUCKET = np.iinfo(np.int64).min
+
+
+def dd_bucket_counts(values: np.ndarray, alpha: float = 0.01) -> tuple[np.ndarray, np.ndarray]:
+    """(buckets, counts) of one value array — the per-batch partial.
+    NaNs are dropped; x <= 0 folds into the zero sentinel bucket."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    pos = v > 0
+    b = np.ceil(np.log(v[pos]) / np.log(gamma)).astype(np.int64)
+    n_zero = int(len(v) - pos.sum())
+    if n_zero:
+        b = np.concatenate([b, np.full(n_zero, _DD_ZERO_BUCKET, dtype=np.int64)])
+    buckets, counts = np.unique(b, return_counts=True)
+    return buckets, counts.astype(np.int64)
+
+
+def dd_quantiles_from_counts(
+    buckets: np.ndarray, counts: np.ndarray, qs, alpha: float = 0.01
+) -> list[float]:
+    """Quantile estimates from merged (bucket, count) pairs; buckets
+    need not be sorted. Guarantee: |est - true| <= alpha * true for
+    positive values (x <= 0 contributes exactly 0.0)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    order = np.argsort(buckets)
+    b, c = buckets[order], counts[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(float("nan"))
+            continue
+        rank = int(np.floor(q * (n - 1))) + 1  # 1-based rank of the quantile
+        i = int(np.searchsorted(cum, rank))
+        if b[i] == _DD_ZERO_BUCKET:
+            out.append(0.0)
+        else:
+            out.append(float(2.0 * gamma ** b[i] / (gamma + 1.0)))
+    return out
+
+
+def approx_quantiles(ds, column: str, qs=(0.5, 0.95, 0.99), alpha: float = 0.01) -> list[float]:
+    """Approximate quantiles of ``ds[column]`` with relative error
+    <= alpha. One streaming pass: each batch emits its (bucket, count)
+    pairs (a few hundred rows), a vocabulary-free ``groupby`` is not
+    even needed — the driver sums the tiny partials. Nothing but
+    histogram rows ever leave a worker; no sort, no shuffle."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        vals = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
+        b, c = dd_bucket_counts(vals, alpha)
+        return pa.table({"bucket": pa.array(b), "cnt": pa.array(c)})
+
+    acc: dict[int, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for bk, ct in zip(
+            t.column("bucket").to_numpy(zero_copy_only=False),
+            t.column("cnt").to_numpy(zero_copy_only=False),
+        ):
+            acc[int(bk)] = acc.get(int(bk), 0) + int(ct)
+    if not acc:
+        return [float("nan")] * len(qs)
+    buckets = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
+    return dd_quantiles_from_counts(buckets, counts, qs, alpha)

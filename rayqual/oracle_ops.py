@@ -337,6 +337,38 @@ def _norm_bytes_py(s: str | None) -> bytes:
     return bytes(out)
 
 
+def dd_quantiles_py(values, qs, alpha: float = 0.01) -> list[float]:
+    """Naive DDSketch quantiles: scalar math.log per value, dict bucket
+    counts, python cumulative scan — independent of the vectorized
+    implementation in rayqual/ops/sketch.py."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    counts: dict = {}
+    n = 0
+    for v in values:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        n += 1
+        b = math.ceil(math.log(v) / math.log(gamma)) if v > 0 else "zero"
+        counts[b] = counts.get(b, 0) + 1
+    if n == 0:
+        return [float("nan")] * len(qs)
+    ordered = sorted(
+        counts.items(), key=lambda kv: (-(1 << 62) if kv[0] == "zero" else kv[0])
+    )
+    out = []
+    for q in qs:
+        rank = int(math.floor(q * (n - 1))) + 1
+        cum = 0
+        for b, c in ordered:
+            cum += c
+            if cum >= rank:
+                out.append(0.0 if b == "zero" else float(2.0 * gamma ** b / (gamma + 1.0)))
+                break
+    return out
+
+
 def decontam_py(df: pd.DataFrame, id_col: str, text_col: str,
                 bench_mod: int = 97, k: int = 50) -> list[tuple[int, int]]:
     """Naive benchmark decontamination: eval set = rows with

@@ -314,6 +314,39 @@ def test_hll_approx_distinct_accuracy(ray_session):
         assert abs(est - 7_777) / 7_777 < 0.02, (parts, est)
 
 
+def test_dd_quantile_sketch_accuracy(ray_session):
+    """DDSketch quantiles: relative error <= alpha vs exact on a skewed
+    distribution; deterministic and invariant to partitioning; zeros
+    and NaNs handled."""
+    from rayqual.ops.sketch import approx_quantiles, dd_bucket_counts, dd_quantiles_from_counts
+
+    rng = np.random.default_rng(3)
+    vals = np.exp(rng.normal(4.0, 1.5, 50_000))  # lognormal, range ~1e-2..1e5
+    alpha = 0.01
+    b, c = dd_bucket_counts(vals, alpha)
+    for q in (0.01, 0.5, 0.95, 0.99):
+        est = dd_quantiles_from_counts(b, c, [q], alpha)[0]
+        true = np.quantile(vals, q, method="lower")
+        assert abs(est - true) / true <= alpha * 1.001, (q, est, true)
+
+    # distributed path: deterministic + partition-invariant
+    withz = np.concatenate([vals[:1000], np.zeros(50), [np.nan] * 5])
+    t = pa.table({"x": pa.array(withz, pa.float64())})
+    results = []
+    for parts in (1, 5):
+        ds = ray_session.data.from_arrow(t).repartition(parts)
+        results.append(approx_quantiles(ds, "x", qs=(0.0, 0.5, 0.99), alpha=alpha))
+    assert results[0] == results[1]
+    assert results[0][0] == 0.0  # min rank falls in the zero bucket
+    clean = withz[~np.isnan(withz)]
+    true50 = np.quantile(clean, 0.5, method="lower")
+    assert abs(results[0][1] - true50) / true50 <= alpha * 1.001
+
+    # empty input
+    empty = ray_session.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert all(np.isnan(v) for v in approx_quantiles(empty, "x"))
+
+
 def test_ivf_topk_recall(ray_session):
     """IVF approximate top-k: every returned neighbor is genuine (a
     subset check vs exact) and recall@5 with nprobe=8/16 centroids is

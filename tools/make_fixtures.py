@@ -145,6 +145,15 @@ def main():
     write_fixture("approx_distinct_users", exp,
                   pa.schema([("approx_distinct_users", pa.float64())]))
 
+    # --- DDSketch length quantiles ---
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    lens = [float(len(t)) for t in texts if t is not None]
+    p50, p95, p99 = oo.dd_quantiles_py(lens, (0.5, 0.95, 0.99), alpha=0.01)
+    exp = pd.DataFrame({"p50": [round(p50, 6)], "p95": [round(p95, 6)], "p99": [round(p99, 6)]})
+    check_equal("approx_len_quantiles_docs", m.q_approx_len_quantiles_docs(SF), exp)
+    write_fixture("approx_len_quantiles_docs", exp,
+                  pa.schema([("p50", pa.float64()), ("p95", pa.float64()), ("p99", pa.float64())]))
+
     # --- flagship gate (pure-Python oracle, rayqual/oracle.py) ---
     from rayqual.config import RuleConfig
     from rayqual.oracle import oracle_quality_gate
