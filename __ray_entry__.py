@@ -989,6 +989,46 @@ def q_revenue_by_priority(sf_dir: str):
     )
 
 
+def q_revenue_by_priority_skew(sf_dir: str):
+    """Same TPC-H-Q3-shaped join computed through the SKEW-AWARE join
+    (ops/joins.py:skew_hash_join): an approximate-top-k counting pass
+    finds hot fact keys, their dim rows broadcast (hot fact rows never
+    shuffle), the de-skewed remainder takes the bucketed shuffle.
+    hot_min_count=4 makes both paths fire at every test scale (orders
+    average ~4 lineitems); result must be identical to the plain join
+    regardless of the hot/cold split."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from rayqual.ops.joins import skew_hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = skew_hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["l_extendedprice", "l_discount"], ["o_orderpriority"],
+        n_buckets=32, hot_k=64, hot_min_count=4,
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0, pa.float64()), b.column("l_discount")),
+        )
+        r4 = pc.cast(pc.round(pc.multiply(r, pa.scalar(10000.0, pa.float64()))), pa.int64())
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"), "rev_e4": r4})
+
+    return (
+        j.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
+    )
+
+
 def q_events_window_5min(sf_dir: str):
     """Tumbling 5-minute window aggregate over the event stream.
 
@@ -1400,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "orders_per_nation": q_orders_per_nation,
         "revenue_by_priority": q_revenue_by_priority,
+        "revenue_by_priority_skew": q_revenue_by_priority_skew,
         "asof_latest_order": q_asof_latest_order,
         "events_window_5min": q_events_window_5min,
         "events_sliding_10min": q_events_sliding_10min,
@@ -1710,6 +1751,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
         """,
         "revenue_by_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "revenue_by_priority_skew": """
             SELECT o.o_orderpriority,
                    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
                                  AS BIGINT)) AS BIGINT) AS revenue_e4,

@@ -113,6 +113,123 @@ def shuffle_hash_join(
     )
 
 
+def skew_hash_join(
+    fact,
+    dim,
+    fact_on: str,
+    dim_on: str,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    n_buckets: int = 64,
+    hot_k: int = 64,
+    hot_min_count: int | None = None,
+    max_hot_dim_rows: int = 2_000_000,
+):
+    """Skew-aware inner hash join of a large FACT side against a large
+    DIM side: hot keys take a broadcast path, everything else the
+    bucketed shuffle (:func:`shuffle_hash_join`).
+
+    A plain hash join sends every row of a hot key to ONE bucket — at
+    10^12 rows a single monorepo/root-key can hold a two-digit percent
+    of the fact table and the job runs at the speed of that bucket.
+    Plan:
+
+    1. HOT-KEY DETECTION — one column-pruned counting pass over the
+       fact keys (per-batch Arrow ``value_counts`` pre-combine →
+       key-cardinality-sized ``groupby.Sum`` → per-block top-k →
+       driver): the top ``hot_k`` keys with count >= ``hot_min_count``
+       (default: 4x the mean bucket share, i.e. only keys that would
+       visibly imbalance a bucket) are 'hot'.
+    2. HOT PATH — dim rows with hot keys are collected (bounded:
+       ``max_hot_dim_rows``, refused beyond) and broadcast via
+       ``ray.put``; hot fact rows join per batch with a pandas C merge.
+       Hot fact rows NEVER enter a shuffle.
+    3. COLD PATH — both sides filter the hot keys out and run the
+       normal bucketed shuffle join; with the head of the key
+       distribution removed, buckets are balanced.
+
+    Output layout matches :func:`shuffle_hash_join`:
+    ``[fact_on] + fact_cols + dim_cols`` (inner join only).
+    Cost note: the fact side is read twice (key-count pass + join
+    pass) — both passes are column-pruned and streaming; that is the
+    documented price of not materializing the fact table.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        k = b.column(fact_on)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(pc.drop_null(k))
+        return pa.table({"k": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        fact.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(hot_k, "cnt") if len(df) > hot_k else df
+
+    cand = counts.map_batches(block_top, batch_format="pandas").to_pandas()
+    cand = cand.nlargest(hot_k, "cnt")
+    if hot_min_count is None:
+        total = fact.count()
+        hot_min_count = max(2, (4 * total) // n_buckets)
+    hot = cand.loc[cand["cnt"] >= hot_min_count, "k"].to_numpy()
+    hot_arr = pa.array(np.sort(hot))
+    hot_ref = ray.put(hot_arr)
+
+    def side_filter(key_col: str, keep_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(b.column(key_col), value_set=ray.get(hot_ref))
+            return b.filter(m if keep_hot else pc.invert(pc.fill_null(m, False)))
+
+        return f
+
+    cold = shuffle_hash_join(
+        fact.map_batches(side_filter(fact_on, False), batch_format="pyarrow"),
+        dim.map_batches(side_filter(dim_on, False), batch_format="pyarrow"),
+        fact_on, dim_on, fact_cols, dim_cols, n_buckets=n_buckets,
+    )
+    if len(hot) == 0:
+        return cold
+
+    dim_hot_ds = dim.map_batches(side_filter(dim_on, True), batch_format="pyarrow")
+    dim_hot = dim_hot_ds.to_pandas()
+    if len(dim_hot) > max_hot_dim_rows:
+        raise ValueError(
+            f"skew_hash_join: {len(dim_hot)} dim rows carry hot keys, above "
+            f"max_hot_dim_rows={max_hot_dim_rows}; the dim side is itself skewed — "
+            "pre-aggregate it or raise the limit"
+        )
+    dim_hot = dim_hot[[dim_on] + dim_cols].rename(columns={dim_on: fact_on})
+    dim_ref = ray.put(dim_hot)
+
+    def hot_join(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b.column(fact_on), value_set=ray.get(hot_ref))
+        sub = b.filter(m).select([fact_on] + fact_cols).to_pandas()
+        out = sub.merge(ray.get(dim_ref), on=fact_on, how="inner")
+        return pa.Table.from_pandas(
+            out[[fact_on] + fact_cols + dim_cols], preserve_index=False
+        )
+
+    hot_joined = fact.map_batches(hot_join, batch_format="pyarrow")
+    return cold.union(hot_joined)
+
+
 def range_count_join(
     left,
     right,

@@ -27,8 +27,11 @@ SCALE_SENSITIVE = [
     "event_users_not_customers",
     "validation_report_events",
     "revenue_by_priority",
+    "revenue_by_priority_skew",
     "events_range_count_1h",
     "topk_tokens_docs",
+    "tfidf_top_terms_docs",
+    "vocab_df_docs",
 ]
 
 

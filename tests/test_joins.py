@@ -88,6 +88,83 @@ def test_broadcast_join_rejects_duplicate_right_keys(ray_session):
         broadcast_join(ray.data.from_pandas(left), small, "key", "key", ["name"])
 
 
+def test_skew_hash_join_matches_pandas(ray_session):
+    """Skew join (hot keys broadcast, cold keys shuffled) must equal a
+    plain pandas inner merge on a zipf-skewed fact table, with BOTH
+    paths non-vacuously exercised."""
+    import ray.data
+
+    from rayqual.ops.joins import skew_hash_join
+
+    rng = np.random.default_rng(9)
+    # key 0 holds ~45% of the fact rows; keys 1-4 share most of the
+    # rest; a uniform tail over 5..59 exercises the cold shuffle
+    keys = np.concatenate([
+        np.zeros(900, dtype=np.int64),
+        rng.integers(1, 5, 700),
+        rng.integers(5, 60, 400),
+    ])
+    rng.shuffle(keys)
+    fact = pd.DataFrame({"k": keys, "fv": np.arange(len(keys))})
+    dim = pd.DataFrame({"k": np.arange(0, 55, dtype=np.int64),
+                        "dv": np.arange(0, 55) * 100})
+
+    got = (
+        skew_hash_join(
+            ray.data.from_pandas(fact).repartition(4),
+            ray.data.from_pandas(dim).repartition(2),
+            "k", "k", ["fv"], ["dv"], n_buckets=8, hot_k=8,
+            hot_min_count=100,
+        )
+        .to_pandas()
+        .sort_values(["k", "fv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        fact.merge(dim, on="k", how="inner")
+        .sort_values(["k", "fv"])
+        .reset_index(drop=True)[["k", "fv", "dv"]]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    # both paths fired: hot keys exist (0..4 exceed 100 rows) and cold
+    # keys exist (tail keys below the threshold)
+    vc = fact["k"].value_counts()
+    assert (vc >= 100).any() and (vc < 100).any()
+
+
+def test_skew_hash_join_no_hot_keys_degenerates_to_shuffle(ray_session):
+    import ray.data
+
+    from rayqual.ops.joins import skew_hash_join
+
+    fact = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "fv": np.arange(100)})
+    dim = pd.DataFrame({"k": np.arange(50, 150, dtype=np.int64), "dv": np.arange(100) * 2})
+    got = (
+        skew_hash_join(
+            ray.data.from_pandas(fact).repartition(3),
+            ray.data.from_pandas(dim).repartition(2),
+            "k", "k", ["fv"], ["dv"], n_buckets=4, hot_min_count=5,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = fact.merge(dim, on="k").sort_values("k").reset_index(drop=True)[["k", "fv", "dv"]]
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_skew_hash_join_refuses_skewed_dim(ray_session):
+    import ray.data
+
+    from rayqual.ops.joins import skew_hash_join
+
+    fact = pd.DataFrame({"k": np.zeros(500, dtype=np.int64), "fv": np.arange(500)})
+    dim = pd.DataFrame({"k": np.zeros(50, dtype=np.int64), "dv": np.arange(50)})
+    with pytest.raises(ValueError, match="max_hot_dim_rows"):
+        skew_hash_join(
+            ray.data.from_pandas(fact), ray.data.from_pandas(dim),
+            "k", "k", ["fv"], ["dv"], hot_min_count=10, max_hot_dim_rows=10,
+        ).to_pandas()
+
+
 def test_shuffle_hash_join_matches_pandas(ray_session):
     """Shuffle join (both sides bucketed, per-bucket merge) must match
     a pandas merge, including 1:N fan-out and keys missing from either
