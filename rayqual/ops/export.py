@@ -43,6 +43,114 @@ def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def range_partitioned_export(
+    ds,
+    out_dir: str,
+    key_col: str,
+    n_partitions: int = 16,
+    target_sample: int | None = None,
+) -> dict:
+    """Key-range-CLUSTERED export (the TeraSort shape, minus the final
+    per-run sort): boundary keys come from a deterministic hash-sample
+    of the key column, every row routes to
+    ``partition = searchsorted(boundaries, key)`` as it streams, and
+    the output lands in ``out_dir/part=K/*.parquet`` with a manifest
+    recording each partition's key range.
+
+    Partitions hold DISJOINT, ordered key ranges — a downstream reader
+    gets global key order by visiting partitions in order (sorting each
+    small partition locally if it needs total order), range predicates
+    prune whole directories, and a failed run resumes per partition.
+    Nothing is globally sorted and nothing but the tiny sample leaves
+    the streaming pass: one hash-sample scan + one routed write.
+
+    Deterministic: the sample is "keys whose splitmix/siphash value
+    ≡ 0 (mod rate)" — a pure function of the key multiset, invariant to
+    partitioning and scheduling (no RNG). Null keys route to partition
+    0 (recorded in the manifest).
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pyarrow.compute as pc
+
+    total = ds.count()
+    if target_sample is None:
+        target_sample = max(200 * n_partitions, 2000)
+    rate = max(1, total // target_sample)
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.drop_null()
+        vals = arr.to_numpy(zero_copy_only=False)
+        keep = bucket_hash(vals) % np.uint64(rate) == 0
+        return pa.table({"k": arr.filter(pa.array(keep))})
+
+    sampled = np.sort(
+        np.concatenate(
+            [
+                t.column("k").to_numpy(zero_copy_only=False)
+                for t in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                if len(t)
+            ]
+            or [np.array([])]
+        )
+    )
+    if len(sampled) == 0:
+        boundaries = np.array([])
+    else:
+        qs = np.arange(1, n_partitions) / n_partitions
+        idx = np.minimum((qs * len(sampled)).astype(np.int64), len(sampled) - 1)
+        boundaries = np.unique(sampled[idx])
+
+    def route(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        part = (
+            np.searchsorted(boundaries, vals[~null], side="right")
+            if len(boundaries)
+            else np.zeros(int((~null).sum()), dtype=np.int64)
+        )
+        out = np.zeros(len(b), dtype=np.int64)
+        out[~null] = part
+        return b.append_column("part", pa.array(out))
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+    routed.write_parquet(out_dir, partition_cols=["part"])
+
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(out_dir, partitioning="hive")
+    t = dset.to_table(columns=["part", key_col])
+    parts = np.asarray(t.column("part"))
+    ranges: dict[int, dict] = {}
+    kv = t.column(key_col)
+    for p in np.unique(parts):
+        mask = pa.array(parts == p)
+        sub = kv.filter(mask).drop_null()
+        ranges[int(p)] = {
+            "rows": int(mask.to_numpy(zero_copy_only=False).sum()),
+            "min": pc.min(sub).as_py() if len(sub) else None,
+            "max": pc.max(sub).as_py() if len(sub) else None,
+        }
+    manifest = {
+        "n_partitions": int(len(boundaries) + 1),
+        "boundaries": [b.item() if hasattr(b, "item") else b for b in boundaries],
+        "total_rows": int(len(parts)),
+        "partitions": ranges,
+    }
+    with open(os.path.join(out_dir, "_range_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
 def sharded_export(
     ds,
     out_dir: str,

@@ -401,6 +401,48 @@ def test_sharded_export(ray_session, tmp_path):
     assert m1["shard_rows"] == m2["shard_rows"]
 
 
+def test_range_partitioned_export(ray_session, tmp_path):
+    """Range-clustered export: lossless, partitions hold disjoint
+    ordered key ranges, roughly balanced on uniform keys, deterministic
+    across runs and partitioning; null keys land in partition 0."""
+    import pyarrow.dataset as pads
+
+    from rayqual.ops.export import range_partitioned_export
+
+    n = 4000
+    rng = np.random.default_rng(2)
+    keys = rng.permutation(np.arange(n)).astype("float64")
+    keys[:10] = np.nan  # null keys
+    t = pa.table({"k": pa.array(keys, pa.float64()), "v": pa.array(np.arange(n))})
+    t = t.set_column(0, "k", pa.array([None if np.isnan(x) else float(x) for x in keys],
+                                      pa.float64()))
+    ds = ray_session.data.from_arrow(t).repartition(5)
+
+    m1 = range_partitioned_export(ds, str(tmp_path / "r1"), "k", n_partitions=8)
+    assert m1["total_rows"] == n
+    parts = sorted(int(p) for p in m1["partitions"])
+    rows = np.array([m1["partitions"][p]["rows"] for p in parts])
+    assert rows.sum() == n
+    # disjoint ordered ranges: every partition's max < next partition's min
+    mins = [m1["partitions"][p]["min"] for p in parts]
+    maxs = [m1["partitions"][p]["max"] for p in parts]
+    for a, b in zip(maxs[:-1], mins[1:]):
+        assert a < b, (a, b)
+    # balance on uniform keys: no partition further than 60% from mean
+    assert (np.abs(rows - n / len(rows)) < 0.6 * n / len(rows)).all(), rows
+    # lossless
+    back = pads.dataset(str(tmp_path / "r1"), partitioning="hive").to_table(columns=["v"])
+    assert sorted(back.column("v").to_pylist()) == list(range(n))
+    # deterministic + partition-invariant
+    m2 = range_partitioned_export(
+        ray_session.data.from_arrow(t).repartition(2), str(tmp_path / "r2"), "k",
+        n_partitions=8,
+    )
+    assert m1["boundaries"] == m2["boundaries"]
+    assert {p: r["rows"] for p, r in m1["partitions"].items()} == \
+           {p: r["rows"] for p, r in m2["partitions"].items()}
+
+
 def test_connected_components_warns_on_nonconvergence(ray_session, caplog):
     """A chain longer than max_rounds must trigger the non-convergence
     warning instead of silently splitting the cluster."""
