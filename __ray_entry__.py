@@ -184,6 +184,35 @@ def q_dup_prefix40_docs(sf_dir: str):
     return _typed(group_losers(proj, "k", "doc_id"), {"doc_id": "int64"})
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Incremental dedup of a fresh crawl against the previous corpus
+    snapshot (old = doc_id % 5 == 0, new = the rest; content key = the
+    40-char prefix fingerprint, the dup_prefix40 idiom): new rows whose
+    key exists in the snapshot are dropped via the bloom ANTI-probe
+    (rayqual/ops/bloom.py:incremental_dedup) — the old side travels as
+    a bitmap + distinct-sha array, new content never enters a shuffle,
+    and bloom misses skip the exact verify entirely."""
+    from rayqual.ops.bloom import incremental_dedup
+
+    def split(keep_old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 5 == 0) if keep_old else (ids % 5 != 0)
+            t = b.filter(pa.array(m))
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "p": pc.utf8_slice_codeunits(t.column("text"), 0, 40)}
+            )
+
+        return f
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    new = docs.map_batches(split(False), batch_format="pyarrow")
+    old = docs.map_batches(split(True), batch_format="pyarrow")
+    out = incremental_dedup(new, old, text_col="p").select_columns(["doc_id"])
+    return _typed(out, {"doc_id": "int64"})
+
+
 def q_dup_partitioned_docs(sf_dir: str):
     """V17 via the hash-partitioned anti-join fallback
     (ops/dedup.py:mark_duplicates_partitioned) — a derived
@@ -1413,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_exact_docs": q_dup_exact_docs,
         "dup_partitioned_docs": q_dup_partitioned_docs,
         "dup_prefix40_docs": q_dup_prefix40_docs,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
         "quality_filter_docs": q_quality_filter_docs,
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
@@ -1500,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id FROM t
             QUALIFY row_number() OVER (PARTITION BY v ORDER BY doc_id) > 1
+        """,
+        "incremental_dedup_docs": """
+            SELECT d.doc_id
+            FROM (
+              SELECT doc_id, substr(text, 1, 40) AS p
+              FROM documents WHERE doc_id % 5 <> 0
+            ) d
+            ANTI JOIN (
+              SELECT DISTINCT substr(text, 1, 40) AS p
+              FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+            ) o USING (p)
         """,
         "dup_prefix40_docs": """
             SELECT doc_id FROM documents

@@ -80,10 +80,15 @@ def bloom_semijoin(
     n_bits: int = 1 << 22,
     n_hashes: int = 4,
     max_exact_keys: int = 5_000_000,
+    anti: bool = False,
 ):
     """Rows of ``big_ds`` whose ``big_on`` appears in ``key_ds.key_on``
     (exact semi-join; the bloom is the scale pre-filter, a broadcast
-    sorted key array removes its false positives)."""
+    sorted key array removes its false positives). With ``anti=True``
+    the complement is returned (exact anti-join): bloom MISSES are
+    definite non-members and pass with no further work — for a
+    low-overlap anti-join (the incremental-dedup case) almost every
+    row skips the exact probe entirely."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
@@ -112,11 +117,48 @@ def bloom_semijoin(
         hit = (byte & np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8))) != 0
         maybe = hit.all(axis=1)
         if not maybe.any():
-            return b.slice(0, 0)
-        sub = b.filter(pa.array(maybe))
+            return b if anti else b.slice(0, 0)
+        member = np.zeros(len(b), dtype=bool)
         skeys = keys[maybe]
         i = np.searchsorted(exact_, skeys)
-        ok = (i < len(exact_)) & (exact_[np.minimum(i, len(exact_) - 1)] == skeys)
-        return sub.filter(pa.array(ok))
+        member[maybe] = (i < len(exact_)) & (
+            exact_[np.minimum(i, len(exact_) - 1)] == skeys
+        )
+        return b.filter(pa.array(~member if anti else member))
 
     return big_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def incremental_dedup(new_ds, old_ds, text_col: str = "text", **bloom_kw):
+    """Rows of ``new_ds`` whose content does NOT already appear in
+    ``old_ds`` — dedup of a fresh crawl against the previous corpus
+    snapshot, the standing hygiene step of a periodically-refreshed
+    training set.
+
+    Content bytes never move: both sides reduce to a sha256 column per
+    batch; the OLD side becomes a broadcast bloom bitmap + exact key
+    array (distinct shas — bounded like bloom_semijoin), the NEW side
+    streams through one anti-probe pass. Null-content rows carry a
+    sentinel key that cannot collide with a real sha, so they survive
+    (matching SQL ANTI JOIN semantics where NULL matches nothing)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pyarrow.compute as pc
+
+    from rayqual.functions.hashing import sha256_array
+
+    def with_sha(b: pa.Table) -> pa.Table:
+        sha = sha256_array(b.column(text_col))
+        return b.append_column("__sha", pc.fill_null(sha, ""))
+
+    def sha_only(b: pa.Table) -> pa.Table:
+        sha = sha256_array(b.column(text_col))
+        return pa.table({"__sha": pc.drop_null(sha)})
+
+    out = bloom_semijoin(
+        new_ds.map_batches(with_sha, batch_format="pyarrow"),
+        old_ds.map_batches(sha_only, batch_format="pyarrow"),
+        "__sha", "__sha", anti=True, **bloom_kw,
+    )
+    return out.drop_columns(["__sha"])

@@ -21,6 +21,7 @@ SCALE_SENSITIVE = [
     "dup_exact_docs",
     "dup_partitioned_docs",
     "dup_prefix40_docs",
+    "incremental_dedup_docs",
     "events_window_5min",
     "sessionize_events",
     "sample_docs",

@@ -159,6 +159,50 @@ def test_bloom_semijoin_tiny_bitmap_still_exact(ray_session):
     assert sorted(got["id"]) == sorted(exp["id"])
 
 
+def test_bloom_antijoin_exact(ray_session):
+    """anti=True returns the exact complement, including under heavy
+    bloom false positives (undersized bitmap)."""
+    from rayqual.ops.bloom import bloom_semijoin
+
+    rng = _rng(11)
+    big = pd.DataFrame({"id": rng.integers(0, 2000, 3000).astype(np.int64),
+                        "payload": np.arange(3000, dtype=np.int64)})
+    keys = pd.DataFrame({"key": rng.choice(2000, 60, replace=False).astype(np.int64)})
+    for n_bits in (1 << 22, 256):
+        got = bloom_semijoin(
+            ray_session.data.from_pandas(big).repartition(4),
+            ray_session.data.from_pandas(keys),
+            big_on="id", key_on="key", n_bits=n_bits, anti=True,
+        ).to_pandas()
+        exp = big[~np.isin(big["id"], keys["key"])]
+        assert sorted(got["payload"]) == sorted(exp["payload"]), n_bits
+
+
+def test_incremental_dedup(ray_session):
+    """New-vs-old corpus dedup: new rows whose text already exists in
+    the old snapshot are dropped; null-text rows survive (SQL anti-join
+    semantics); exact vs a pandas set-based oracle."""
+    from rayqual.ops.bloom import incremental_dedup
+
+    old_texts = [f"document body {i}" for i in range(100)]
+    new_texts = (
+        [f"document body {i}" for i in range(60, 80)]  # dups of old
+        + [f"fresh content {i}" for i in range(50)]
+        + [None, ""]
+    )
+    old = pd.DataFrame({"text": old_texts})
+    new = pd.DataFrame({"doc_id": pd.Series(range(len(new_texts)), dtype="int64"),
+                        "text": new_texts})
+    got = incremental_dedup(
+        ray_session.data.from_pandas(new).repartition(3),
+        ray_session.data.from_pandas(old).repartition(2),
+    ).to_pandas()
+    old_set = set(old_texts)
+    exp_ids = [i for i, t in enumerate(new_texts) if t is None or t not in old_set]
+    assert sorted(got["doc_id"]) == exp_ids
+    assert list(got.columns) == ["doc_id", "text"]
+
+
 def test_bloom_build_has_no_false_negatives(ray_session):
     from rayqual.ops.bloom import _probe_positions, build_bloom
 
