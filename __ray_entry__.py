@@ -284,6 +284,69 @@ def q_token_count_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
 
 
+def q_repetition_signals_docs(sf_dir: str):
+    """Gopher-style word-repetition quality signals (per-doc integer
+    counts, functions/textstats.py:word_repetition_stats): per-batch
+    Arrow group_by passes, zero shuffle — documents never need to be
+    co-located."""
+    from rayqual.functions.textstats import word_repetition_stats
+
+    def stats(b: pa.Table) -> pa.Table:
+        return word_repetition_stats(b, text_col="text", id_col="doc_id")
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+    )
+
+
+def q_cap_per_source_docs(sf_dir: str, k: int = 5):
+    """Per-domain document cap (keep the k smallest doc_ids per
+    source): two-phase — per-batch partial cap bounds the shuffle at
+    k rows per source per batch, bucketed final merge (ops/cap.py).
+    Generalizes the reference's dedup winner-selection
+    (dp_data_quality/validation_rulebook.py:107-127) from k=1 to k."""
+    from rayqual.ops.cap import cap_per_group
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return _typed(cap_per_group(ds, "source", "doc_id", k),
+                  {"doc_id": "int64", "source": "object"})
+
+
+def q_pack_sequences_docs(sf_dir: str, seq_len: int = 256):
+    """Sequence-packing manifest for training (ops/packing.py):
+    concatenate each source's docs in doc_id order and cut every
+    seq_len tokens; per doc emit its absolute token offset, first
+    sequence id and sequence span. Only (doc_id, source, n_tok)
+    travels; the per-group scan is bucketed (one dispatch per bucket,
+    vectorized cumsum inside)."""
+    from rayqual.ops.packing import pack_sequences
+
+    def tok(b: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(b.column("text"), r"\S+")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_tok": pc.cast(t, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
+    return pack_sequences(ds, "source", "doc_id", "n_tok", seq_len)
+
+
+def q_chunk_docs(sf_dir: str, chunk_chars: int = 100):
+    """Fixed-size character chunking (context-window prep): per-batch
+    flat-map, vectorized per chunk SLOT (one Arrow slice kernel per
+    slot, not per row), zero shuffle (ops/chunk.py)."""
+    from rayqual.ops.chunk import chunk_documents
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return chunk_documents(ds, text_col="text", id_col="doc_id", chunk_chars=chunk_chars)
+
+
 def q_events_range_count_1h(sf_dir: str):
     """Distributed range join (§2.6): for each event, how many events
     of the same user land in the following hour — time-bucketed
@@ -1330,6 +1393,22 @@ def q_doc_len_quantiles(sf_dir: str):
     return pd.DataFrame({k: [v] for k, v in out.items()})
 
 
+def q_len_quantiles_by_source(sf_dir: str):
+    """EXACT per-source quantiles via the grouped histogram trick
+    (ops/quantiles.py): the only shuffle is groupby((source, n_chars))
+    count — pre-aggregated per block, so it carries at most
+    keys × distinct-values rows; extraction is one vectorized pass per
+    hash bucket of keys (never per key)."""
+    from rayqual.ops.quantiles import grouped_exact_quantiles
+
+    ds = _docs(sf_dir).select_columns(["source", "n_chars"])
+    return _typed(
+        grouped_exact_quantiles(ds, "source", "n_chars"),
+        {"source": "object", "p25": "int64", "p50": "int64",
+         "p75": "int64", "p95": "int64"},
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog count-distinct of event users (sketch aggregate —
     registers travel, keys don't). Rows-only: the ~0.8% HLL error is
@@ -1446,6 +1525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": q_quality_filter_docs,
         "content_sha256_docs": q_content_sha256_docs,
         "token_count_docs": q_token_count_docs,
+        "repetition_signals_docs": q_repetition_signals_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "chunk_docs": q_chunk_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
         "vocab_df_docs": q_vocab_df_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
@@ -1459,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "salted_chars_by_source": q_salted_chars_by_source,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "len_quantiles_by_source": q_len_quantiles_by_source,
         "distinct_event_types": q_distinct_event_types,
         "event_users_not_customers": q_event_users_not_customers,
         "pricing_summary": q_pricing_summary,
@@ -1557,6 +1641,51 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": """
             SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS token_count
             FROM documents
+        """,
+        "repetition_signals_docs": """
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_uniq_words,
+                   CAST(max(c) AS BIGINT) AS max_word_repeat
+            FROM (
+              SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY doc_id, w)
+            GROUP BY doc_id
+        """,
+        "cap_per_source_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5
+        """,
+        "pack_sequences_docs": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tok AS BIGINT) AS tok_start
+              FROM tok)
+            SELECT doc_id, source, n_tok, tok_start,
+                   CAST(tok_start // 256 AS BIGINT) AS seq_id,
+                   CAST((tok_start + n_tok - 1) // 256
+                        - tok_start // 256 + 1 AS BIGINT) AS n_seqs
+            FROM cum WHERE n_tok > 0
+        """,
+        "chunk_docs": """
+            SELECT doc_id,
+                   CAST(gs AS BIGINT) AS chunk_id,
+                   substring(text, gs * 100 + 1, 100) AS chunk
+            FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(0, (length(text) - 1) // 100)) AS gs
+              FROM documents WHERE length(text) > 0)
         """,
         "events_range_count_1h": """
             SELECT e1.event_id,
@@ -1705,6 +1834,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS p75,
                    quantile_disc(n_chars, 0.95) AS p95
             FROM documents
+        """,
+        "len_quantiles_by_source": """
+            SELECT source,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.95) AS p95
+            FROM documents GROUP BY source
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "top_docs_per_source": """

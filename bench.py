@@ -114,6 +114,8 @@ def run_queries(sf_dir: str) -> dict:
         "minhash_dedup_docs", "langid_docs", "validation_report_events",
         "topk_tokens_docs", "events_range_count_1h",
         "decontam_docs", "vocab_df_docs", "tfidf_top_terms_docs",
+        "repetition_signals_docs", "cap_per_source_docs",
+        "pack_sequences_docs", "chunk_docs",
     ]
     qs = entrymod.queries()
     out = {}

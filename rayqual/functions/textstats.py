@@ -319,3 +319,37 @@ def text_stats(
         "active": active,
     }
 
+
+
+def word_repetition_stats(b, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style word-repetition quality signals, one row per doc:
+    ``n_words`` (split on a single space — string_split semantics),
+    ``n_uniq_words`` and ``max_word_repeat`` (occurrences of the most
+    frequent word). Integers only so an oracle can hash-match exactly.
+
+    Per-batch and shuffle-free: split -> flatten with parent indices
+    -> two Arrow ``group_by`` passes, all C-level. Documents need not
+    be co-located — every doc lives wholly inside its batch.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(b.column(text_col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    pairs = pa.table(
+        {"_doc": pc.list_parent_indices(toks), "_w": pc.list_flatten(toks)}
+    )
+    per_word = pairs.group_by(["_doc", "_w"]).aggregate([("_w", "count")])
+    per_doc = per_word.group_by("_doc").aggregate(
+        [("_w_count", "sum"), ("_w_count", "count"), ("_w_count", "max")]
+    )
+    doc_idx = per_doc.column("_doc")
+    return pa.table(
+        {
+            id_col: b.column(id_col).take(doc_idx),
+            "n_words": pc.cast(per_doc.column("_w_count_sum"), pa.int64()),
+            "n_uniq_words": pc.cast(per_doc.column("_w_count_count"), pa.int64()),
+            "max_word_repeat": pc.cast(per_doc.column("_w_count_max"), pa.int64()),
+        }
+    )

@@ -1,0 +1,70 @@
+"""Per-group row cap: keep at most ``k`` rows per key, deterministic
+(the ``k`` smallest ``order_col`` values win).
+
+The common training-corpus policy "at most K documents per domain /
+repo" (generalizes the reference's duplicate_check winner-selection
+idea, dp_data_quality/validation_rulebook.py:107-127, from k=1 to k).
+
+Scale shape — the same two-phase trick as top-k:
+
+* stage 1 (per-batch PRE-COMBINE): every map_batches task reduces its
+  batch to at most ``k`` rows per key with one factorize + lexsort +
+  segment-rank pass — all C-level.  The shuffle therefore moves
+  O(keys × k × blocks) rows no matter how big or skewed the corpus.
+* stage 2 (bucketed final): keys are hash-bucketed and the groupby
+  runs per BUCKET (one Python dispatch per bucket, not per key — the
+  sessionize_events reasoning), re-running the identical kernel on the
+  pre-combined survivors.
+
+Content columns never enter the exchange — callers project to
+(key, order, carry...) first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def _cap_kernel(df: pd.DataFrame, key: str, order_col: str, k: int) -> pd.DataFrame:
+    """Keep the k smallest order_col per key. Vectorized: factorize the
+    key (C hash table), lexsort (order within key), segment-relative
+    rank via a repeat of segment starts."""
+    if len(df) == 0:
+        return df
+    codes, _ = pd.factorize(df[key].to_numpy(), sort=False)
+    order = df[order_col].to_numpy()
+    perm = np.lexsort((order, codes))
+    sc = codes[perm]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    seg_len = np.diff(np.append(starts, len(sc)))
+    rank = np.arange(len(sc)) - np.repeat(starts, seg_len)
+    keep = perm[rank < k]
+    return df.iloc[np.sort(keep)]
+
+
+def cap_per_group(ds, key: str, order_col: str, k: int, n_buckets: int = 32):
+    """Dataset → Dataset with at most ``k`` rows per ``key`` (smallest
+    ``order_col`` values kept). Exact and deterministic for any
+    partitioning — stage 1 only prunes rows that can never win."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = _cap_kernel(b.to_pandas(), key, order_col, k)
+        kb = bucket_hash(df[key].to_numpy()) % np.uint64(n_buckets)
+        df = df.assign(_bucket=kb.astype(np.int64))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _cap_kernel(g, key, order_col, k).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1,0 +1,60 @@
+"""Document chunking: split each document into fixed-size character
+chunks (context-window preparation for training / retrieval).
+
+A pure per-batch flat-map — no shuffle, no co-location requirement.
+Vectorization is per CHUNK SLOT, not per row: slot ``i`` slices
+``[i*chunk_chars, (i+1)*chunk_chars)`` out of EVERY surviving document
+with one Arrow ``utf8_slice_codeunits`` kernel call, so the Python
+loop runs ceil(max_doc_len / chunk_chars) times per batch (a handful)
+regardless of row count. Memory stays bounded by the batch: output is
+at most ``len(batch) × slots`` rows, emitted as one table per batch
+into the stream.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def chunk_table(
+    b: pa.Table, text_col: str, id_col: str, chunk_chars: int
+) -> pa.Table:
+    """One batch → (id, chunk_id, chunk) rows; empty docs emit none."""
+    txt = b.column(text_col)
+    ids = b.column(id_col)
+    lens = pc.utf8_length(txt)
+    max_len = pc.max(lens).as_py() or 0
+    parts = []
+    for i in range((max_len + chunk_chars - 1) // chunk_chars):
+        mask = pc.greater(lens, i * chunk_chars)
+        sl = pc.utf8_slice_codeunits(
+            txt.filter(mask), i * chunk_chars, (i + 1) * chunk_chars
+        )
+        parts.append(
+            pa.table(
+                {
+                    id_col: ids.filter(mask),
+                    "chunk_id": pa.array([i] * len(sl), pa.int64()),
+                    "chunk": sl,
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {id_col: ids.slice(0, 0), "chunk_id": pa.array([], pa.int64()),
+             "chunk": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(parts)
+
+
+def chunk_documents(ds, text_col: str, id_col: str, chunk_chars: int):
+    """Dataset → Dataset of (id, chunk_id, chunk)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def f(b: pa.Table) -> pa.Table:
+        return chunk_table(b, text_col, id_col, chunk_chars)
+
+    return ds.map_batches(f, batch_format="pyarrow")

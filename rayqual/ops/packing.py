@@ -1,0 +1,85 @@
+"""Sequence packing: assign documents to fixed-length training
+sequences (GPT-style concatenate-and-split).
+
+Within each group (source / shard), documents are laid end to end in
+``order_col`` order; the token stream is cut every ``seq_len`` tokens.
+Each document gets its absolute token offset (``tok_start``), the id
+of the first sequence it lands in (``seq_id = tok_start // seq_len``)
+and the number of sequences it spans (``n_seqs``) — exactly the
+manifest a training loader needs to materialize packed batches.
+
+Scale shape: the cumulative sum is a per-group scan, so groups are
+hash-BUCKETED and the groupby runs once per bucket (one Python
+dispatch per bucket, not per group); inside a bucket one
+factorize + lexsort orders every group and the per-group running
+offsets fall out of a single np.cumsum with segment-base subtraction.
+Only (id, group, n_tok) travels — content never enters the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def _pack_kernel(
+    df: pd.DataFrame, group_col: str, order_col: str, token_col: str, seq_len: int
+) -> pd.DataFrame:
+    if len(df) == 0:
+        return df.assign(tok_start=np.array([], dtype=np.int64),
+                         seq_id=np.array([], dtype=np.int64),
+                         n_seqs=np.array([], dtype=np.int64))
+    codes, _ = pd.factorize(df[group_col].to_numpy(), sort=False)
+    order = df[order_col].to_numpy()
+    perm = np.lexsort((order, codes))
+    sc = codes[perm]
+    ntok = df[token_col].to_numpy(dtype=np.int64)[perm]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    cum = np.cumsum(ntok)
+    tok_end = cum - np.repeat(cum[starts] - ntok[starts], np.diff(np.append(starts, len(sc))))
+    tok_start = tok_end - ntok
+    seq_first = tok_start // seq_len
+    # last token index is tok_end-1; empty docs span no sequence
+    seq_last = np.where(ntok > 0, (tok_end - 1) // seq_len, seq_first - 1)
+    out = df.iloc[perm].assign(
+        tok_start=tok_start.astype(np.int64),
+        seq_id=seq_first.astype(np.int64),
+        n_seqs=(seq_last - seq_first + 1).astype(np.int64),
+    )
+    return out[out[token_col] > 0]
+
+
+def pack_sequences(
+    ds,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    seq_len: int,
+    n_buckets: int = 32,
+):
+    """Dataset(id, group, n_tok, ...) → Dataset + (tok_start, seq_id,
+    n_seqs) per row; zero-token rows are dropped (they occupy no
+    sequence). Exact for any input partitioning — the scan happens
+    once per group inside its bucket."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        kb = bucket_hash(df[group_col].to_numpy()) % np.uint64(n_buckets)
+        return pa.Table.from_pandas(
+            df.assign(_bucket=kb.astype(np.int64)), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _pack_kernel(g, group_col, order_col, token_col, seq_len).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,87 @@
+"""Exact per-group quantiles without any global sort.
+
+The histogram trick (the global ``doc_len_quantiles`` idiom),
+generalized per group: the only exchange is a
+``groupby((key, value)).count()`` — Ray pre-aggregates per block, so
+the shuffle carries at most (keys × distinct values) rows regardless
+of corpus size; with a bounded value domain (lengths, scores, star
+ratings) that is tiny. Quantile extraction then runs per hash BUCKET
+of keys (one Python dispatch per bucket, not per key), fully
+vectorized inside: one lexsort orders every group, segment-relative
+cumulative counts come from one cumsum + base subtraction, and the
+per-(group, q) answer falls out of a masked ``minimum.reduceat``.
+
+quantile_disc semantics: the smallest value whose cumulative count
+reaches ceil(q * n) — matches DuckDB's ``quantile_disc`` for exact
+oracle comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+_BIG = np.iinfo(np.int64).max
+
+
+def _quantiles_kernel(
+    df: pd.DataFrame, key: str, value_col: str, cnt_col: str, qs: tuple[float, ...]
+) -> pd.DataFrame:
+    """(key, value, count) rows → one row per key with q-quantiles."""
+    codes, uniques = pd.factorize(df[key].to_numpy(), sort=False)
+    vals = df[value_col].to_numpy()
+    cnts = df[cnt_col].to_numpy(dtype=np.int64)
+    perm = np.lexsort((vals, codes))
+    sc, sv, scnt = codes[perm], vals[perm], cnts[perm]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    seg_len = np.diff(np.append(starts, len(sc)))
+    cum = np.cumsum(scnt)
+    base = np.repeat(cum[starts] - scnt[starts], seg_len)
+    cumseg = cum - base  # cumulative count within each group
+    n_per_seg = cumseg[starts + seg_len - 1]
+    out = {key: uniques[sc[starts]]}
+    idx = np.arange(len(sc))
+    for q in qs:
+        rank = np.ceil(q * n_per_seg).astype(np.int64)
+        thresh = np.repeat(rank, seg_len)
+        cand = np.where(cumseg >= thresh, idx, _BIG)
+        first = np.minimum.reduceat(cand, starts)
+        out[f"p{int(q * 100)}"] = sv[first]
+    return pd.DataFrame(out)
+
+
+def grouped_exact_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_buckets: int = 32,
+):
+    """Dataset → one row per key: exact quantile_disc of ``value_col``.
+    Requires a groupable (hashable) value domain — ints or low-card
+    floats; for unbounded continuous values use the DDSketch path
+    (ops/sketch.py:approx_quantiles)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([key, value_col]).aggregate(Count(alias_name="_cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        return _quantiles_kernel(g, key, value_col, "_cnt", qs)
+
+    return (
+        hist.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(extract, batch_format="pandas")
+    )

@@ -33,6 +33,10 @@ SCALE_SENSITIVE = [
     "topk_tokens_docs",
     "tfidf_top_terms_docs",
     "vocab_df_docs",
+    # bucketed per-group scans: cumsum offsets / rank caps only exercise
+    # multi-bucket, multi-block paths at this scale
+    "cap_per_source_docs",
+    "pack_sequences_docs",
 ]
 
 

@@ -1,0 +1,194 @@
+"""Tests for grouped corpus-policy operators: per-group cap, sequence
+packing, and the word-repetition quality signals."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_parts)
+
+
+def test_cap_per_group_matches_pandas(ray_session):
+    import ray
+
+    from rayqual.ops.cap import cap_per_group
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice([f"s{i}" for i in range(9)], 400),
+            "doc_id": rng.permutation(400).astype(np.int64),
+        }
+    )
+    got = (
+        cap_per_group(_ds(ray, df), "source", "doc_id", k=5)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)[["source", "doc_id"]]
+    )
+    exp = (
+        df.sort_values(["source", "doc_id"])
+        .groupby("source")
+        .head(5)
+        .reset_index(drop=True)[["source", "doc_id"]]
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cap_per_group_partitioning_invariant(ray_session):
+    import ray
+
+    from rayqual.ops.cap import cap_per_group
+
+    df = pd.DataFrame(
+        {"source": ["a"] * 50 + ["b"] * 3, "doc_id": np.arange(53, dtype=np.int64)}
+    )
+    outs = []
+    for parts in (1, 2, 8):
+        out = cap_per_group(_ds(ray, df, parts), "source", "doc_id", k=4).to_pandas()
+        outs.append(out.sort_values(["source", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # hot key 'a' capped to 4, small key 'b' kept whole
+    assert (outs[0]["source"] == "a").sum() == 4
+    assert (outs[0]["source"] == "b").sum() == 3
+
+
+def _naive_pack(df, seq_len):
+    rows = []
+    for s, g in df.sort_values("doc_id").groupby("source"):
+        cum = 0
+        for _, r in g.iterrows():
+            if r.n_tok > 0:
+                first = cum // seq_len
+                last = (cum + r.n_tok - 1) // seq_len
+                rows.append((r.doc_id, s, r.n_tok, cum, first, last - first + 1))
+            cum += r.n_tok
+    return pd.DataFrame(
+        rows, columns=["doc_id", "source", "n_tok", "tok_start", "seq_id", "n_seqs"]
+    ).astype({"doc_id": "int64", "n_tok": "int64", "tok_start": "int64",
+              "seq_id": "int64", "n_seqs": "int64"})
+
+
+def test_pack_sequences_matches_naive(ray_session):
+    import ray
+
+    from rayqual.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["x", "y", "z"], 120),
+            "doc_id": np.arange(120, dtype=np.int64),
+            # include zero-token docs: they occupy no sequence and are dropped
+            "n_tok": rng.integers(0, 90, 120).astype(np.int64),
+        }
+    )
+    got = (
+        pack_sequences(_ds(ray, df), "source", "doc_id", "n_tok", seq_len=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _naive_pack(df, 64).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # a doc longer than seq_len spans multiple sequences
+    assert (got["n_seqs"] > 1).any()
+
+
+def test_pack_sequences_offsets_are_contiguous(ray_session):
+    import ray
+
+    from rayqual.ops.packing import pack_sequences
+
+    df = pd.DataFrame(
+        {"source": ["s"] * 30, "doc_id": np.arange(30, dtype=np.int64),
+         "n_tok": np.full(30, 10, dtype=np.int64)}
+    )
+    got = (
+        pack_sequences(_ds(ray, df), "source", "doc_id", "n_tok", seq_len=25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # token stream is gapless: start_i = start_{i-1} + n_tok_{i-1}
+    assert (got["tok_start"].to_numpy()
+            == np.concatenate([[0], np.cumsum(got["n_tok"].to_numpy())[:-1]])).all()
+    assert (got["seq_id"] == got["tok_start"] // 25).all()
+
+
+def test_word_repetition_stats_vs_python():
+    from rayqual.functions.textstats import word_repetition_stats
+
+    texts = ["a b a c a", "x y", "z", "w w w w", "one two one two"]
+    b = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    got = word_repetition_stats(b).sort_by("doc_id").to_pydict()
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        counts = pd.Series(words).value_counts()
+        assert got["n_words"][i] == len(words)
+        assert got["n_uniq_words"][i] == counts.size
+        assert got["max_word_repeat"][i] == counts.max()
+
+
+def test_chunk_documents_vs_python(ray_session):
+    import ray
+
+    from rayqual.ops.chunk import chunk_documents
+
+    texts = ["abcdefghij" * 7 + "xyz", "short", "", "a" * 100, "b" * 101]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    got = (
+        chunk_documents(ds, "text", "doc_id", 25)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for i, t in enumerate(texts):
+        for j in range(0, len(t), 25):
+            exp_rows.append((i, j // 25, t[j:j + 25]))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "chunk_id", "chunk"]).astype(
+        {"doc_id": "int64", "chunk_id": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # reassembly is lossless
+    re = got.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")["chunk"].sum()
+    for i, t in enumerate(texts):
+        if t:
+            assert re[i] == t
+
+
+def test_grouped_exact_quantiles_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from rayqual.ops.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(11)
+    raw = pd.DataFrame(
+        {"k": rng.choice([f"g{i}" for i in range(7)], 2000),
+         "v": rng.integers(0, 80, 2000).astype(np.int64)}
+    )
+    got = (
+        grouped_exact_quantiles(_ds(ray, raw, 6), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT k, quantile_disc(v,0.25) p25, quantile_disc(v,0.5) p50,
+           quantile_disc(v,0.75) p75, quantile_disc(v,0.95) p95
+           FROM raw GROUP BY k ORDER BY k"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
