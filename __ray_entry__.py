@@ -337,6 +337,122 @@ def q_pack_sequences_docs(sf_dir: str, seq_len: int = 256):
     return pack_sequences(ds, "source", "doc_id", "n_tok", seq_len)
 
 
+def q_token_budget_sample_docs(sf_dir: str, budget: int = 800):
+    """Per-domain token quota (corpus-mixing sampling): keep each
+    source's docs in doc_id order until the cumulative token budget is
+    reached (one straddler allowed). Bucketed cumsum, (id, group,
+    n_tok)-only exchange (ops/packing.py:token_budget_sample)."""
+    from rayqual.ops.packing import token_budget_sample
+
+    def tok(b: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(b.column("text"), r"\S+")
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "source": b.column("source"),
+             "n_tok": pc.cast(t, pa.int64())}
+        )
+
+    ds = _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
+    return _typed(
+        token_budget_sample(ds, "source", "doc_id", "n_tok", budget),
+        {"doc_id": "int64", "source": "object", "n_tok": "int64"},
+    )
+
+
+def q_dominant_prefix_by_source(sf_dir: str, prefix_chars: int = 40):
+    """Dominant boilerplate prefix per source (grouped mode with a
+    deterministic tie-break — ops/agg.py:grouped_mode): the license
+    header / template detector a curation pipeline runs before
+    stripping. Only (source, prefix, count) rows are exchanged."""
+    from rayqual.ops.agg import grouped_mode
+
+    def pref(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": b.column("source"),
+             "prefix": pc.utf8_slice_codeunits(b.column("text"), 0, prefix_chars)}
+        )
+
+    ds = _docs(sf_dir).map_batches(pref, batch_format="pyarrow")
+    return _typed(
+        grouped_mode(ds, "source", "prefix"),
+        {"source": "object", "prefix": "object", "cnt": "int64"},
+    )
+
+
+def q_source_drift_docs(sf_dir: str):
+    """Distribution drift between corpus snapshots (ops/drift.py):
+    per source, the total-variation distance (integer numerator —
+    exactly reproducible) between the old (doc_id%3==0) and new
+    snapshots' language distributions (%3 is coprime with the source
+    cycle, so both snapshots cover every source). Only count rows are exchanged;
+    documents never leave their blocks."""
+    from rayqual.ops.drift import categorical_drift
+
+    def split(keep_old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            t = b.filter(pa.array(m))
+            return pa.table({"source": t.column("source"), "lang": t.column("lang")})
+
+        return f
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "lang"])
+    old = docs.map_batches(split(True), batch_format="pyarrow")
+    new = docs.map_batches(split(False), batch_format="pyarrow")
+    return _typed(
+        categorical_drift(old, new, "source", "lang"),
+        {"source": "object", "n_old": "int64", "n_new": "int64",
+         "drift_num": "int64"},
+    )
+
+
+def q_len_percentile_docs(sf_dir: str, n_buckets: int = 32):
+    """Per-doc percentile rank of length within its source
+    (percent_rank window semantics: (rank-1)/(n-1)) — the group-
+    normalized score used for per-domain outlier filtering. Bucketed
+    per-group vectorized rank; only (doc_id, source, n_chars)
+    travels."""
+    import pandas as pd
+
+    from rayqual.functions.hashing import bucket_hash
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column("source").to_numpy(zero_copy_only=False)) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "_bucket": pa.array(kb.astype(np.int64)),
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["source"].to_numpy(), sort=False)
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        perm = np.lexsort((vals, codes))
+        sc, sv = codes[perm], vals[perm]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        seg_len = np.diff(np.append(starts, len(sc)))
+        pos = np.arange(len(sc)) - np.repeat(starts, seg_len)
+        # percent_rank ties: rank of first equal value in the group
+        new_val = np.concatenate([[True], (sv[1:] != sv[:-1]) | (sc[1:] != sc[:-1])])
+        first_pos = pos[np.flatnonzero(new_val)]
+        rank = np.repeat(first_pos, np.diff(np.append(np.flatnonzero(new_val), len(sc))))
+        n = np.repeat(seg_len, seg_len)
+        pct = np.where(n > 1, rank / np.maximum(n - 1, 1), 0.0)
+        out = g.iloc[perm].assign(pct_rank=pct.astype(np.float64))
+        return out.drop(columns=["_bucket"])
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "source", "n_chars"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
 def q_chunk_docs(sf_dir: str, chunk_chars: int = 100):
     """Fixed-size character chunking (context-window prep): per-batch
     flat-map, vectorized per chunk SLOT (one Arrow slice kernel per
@@ -1529,6 +1645,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": q_cap_per_source_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "chunk_docs": q_chunk_docs,
+        "token_budget_sample_docs": q_token_budget_sample_docs,
+        "dominant_prefix_by_source": q_dominant_prefix_by_source,
+        "source_drift_docs": q_source_drift_docs,
+        "len_percentile_docs": q_len_percentile_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
         "vocab_df_docs": q_vocab_df_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
@@ -1677,6 +1797,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST((tok_start + n_tok - 1) // 256
                         - tok_start // 256 + 1 AS BIGINT) AS n_seqs
             FROM cum WHERE n_tok > 0
+        """,
+        "token_budget_sample_docs": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tok AS tok_start
+              FROM tok)
+            SELECT doc_id, source, n_tok
+            FROM cum WHERE tok_start < 800 AND n_tok > 0
+        """,
+        "dominant_prefix_by_source": """
+            SELECT source, prefix, cnt FROM (
+              SELECT source, prefix, cnt,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, prefix ASC) AS rn
+              FROM (
+                SELECT source, substring(text, 1, 40) AS prefix,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1, 2))
+            WHERE rn = 1
+        """,
+        "source_drift_docs": """
+            WITH old AS (
+              SELECT source, lang, count(*) AS c FROM documents
+              WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+            new AS (
+              SELECT source, lang, count(*) AS c FROM documents
+              WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+            no AS (SELECT source, sum(c) AS n FROM old GROUP BY 1),
+            nn AS (SELECT source, sum(c) AS n FROM new GROUP BY 1),
+            j AS (
+              SELECT coalesce(o.source, n.source) AS source,
+                     coalesce(o.c, 0) AS co, coalesce(n.c, 0) AS cn
+              FROM old o FULL OUTER JOIN new n
+                ON o.source = n.source AND o.lang = n.lang)
+            SELECT j.source,
+                   CAST(no.n AS BIGINT) AS n_old,
+                   CAST(nn.n AS BIGINT) AS n_new,
+                   CAST(sum(abs(co * nn.n - cn * no.n)) AS BIGINT) AS drift_num
+            FROM j JOIN no ON j.source = no.source
+                   JOIN nn ON j.source = nn.source
+            GROUP BY j.source, no.n, nn.n
+        """,
+        "len_percentile_docs": """
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+                       AS pct_rank
+            FROM documents
         """,
         "chunk_docs": """
             SELECT doc_id,

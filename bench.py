@@ -116,6 +116,8 @@ def run_queries(sf_dir: str) -> dict:
         "decontam_docs", "vocab_df_docs", "tfidf_top_terms_docs",
         "repetition_signals_docs", "cap_per_source_docs",
         "pack_sequences_docs", "chunk_docs",
+        "token_budget_sample_docs", "dominant_prefix_by_source",
+        "len_quantiles_by_source",
     ]
     qs = entrymod.queries()
     out = {}

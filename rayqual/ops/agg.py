@@ -48,3 +48,47 @@ def salted_groupby_sum(ds, key: str, value_cols: list[str], n_salts: int = 16):
         .aggregate(*[Sum(c, alias_name=c) for c in value_cols])
     )
     return phase1.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in value_cols])
+
+
+def grouped_mode(ds, key: str, value_col: str, n_buckets: int = 32):
+    """Most frequent value per key (deterministic tie-break: highest
+    count, then lexicographically smallest value) — e.g. the dominant
+    boilerplate prefix per domain. Shape: ``groupby((key, value)).
+    count()`` is the only exchange (Ray pre-aggregates per block, so
+    it carries at most keys x distinct-values rows), then one
+    vectorized argmax pass per hash bucket of keys.
+
+    Returns one row per key: (key, value_col, cnt)."""
+    import pandas as pd
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby([key, value_col]).aggregate(Count(alias_name="cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def argmax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key].to_numpy(), sort=False)
+        # sorted=True factorize makes value codes lexicographic, so the
+        # (key, -cnt, value) winner is the first row of each segment
+        vcodes, _ = pd.factorize(g[value_col].to_numpy(), sort=True)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        perm = np.lexsort((vcodes, -cnt, codes))
+        sc = codes[perm]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        win = perm[starts]
+        return g.iloc[win][[key, value_col, "cnt"]]
+
+    return (
+        counts.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(argmax_bucket, batch_format="pandas")
+    )

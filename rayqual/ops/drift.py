@@ -1,0 +1,96 @@
+"""Distribution-drift detection between two corpus snapshots.
+
+Per key (domain/source), the total-variation distance between the two
+snapshots' categorical value distributions — the schema/content drift
+monitor a data-quality pipeline runs on every new crawl (generalizes
+the reference's table-level validation to distribution level).
+
+Everything stays in INTEGER arithmetic so results are exactly
+reproducible and oracle-hashable: with per-key totals N_old and N_new,
+
+    drift_num = sum_v | cnt_old(v) * N_new - cnt_new(v) * N_old |
+    TVD       = drift_num / (2 * N_old * N_new)
+
+Scale shape: each side is reduced to (key, value, count) by a
+block-pre-aggregated ``groupby().count()`` — the only exchanges carry
+count rows, never documents. The two count tables are unioned with a
+side tag and merged per hash BUCKET of keys (one Python dispatch per
+bucket), where one factorize + lexsort aligns (key, value) pairs and
+the drift sum falls out of vectorized segment reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def _drift_kernel(g: pd.DataFrame, key: str, value_col: str) -> pd.DataFrame:
+    """(key, value, c_old, c_new) rows → per key (n_old, n_new,
+    drift_num). Input has one row per (key, value) with zero-filled
+    sides (built by the caller's pivot)."""
+    codes, uniques = pd.factorize(g[key].to_numpy(), sort=False)
+    co = g["c_old"].to_numpy(dtype=np.int64)
+    cn = g["c_new"].to_numpy(dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    sc, co, cn = codes[order], co[order], cn[order]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    n_old = np.add.reduceat(co, starts)
+    n_new = np.add.reduceat(cn, starts)
+    seg_len = np.diff(np.append(starts, len(sc)))
+    num = np.abs(co * np.repeat(n_new, seg_len) - cn * np.repeat(n_old, seg_len))
+    drift = np.add.reduceat(num, starts)
+    return pd.DataFrame(
+        {
+            key: uniques[sc[starts]],
+            "n_old": n_old.astype(np.int64),
+            "n_new": n_new.astype(np.int64),
+            "drift_num": drift.astype(np.int64),
+        }
+    )
+
+
+def categorical_drift(ds_old, ds_new, key: str, value_col: str, n_buckets: int = 32):
+    """Dataset × Dataset → one row per key: (key, n_old, n_new,
+    drift_num); TVD = drift_num / (2 * n_old * n_new). Keys present in
+    only one snapshot get the other side's counts as 0 (TVD = 1)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count, Sum
+
+    def counted(ds, side: int):
+        c = ds.groupby([key, value_col]).aggregate(Count(alias_name="_c"))
+
+        def tag(b: pa.Table) -> pa.Table:
+            n = len(b)
+            c_col = b.column("_c").cast(pa.int64())
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            kb = bucket_hash(
+                b.column(key).to_numpy(zero_copy_only=False)
+            ) % np.uint64(n_buckets)
+            return pa.table(
+                {
+                    key: b.column(key),
+                    value_col: b.column(value_col),
+                    "c_old": c_col if side == 0 else zero,
+                    "c_new": c_col if side == 1 else zero,
+                    "_bucket": pa.array(kb.astype(np.int64)),
+                }
+            )
+
+        return c.map_batches(tag, batch_format="pyarrow")
+
+    both = counted(ds_old, 0).union(counted(ds_new, 1))
+    # collapse the (key, value) pair across sides, then per-bucket drift
+    merged = both.groupby([key, value_col, "_bucket"]).aggregate(
+        Sum("c_old", alias_name="c_old"), Sum("c_new", alias_name="c_new")
+    )
+
+    def drift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _drift_kernel(g, key, value_col)
+
+    return merged.groupby("_bucket").map_groups(drift_bucket, batch_format="pandas")

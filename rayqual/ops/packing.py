@@ -83,3 +83,40 @@ def pack_sequences(
         .groupby("_bucket")
         .map_groups(pack_bucket, batch_format="pandas")
     )
+
+
+def token_budget_sample(
+    ds,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 32,
+):
+    """Quota sampling: walk each group in ``order_col`` order and keep
+    documents until the group's cumulative token budget is reached —
+    the standard per-domain token quota for corpus mixing. A doc is
+    kept iff its start offset is below the budget (so exactly one
+    straddler may be included). Same bucketed cumsum machinery as
+    pack_sequences; only (id, group, n_tok) travels."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        kb = bucket_hash(df[group_col].to_numpy()) % np.uint64(n_buckets)
+        return pa.Table.from_pandas(
+            df.assign(_bucket=kb.astype(np.int64)), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def sample_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pack_kernel(g, group_col, order_col, token_col, seq_len=1)
+        out = out[out["tok_start"] < budget]
+        return out.drop(columns=["_bucket", "tok_start", "seq_id", "n_seqs"])
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sample_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,106 @@
+"""Tests for the categorical-drift operator (ops/drift.py): integer
+TVD numerator vs a direct pandas ground truth, one-sided keys, and
+partition invariance of the bucketed distributed path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_parts)
+
+
+def _expected(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    co = old.groupby(["k", "v"]).size().rename("c_old")
+    cn = new.groupby(["k", "v"]).size().rename("c_new")
+    m = pd.concat([co, cn], axis=1).fillna(0).astype(np.int64).reset_index()
+    rows = []
+    for k, g in m.groupby("k"):
+        n_old, n_new = int(g.c_old.sum()), int(g.c_new.sum())
+        num = int(np.abs(g.c_old * n_new - g.c_new * n_old).sum())
+        rows.append({"k": k, "n_old": n_old, "n_new": n_new, "drift_num": num})
+    return pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+
+
+def test_categorical_drift_vs_pandas(ray_session):
+    import ray
+
+    from rayqual.ops.drift import categorical_drift
+
+    rng = np.random.default_rng(11)
+    old = pd.DataFrame(
+        {
+            "k": rng.choice([f"s{i}" for i in range(7)], 600),
+            "v": rng.choice(list("abcd"), 600, p=[0.4, 0.3, 0.2, 0.1]),
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "k": rng.choice([f"s{i}" for i in range(7)], 500),
+            # shifted distribution -> real drift
+            "v": rng.choice(list("abcd"), 500, p=[0.1, 0.2, 0.3, 0.4]),
+        }
+    )
+    got = (
+        categorical_drift(_ds(ray, old), _ds(ray, new), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = _expected(old, new)
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+    # non-vacuous: the shifted distribution must register as drift
+    assert (got["drift_num"] > 0).all()
+
+
+def test_categorical_drift_one_sided_key(ray_session):
+    import ray
+
+    from rayqual.ops.drift import categorical_drift
+
+    old = pd.DataFrame({"k": ["only_old"] * 4 + ["both"] * 4, "v": list("aabb") * 2})
+    new = pd.DataFrame({"k": ["only_new"] * 3 + ["both"] * 4, "v": ["a", "b", "c", "a", "a", "b", "b"]})
+    got = (
+        categorical_drift(_ds(ray, old, 2), _ds(ray, new, 2), "k", "v")
+        .to_pandas()
+        .set_index("k")
+    )
+    # a key missing from one snapshot still gets a row with that side's n=0
+    assert int(got.loc["only_old", "n_new"]) == 0
+    assert int(got.loc["only_new", "n_old"]) == 0
+    # identical distribution on the shared key -> zero drift
+    assert int(got.loc["both", "drift_num"]) == 0
+    pd.testing.assert_frame_equal(
+        got.reset_index().sort_values("k").reset_index(drop=True),
+        _expected(old, new).rename(columns={}).astype(
+            {"n_old": got["n_old"].dtype, "n_new": got["n_new"].dtype, "drift_num": got["drift_num"].dtype}
+        ),
+    )
+
+
+def test_categorical_drift_partition_invariant(ray_session):
+    import ray
+
+    from rayqual.ops.drift import categorical_drift
+
+    rng = np.random.default_rng(3)
+    old = pd.DataFrame(
+        {"k": rng.choice(list("xyz"), 200), "v": rng.integers(0, 5, 200).astype(str)}
+    )
+    new = pd.DataFrame(
+        {"k": rng.choice(list("xyz"), 300), "v": rng.integers(0, 5, 300).astype(str)}
+    )
+    outs = []
+    for parts in (1, 3, 8):
+        out = (
+            categorical_drift(_ds(ray, old, parts), _ds(ray, new, parts), "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])

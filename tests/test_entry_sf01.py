@@ -37,6 +37,10 @@ SCALE_SENSITIVE = [
     # multi-bucket, multi-block paths at this scale
     "cap_per_source_docs",
     "pack_sequences_docs",
+    "token_budget_sample_docs",
+    "dominant_prefix_by_source",
+    "source_drift_docs",
+    "len_percentile_docs",
 ]
 
 

@@ -192,3 +192,49 @@ def test_grouped_exact_quantiles_vs_duckdb(ray_session):
            FROM raw GROUP BY k ORDER BY k"""
     ).df()
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_token_budget_sample_semantics(ray_session):
+    import ray
+
+    from rayqual.ops.packing import token_budget_sample
+
+    df = pd.DataFrame(
+        {"source": ["a"] * 10 + ["b"] * 2,
+         "doc_id": np.arange(12, dtype=np.int64),
+         "n_tok": np.array([30] * 10 + [5, 5], dtype=np.int64)}
+    )
+    got = (
+        token_budget_sample(_ds(ray, df, 3), "source", "doc_id", "n_tok", budget=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # source a: docs start at 0,30,60,90,120... -> first 4 kept (start<100,
+    # includes the straddler starting at 90); source b fits entirely
+    assert got[got.source == "a"]["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got[got.source == "b"]["doc_id"].tolist() == [10, 11]
+    assert list(got.columns) == ["source", "doc_id", "n_tok"] or set(got.columns) == {"source", "doc_id", "n_tok"}
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    import ray
+
+    from rayqual.ops.agg import grouped_mode
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 6 + ["b"] * 3,
+         "v": ["zz", "zz", "mm", "mm", "aa", "aa", "x", "x", "y"]}
+    )
+    got = (
+        grouped_mode(_ds(ray, df, 2), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # 'a': three values tied at 2 -> lexicographically smallest ('aa') wins
+    assert got.loc[got.k == "a", "v"].iloc[0] == "aa"
+    assert int(got.loc[got.k == "a", "cnt"].iloc[0]) == 2
+    # 'b': clear winner 'x' with 2
+    assert got.loc[got.k == "b", "v"].iloc[0] == "x"
+    assert int(got.loc[got.k == "b", "cnt"].iloc[0]) == 2
