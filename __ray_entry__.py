@@ -406,6 +406,67 @@ def q_source_drift_docs(sf_dir: str):
     )
 
 
+def q_snapshot_delta_docs(sf_dir: str):
+    """CDC diff between two corpus snapshots (ops/delta.py): keys only
+    in the new snapshot -> 'added', only in the old -> 'removed',
+    fingerprint differs -> 'changed'; unchanged keys are dropped. Old
+    snapshot = doc_id%5!=4 with docs at doc_id%7==0 "edited"
+    (fingerprint of text||'x'); new = doc_id%11!=3 with the true
+    fingerprint — all three statuses non-vacuous at every scale
+    factor. Only (key, sha256) rows enter the exchange."""
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.delta import snapshot_delta
+
+    def snap(old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 5 != 4) if old else (ids % 11 != 3)
+            t = b.filter(pa.array(m))
+            text = t.column("text")
+            if old:
+                edited = pc.binary_join_element_wise(text, "x", "")
+                sel = pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False) % 7 == 0
+                )
+                text = pc.if_else(sel, edited, text)
+            return pa.table(
+                {"doc_id": t.column("doc_id"), "fp": sha256_array(text)}
+            )
+
+        return f
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    old = docs.map_batches(snap(True), batch_format="pyarrow")
+    new = docs.map_batches(snap(False), batch_format="pyarrow")
+    return _typed(
+        snapshot_delta(old, new, "doc_id", "fp"),
+        {"doc_id": "int64", "status": "object"},
+    )
+
+
+def q_split_assign_docs(sf_dir: str):
+    """Deterministic engine-independent train/val/test split
+    (ops/export.py:assign_split): bucket = int(sha256(text)[:4], 16)
+    % 10, 8/1/1 cut — reproducible from ANY engine (the oracle derives
+    the identical assignment in pure SQL), membership invariant to
+    partitioning/cluster layout. Zero shuffle."""
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.export import assign_split
+
+    def fp(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "fp": sha256_array(b.column("text"))}
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+    out = assign_split(ds, "fp").drop_columns(["fp"])
+    return _typed(
+        out, {"doc_id": "int64", "bucket": "int64", "split": "object"}
+    )
+
+
 def q_len_percentile_docs(sf_dir: str, n_buckets: int = 32):
     """Per-doc percentile rank of length within its source
     (percent_rank window semantics: (rank-1)/(n-1)) — the group-
@@ -1648,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample_docs": q_token_budget_sample_docs,
         "dominant_prefix_by_source": q_dominant_prefix_by_source,
         "source_drift_docs": q_source_drift_docs,
+        "snapshot_delta_docs": q_snapshot_delta_docs,
+        "split_assign_docs": q_split_assign_docs,
         "len_percentile_docs": q_len_percentile_docs,
         "topk_tokens_docs": q_topk_tokens_docs,
         "vocab_df_docs": q_vocab_df_docs,
@@ -1844,6 +1907,33 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN no ON j.source = no.source
                    JOIN nn ON j.source = nn.source
             GROUP BY j.source, no.n, nn.n
+        """,
+        "snapshot_delta_docs": """
+            WITH old AS (
+              SELECT doc_id,
+                     sha256(CASE WHEN doc_id % 7 = 0 THEN text || 'x'
+                                 ELSE text END) AS fp
+              FROM documents WHERE doc_id % 5 <> 4),
+            new AS (
+              SELECT doc_id, sha256(text) AS fp
+              FROM documents WHERE doc_id % 11 <> 3)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+        """,
+        "split_assign_docs": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 4)) AS INT)
+                          % 10 AS BIGINT) AS bucket
+              FROM documents)
         """,
         "len_percentile_docs": """
             SELECT doc_id, source, n_chars,

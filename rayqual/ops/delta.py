@@ -1,0 +1,78 @@
+"""Snapshot delta (CDC-style diff) between two corpus snapshots.
+
+Given two keyed snapshots with a per-row content fingerprint, emit one
+row per key whose state changed: ``added`` (key only in the new
+snapshot), ``removed`` (only in the old one), ``changed`` (in both,
+fingerprints differ). Unchanged keys are dropped — the delta is the
+small output a 100 TB re-crawl diff wants.
+
+Scale shape: each side is projected to (key, fingerprint, side-flag) —
+content never enters the exchange — and the union goes through ONE
+``groupby(key).aggregate`` (block-pre-combined Sum/Min/Max). The
+change test exploits that each snapshot holds at most one row per key:
+with ≤2 fingerprints per key, ``min(fp) != max(fp)`` is exactly
+"fingerprints differ". Status assignment is a vectorized map_batches
+over the aggregate's k-row output.
+
+Keys are assumed unique within each snapshot (the usual CDC contract);
+duplicate keys within one snapshot make the min/max test compare
+within-snapshot rows too, so dedup first if that can happen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def snapshot_delta(ds_old, ds_new, key_col: str, fp_col: str):
+    """Dataset × Dataset → Dataset(key_col, status) with status in
+    {'added', 'removed', 'changed'}; unchanged keys are omitted."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Max, Min, Sum
+
+    def tagged(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            one = pa.array(np.ones(n, dtype=np.int64))
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.table(
+                {
+                    key_col: b.column(key_col),
+                    fp_col: b.column(fp_col),
+                    "_old": one if side == 0 else zero,
+                    "_new": one if side == 1 else zero,
+                }
+            )
+
+        return f
+
+    both = ds_old.map_batches(tagged(0), batch_format="pyarrow").union(
+        ds_new.map_batches(tagged(1), batch_format="pyarrow")
+    )
+    agg = both.groupby(key_col).aggregate(
+        Sum("_old", alias_name="n_old"),
+        Sum("_new", alias_name="n_new"),
+        Min(fp_col, alias_name="fp_min"),
+        Max(fp_col, alias_name="fp_max"),
+    )
+
+    def status(b: pa.Table) -> pa.Table:
+        n_old = b.column("n_old").to_numpy(zero_copy_only=False)
+        n_new = b.column("n_new").to_numpy(zero_copy_only=False)
+        differ = pc.not_equal(b.column("fp_min"), b.column("fp_max")).to_numpy(
+            zero_copy_only=False
+        )
+        st = np.where(
+            n_old == 0, "added", np.where(n_new == 0, "removed", "changed")
+        ).astype(object)
+        keep = (n_old == 0) | (n_new == 0) | differ
+        out = pa.table(
+            {key_col: b.column(key_col), "status": pa.array(st, type=pa.string())}
+        )
+        return out.filter(pa.array(keep))
+
+    return agg.map_batches(status, batch_format="pyarrow")

@@ -43,6 +43,51 @@ def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+_HEX_LUT = np.full(256, 255, dtype=np.uint16)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT[_c] = _i
+for _i, _c in enumerate(b"0123456789ABCDEF"):
+    _HEX_LUT[_c] = _i
+
+
+def assign_split(
+    ds,
+    fp_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+):
+    """Deterministic train/val/test assignment from a hex content
+    fingerprint (e.g. the sha256 the gate already computes):
+    ``bucket = int(fp[:4], 16) % sum(weights)``, cut by cumulative
+    weights. sha-based rather than siphash-based ON PURPOSE: any
+    engine — SQL (`('0x' || substr(sha256(x),1,4))::INT`), Spark, this
+    one — reproduces the identical assignment, which is the contract a
+    cross-team split needs (membership must never depend on engine or
+    cluster layout). Per-batch, zero shuffle; appends int64 ``bucket``
+    and string ``split``. Fingerprints must be non-null hex strings.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    denom = sum(w for _, w in splits)
+    names = []
+    for name, w in splits:
+        names.extend([name] * w)
+    name_lut = np.array(names, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        fp = b.column(fp_col).to_numpy(zero_copy_only=False)
+        h4 = fp.astype("S4").view(np.uint8).reshape(len(fp), 4)
+        v = _HEX_LUT[h4]
+        bucket = (((v[:, 0] * 16 + v[:, 1]) * 16 + v[:, 2]) * 16 + v[:, 3]).astype(
+            np.int64
+        ) % denom
+        return b.append_column("bucket", pa.array(bucket)).append_column(
+            "split", pa.array(name_lut[bucket], type=pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def range_partitioned_export(
     ds,
     out_dir: str,

@@ -1,0 +1,105 @@
+"""Tests for snapshot delta (ops/delta.py) and the deterministic
+sha-based split assignment (ops/export.py:assign_split)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_parts)
+
+
+def test_snapshot_delta_statuses(ray_session):
+    import ray
+
+    from rayqual.ops.delta import snapshot_delta
+
+    old = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 4], dtype=np.int64), "fp": ["a", "b", "c", "d"]}
+    )
+    new = pd.DataFrame(
+        {"k": np.array([2, 3, 4, 5], dtype=np.int64), "fp": ["b", "X", "d", "e"]}
+    )
+    got = (
+        snapshot_delta(_ds(ray, old, 2), _ds(ray, new, 2), "k", "fp")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 removed, k=2 unchanged (dropped), k=3 changed, k=4 unchanged, k=5 added
+    assert got["k"].tolist() == [1, 3, 5]
+    assert got["status"].tolist() == ["removed", "changed", "added"]
+
+
+def test_snapshot_delta_partition_invariant(ray_session):
+    import ray
+
+    from rayqual.ops.delta import snapshot_delta
+
+    rng = np.random.default_rng(5)
+    keys = np.arange(300, dtype=np.int64)
+    old = pd.DataFrame(
+        {"k": keys[keys % 4 != 0], "fp": [f"h{k % 9}" for k in keys[keys % 4 != 0]]}
+    )
+    new = pd.DataFrame(
+        {"k": keys[keys % 3 != 0], "fp": [f"h{k % 7}" for k in keys[keys % 3 != 0]]}
+    )
+    outs = []
+    for parts in (1, 2, 8):
+        out = (
+            snapshot_delta(_ds(ray, old, parts), _ds(ray, new, parts), "k", "fp")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    assert set(outs[0]["status"]) == {"added", "removed", "changed"}
+
+
+def test_assign_split_matches_python_and_weights(ray_session):
+    import ray
+
+    from rayqual.ops.export import assign_split
+
+    texts = [f"document number {i} with some body" for i in range(400)]
+    fps = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "fp": fps})
+    got = (
+        assign_split(_ds(ray, df, 4), "fp")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp_bucket = np.array([int(f[:4], 16) % 10 for f in fps], dtype=np.int64)
+    assert (got["bucket"].to_numpy() == exp_bucket).all()
+    names = np.where(exp_bucket < 8, "train", np.where(exp_bucket < 9, "val", "test"))
+    assert (got["split"].to_numpy() == names).all()
+    # roughly 80/10/10 and invariant to partitioning
+    vc = got["split"].value_counts()
+    assert vc["train"] > vc["val"] and vc["train"] > vc["test"]
+    got1 = (
+        assign_split(_ds(ray, df, 1), "fp")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got1)
+
+
+def test_assign_split_uppercase_hex(ray_session):
+    import ray
+
+    from rayqual.ops.export import assign_split
+
+    df = pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64), "fp": ["ABCD00", "abcd00"]}
+    )
+    got = assign_split(_ds(ray, df, 1), "fp").to_pandas().sort_values("doc_id")
+    assert got["bucket"].iloc[0] == got["bucket"].iloc[1] == int("abcd", 16) % 10

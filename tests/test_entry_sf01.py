@@ -41,6 +41,7 @@ SCALE_SENSITIVE = [
     "dominant_prefix_by_source",
     "source_drift_docs",
     "len_percentile_docs",
+    "snapshot_delta_docs",
 ]
 
 
