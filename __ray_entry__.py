@@ -1427,6 +1427,119 @@ def q_lsh_embed_neardup_docs(sf_dir: str, threshold: float = 0.95):
     return _typed(out.map_batches(strip, batch_format="pyarrow"), {"id_a": "int64", "id_b": "int64"})
 
 
+def q_embed_decontam_embeddings(sf_dir: str, threshold: float = 0.3):
+    """Semantic (embedding-space) benchmark decontamination
+    (ops/decontam.py:embedding_decontam): eval set = vec_id % 100 == 0,
+    filtered in a distributed scan so only eval rows reach the driver
+    for the broadcast; each corpus batch does one matmul probe and
+    emits only flagged (vec_id, n_hits) rows. No shuffle."""
+    from rayqual.ops.decontam import embedding_decontam
+
+    def side(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            m = (ids % 100 == 0) if keep_eval else (ids % 100 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    eval_ds = _embeddings(sf_dir).map_batches(side(True), batch_format="pyarrow")
+    corpus = _embeddings(sf_dir).map_batches(side(False), batch_format="pyarrow")
+    out = embedding_decontam(corpus, eval_ds, "vec_id", "embedding", threshold)
+    return _typed(out, {"vec_id": "int64", "n_hits": "int64"})
+
+
+def q_global_rank_docs(sf_dir: str):
+    """Global row_number by a derived unique key WITHOUT a global sort
+    (ops/rank.py — the TeraSort rank shape): deterministic hash-sampled
+    range boundaries, one partition-by-range shuffle of (key, id) only,
+    per-range local sort + broadcast cumulative offsets."""
+    from rayqual.ops.rank import global_rank
+
+    def keyed(b: pa.Table) -> pa.Table:
+        sk = pc.add(
+            pc.multiply(b.column("n_chars"), pa.scalar(1_000_000, pa.int64())),
+            b.column("doc_id"),
+        )
+        return pa.table(
+            {
+                "sort_key": sk,
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    out = global_rank(ds, "sort_key", carry_cols=("doc_id", "n_chars"))
+    return _typed(out, {"doc_id": "int64", "n_chars": "int64", "rank": "int64"})
+
+
+def q_epoch_mix_docs(sf_dir: str):
+    """Deterministic training-mixture assembly (ops/mix.py): per-source
+    epoch weights 2.5 / 1.25 / 0.5 / 0 (by source number % 4); each doc
+    appears floor(w) + (sha-hash fractional coin) times with a rep
+    index — membership reproducible from any engine (the oracle derives
+    the identical expansion in SQL). Zero shuffle."""
+    from rayqual.ops.mix import weighted_epoch_mix
+
+    weights = {f"src{i}": (2.5, 1.25, 0.5, 0.0)[i % 4] for i in range(200)}
+    out = weighted_epoch_mix(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        "doc_id",
+        "source",
+        weights,
+    )
+    return _typed(out, {"doc_id": "int64", "source": "object", "rep": "int64"})
+
+
+def q_kmeans_embeddings(sf_dir: str, k: int = 8, n_iter: int = 4):
+    """Distributed integer-exact Lloyd's k-means over the embeddings
+    table (ops/cluster.py): per iteration one streaming pass emits
+    k×(d+1) integer partial-sum rows per batch through a block-
+    pre-combined groupby — vectors never enter the exchange. The
+    fixed-point grid makes assignments a pure function of the input
+    multiset, so the committed sf0.01 fixture (independent per-point
+    loop implementation, oracle_ops.kmeans_py) is an exact oracle."""
+    from rayqual.ops.cluster import kmeans
+
+    assignments, _mu, _counts = kmeans(
+        _embeddings(sf_dir), "vec_id", "embedding", k=k, n_iter=n_iter
+    )
+    return _typed(assignments, {"vec_id": "int64", "cluster": "int64"})
+
+
+def q_semantic_dedup_embeddings(sf_dir: str, threshold: float = 0.95, k: int = 8):
+    """SemDeDup-shaped semantic near-dup pruning (ops/cluster.py):
+    k-means partitions the corpus, cosine pairs are checked only
+    WITHIN clusters, losers point at their component's min id. Same
+    deterministic duplicate injection as lsh_embed_neardup_docs
+    (vec_id % 50 → one of 3 shared vectors) so recall is provably
+    non-vacuous; fixture oracle = oracle_ops.semantic_dedup_py."""
+    from rayqual.ops.cluster import semantic_dedup
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        rng = np.random.default_rng(99)
+        shared = rng.standard_normal((3, emb.shape[1]))
+        dup = ids % 50 == 0
+        emb[dup] = shared[(ids[dup] // 50) % 3]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(list(emb), pa.list_(pa.float64()))}
+        )
+
+    ds = _embeddings(sf_dir).map_batches(inject, batch_format="pyarrow")
+    out = semantic_dedup(ds, "vec_id", "embedding", threshold=threshold, k=k)
+    return (
+        _typed(out, {"vec_id": "int64", "kept_id": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling stub plumbing (1→N expansion per payload)
     through the actor pool; oracle = committed expected fixture (pure
@@ -1756,6 +1869,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lsh_embed_neardup_docs": q_lsh_embed_neardup_docs,
+        "epoch_mix_docs": q_epoch_mix_docs,
+        "embed_decontam_embeddings": q_embed_decontam_embeddings,
+        "global_rank_docs": q_global_rank_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_decode": q_multimodal_decode,
@@ -2291,6 +2409,47 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "global_rank_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (
+                        ORDER BY n_chars * 1000000 + doc_id) AS BIGINT) AS rank
+            FROM documents
+        """,
+        "embed_decontam_embeddings": """
+            SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM embeddings c JOIN embeddings e
+              ON e.vec_id % 100 = 0 AND c.vec_id % 100 <> 0
+             AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) >= 0.3
+            GROUP BY c.vec_id
+        """,
+        "epoch_mix_docs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE CAST(substr(source, 4) AS INT) % 4
+                          WHEN 0 THEN 2.5 WHEN 1 THEN 1.25
+                          WHEN 2 THEN 0.5 ELSE 0.0 END AS wt,
+                     CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) / 65536.0 AS u
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1
+                                           ELSE 0 END AS BIGINT) AS n_rep
+              FROM w)
+            SELECT doc_id, source, CAST(gs AS BIGINT) AS rep
+            FROM (SELECT doc_id, source,
+                         unnest(generate_series(1, n_rep)) AS gs
+                  FROM r)
+        """,
+        "kmeans_embeddings": f"""
+            SELECT vec_id, cluster
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/kmeans_embeddings_sf001_expected.parquet')
+        """,
+        "semantic_dedup_embeddings": f"""
+            SELECT vec_id, kept_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/semantic_dedup_embeddings_sf001_expected.parquet')
         """,
         "lsh_topk_embeddings": f"""
             SELECT query_id, id

@@ -118,6 +118,9 @@ def run_queries(sf_dir: str) -> dict:
         "pack_sequences_docs", "chunk_docs",
         "token_budget_sample_docs", "dominant_prefix_by_source",
         "len_quantiles_by_source",
+        "snapshot_delta_docs", "split_assign_docs", "epoch_mix_docs",
+        "kmeans_embeddings", "semantic_dedup_embeddings",
+        "embed_decontam_embeddings", "global_rank_docs",
     ]
     qs = entrymod.queries()
     out = {}

@@ -49,6 +49,23 @@ def bucket_hash(arr: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(arr)
 
 
+_HEX_LUT = np.full(256, 255, dtype=np.uint16)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT[_c] = _i
+for _i, _c in enumerate(b"0123456789ABCDEF"):
+    _HEX_LUT[_c] = _i
+
+
+def hex_prefix16(arr: np.ndarray) -> np.ndarray:
+    """int64 value of the first 4 hex chars of each string — the
+    engine-independent uniform hash used by assign_split / epoch_mix
+    (SQL reproduces it as ``('0x' || substr(h, 1, 4))::INT``).
+    Vectorized: fixed-width byte view + a hex-digit LUT."""
+    h4 = arr.astype("S4").view(np.uint8).reshape(len(arr), 4)
+    v = _HEX_LUT[h4].astype(np.int64)
+    return ((v[:, 0] * 16 + v[:, 1]) * 16 + v[:, 2]) * 16 + v[:, 3]
+
+
 def sha256_array(arr, active=None) -> pa.Array:
     """Hex sha256 of every row (null → null). The per-row invariant
     column required by BASELINE.json:input_hint. ``active`` (bool mask)

@@ -1,0 +1,271 @@
+"""Distributed k-means over an embedding column, and SemDeDup-style
+semantic deduplication built on top of it.
+
+Determinism is the design center: every cross-block reduction is an
+INTEGER sum, so the result is a pure function of the input multiset —
+invariant to partitioning, scheduling and reduce order (the same trick
+the drift/HLL ops use). Vectors are quantized once to a fixed-point
+grid (``round(x * 2^16)`` as int64); centroid updates sum those ints
+exactly (int64 addition is commutative/associative), and the float
+centroid ``sum / (count * 2^16)`` is therefore exactly reproducible.
+Distances are computed from exactly-representable inputs with a fixed
+numpy reduction order (explicit differences, never BLAS matmul — dgemm
+reduce order varies with threading), so assignments never wobble at
+the ULP level between runs — which is what lets a committed fixture
+serve as the correctness oracle.
+
+Scale shape per Lloyd iteration: one streaming pass over the quantized
+dataset; each batch emits k×(d+1) partial-sum rows (cluster, dim, sum)
+— a fixed-size sketch, never vectors — through one block-pre-combined
+``groupby.aggregate(Sum)``; the k×d centroid table is driver-resident
+and broadcast via ``ray.put``. Init is the k smallest ids' vectors
+(two-level per-block min-k reduce, no global sort).
+
+Overflow headroom: quantize clips to |xq| ≤ 2^20, so a cluster can
+absorb ~2^42 rows before an int64 dim-sum could overflow — beyond any
+real corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_QBITS = 16
+_Q = float(1 << _QBITS)
+_CLIP = float(1 << 20)  # |xq| bound -> int64 sums safe to ~4e12 rows/cluster
+
+
+def _quantize(v: np.ndarray) -> np.ndarray:
+    """float -> fixed-point int64 grid; the ONLY lossy step, applied
+    identically by the single-process oracle (oracle_ops.kmeans_py)."""
+    return np.clip(np.rint(v.astype(np.float64) * _Q), -_CLIP, _CLIP).astype(np.int64)
+
+
+def _centroids(sums: np.ndarray, counts: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Exact float64 centroids from integer sums; empty clusters keep
+    their previous centroid."""
+    mu = prev.copy()
+    nz = counts > 0
+    mu[nz] = sums[nz] / (counts[nz, None] * _Q)
+    return mu
+
+
+def _assign(xq: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """argmin squared-L2, ties to the lowest cluster id. Explicit
+    differences + fixed-order numpy reduction — bit-deterministic on
+    any BLAS / thread count (matmul is not)."""
+    x = xq.astype(np.float64) / _Q
+    d = ((x[:, None, :] - mu[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def _vec_matrix(b: pa.Table, vec_col: str) -> np.ndarray:
+    col = b.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+    return np.stack(col.to_numpy(zero_copy_only=False))
+
+
+def _xq_matrix(b: pa.Table) -> np.ndarray:
+    col = b.column("xq")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+
+
+def quantized_dataset(ds, id_col: str, vec_col: str):
+    """(id, xq fixed_size_list<int64, d>) — the iteration input; xq is
+    zero-copy reshaped back to an (n, d) matrix per batch."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def quant(b: pa.Table) -> pa.Table:
+        m = _quantize(_vec_matrix(b, vec_col))
+        n, d = m.shape
+        xq = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), d)
+        return pa.table({id_col: b.column(id_col), "xq": xq})
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def _seed_centroids(qds, id_col: str, k: int) -> np.ndarray:
+    """Vectors of the k smallest ids: per-block min-k partials, then a
+    second min-k level, so the driver never sees more than a few k rows
+    regardless of block count."""
+
+    def mink(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) <= k:
+            return b
+        keep = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(np.sort(keep)))
+
+    cands = (
+        qds.map_batches(mink, batch_format="pyarrow")
+        .repartition(4)
+        .map_batches(mink, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(cands.iter_batches(batch_format="pyarrow"))
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:k]
+    seeds = _xq_matrix(t.take(pa.array(order)))
+    return seeds.astype(np.float64) / _Q
+
+
+def _kmeans_qds(qds, id_col: str, k: int, n_iter: int) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd iterations over a quantized dataset → (centroids, counts)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    mu = _seed_centroids(qds, id_col, k)
+    d = mu.shape[1]
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(n_iter):
+        ref = ray.put(mu)
+
+        def partials(b: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _ray
+
+            m = _ray.get(_ref)
+            xq = _xq_matrix(b)
+            a = _assign(xq, m)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            starts = np.flatnonzero(np.concatenate([[True], sa[1:] != sa[:-1]]))
+            cids = sa[starts]
+            sums = np.add.reduceat(xq[order], starts, axis=0)
+            cnts = np.diff(np.append(starts, len(sa)))
+            # exploded (cid, dim, v) rows; dim = d carries the count
+            dcol = xq.shape[1]
+            cid_col = np.repeat(cids, dcol + 1)
+            dim_col = np.tile(np.arange(dcol + 1, dtype=np.int64), len(cids))
+            v_col = np.concatenate([sums, cnts[:, None]], axis=1).reshape(-1)
+            return pa.table(
+                {
+                    "cid": pa.array(cid_col),
+                    "dim": pa.array(dim_col),
+                    "v": pa.array(v_col.astype(np.int64)),
+                }
+            )
+
+        agg = (
+            qds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("v", alias_name="v"))
+            .to_pandas()
+        )
+        sums = np.zeros((k, d), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        cid = agg["cid"].to_numpy(dtype=np.int64)
+        dim = agg["dim"].to_numpy(dtype=np.int64)
+        v = agg["v"].to_numpy(dtype=np.int64)
+        is_cnt = dim == d
+        counts[cid[is_cnt]] = v[is_cnt]
+        sums[cid[~is_cnt], dim[~is_cnt]] = v[~is_cnt]
+        mu = _centroids(sums, counts, mu)
+
+    return mu, counts
+
+
+def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4):
+    """Distributed Lloyd's k-means. Returns (assignments
+    Dataset(id_col, cluster), centroids float64 (k, d), counts int64
+    (k,)). Cluster ids are the rank of their seed id — deterministic
+    and layout-invariant (tested)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    qds = quantized_dataset(ds, id_col, vec_col).materialize()
+    mu, counts = _kmeans_qds(qds, id_col, k, n_iter)
+    ref = ray.put(mu)
+
+    def label(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        a = _assign(_xq_matrix(b), m)
+        return pa.table({id_col: b.column(id_col), "cluster": pa.array(a)})
+
+    return qds.map_batches(label, batch_format="pyarrow"), mu, counts
+
+
+def semantic_dedup(
+    ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iter: int = 4,
+    max_cluster: int = 100_000,
+):
+    """SemDeDup-shaped near-duplicate pruning: k-means the corpus, then
+    compare cosines only WITHIN each cluster (pairwise is quadratic, so
+    the cluster — not the corpus — bounds it; pick k ≈ n / desired
+    cluster size). Returns Dataset(id_col, kept_id): one row per loser,
+    pointing at its similarity-component's minimum id. Deterministic
+    end to end (integer-exact k-means + fixed-order float kernels).
+
+    The only all-to-all ships (id, cluster, xq) — quantized vectors,
+    ~8d bytes/row, never raw content. Clusters larger than
+    ``max_cluster`` raise rather than silently going quadratic — raise
+    k instead (same contract as the strict LSH bucket mode)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    qds = quantized_dataset(ds, id_col, vec_col).materialize()
+    mu, _ = _kmeans_qds(qds, id_col, k, n_iter)
+    ref = ray.put(mu)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        a = _assign(_xq_matrix(b), m)
+        return b.append_column("cluster", pa.array(a))
+
+    tagged = qds.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > max_cluster:
+            raise ValueError(
+                f"cluster of {n} rows exceeds max_cluster={max_cluster}; raise k"
+            )
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        xq = np.stack(g["xq"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, xq = ids[order], xq[order]
+        norms = np.sqrt((xq * xq).sum(axis=1))
+        norms[norms == 0] = 1.0
+        xn = xq / norms[:, None]
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n - 1):
+            sims = (xn[i + 1 :] * xn[i]).sum(axis=1)
+            for j in np.flatnonzero(sims >= threshold):
+                a, b2 = find(i), find(int(i + 1 + j))
+                if a != b2:
+                    parent[max(a, b2)] = min(a, b2)
+        roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+        losers = roots != np.arange(n)
+        return pd.DataFrame({id_col: ids[losers], "kept_id": ids[roots[losers]]})
+
+    return tagged.groupby("cluster").map_groups(dedup_cluster, batch_format="pandas")

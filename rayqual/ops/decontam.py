@@ -177,3 +177,57 @@ def decontaminate(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def embedding_decontam(
+    ds,
+    eval_ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    max_eval: int = 100_000,
+):
+    """SEMANTIC decontamination: flag corpus vectors whose cosine to
+    ANY eval-set vector reaches ``threshold`` — the embedding-space
+    complement of the n-gram probe above (catches paraphrased
+    benchmark leakage that window hashes miss).
+
+    Same broadcast-not-shuffle shape: the eval matrix is collected
+    once, L2-normalized, shipped via ``ray.put``; each corpus batch
+    does one (batch × eval) matmul and counts eval hits per row. Only
+    flagged (id, n_hits) rows leave the pass; no shuffle anywhere.
+    ``max_eval`` refuses eval sets past broadcast size (shard the eval
+    matrix and union the probes beyond that)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+
+    ev = eval_ds.to_pandas()
+    if len(ev) > max_eval:
+        raise ValueError(f"eval set of {len(ev)} rows exceeds max_eval={max_eval}")
+    em = np.stack(ev[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((em * em).sum(axis=1))
+    norms[norms == 0] = 1.0
+    em = em / norms[:, None]
+    ref = ray.put(em)
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        e = _ray.get(ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        m = np.stack(b.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        n = np.sqrt((m * m).sum(axis=1))
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        hits = ((m @ e.T) >= threshold).sum(axis=1).astype(np.int64)
+        flagged = hits > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[flagged].astype(np.int64)),
+                "n_hits": pa.array(hits[flagged]),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

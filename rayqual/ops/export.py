@@ -43,13 +43,6 @@ def add_shard_column(ds, key_cols: tuple[str, ...], n_shards: int, seed: int = 0
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-_HEX_LUT = np.full(256, 255, dtype=np.uint16)
-for _i, _c in enumerate(b"0123456789abcdef"):
-    _HEX_LUT[_c] = _i
-for _i, _c in enumerate(b"0123456789ABCDEF"):
-    _HEX_LUT[_c] = _i
-
-
 def assign_split(
     ds,
     fp_col: str,
@@ -74,13 +67,13 @@ def assign_split(
         names.extend([name] * w)
     name_lut = np.array(names, dtype=object)
 
+    # driver-side import; the batch closure captures the function object
+    # (worker processes cannot import rayqual by name)
+    from rayqual.functions.hashing import hex_prefix16
+
     def assign(b: pa.Table) -> pa.Table:
         fp = b.column(fp_col).to_numpy(zero_copy_only=False)
-        h4 = fp.astype("S4").view(np.uint8).reshape(len(fp), 4)
-        v = _HEX_LUT[h4]
-        bucket = (((v[:, 0] * 16 + v[:, 1]) * 16 + v[:, 2]) * 16 + v[:, 3]).astype(
-            np.int64
-        ) % denom
+        bucket = hex_prefix16(fp) % denom
         return b.append_column("bucket", pa.array(bucket)).append_column(
             "split", pa.array(name_lut[bucket], type=pa.string())
         )

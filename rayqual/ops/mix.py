@@ -1,0 +1,68 @@
+"""Weighted epoch mixing: deterministic per-group up/down-sampling by
+row repetition — the "2.5 epochs of Wikipedia, 0.5 epochs of crawl"
+step of assembling a training mixture.
+
+Each row appears ``floor(w) + (u < frac(w))`` times, where ``w`` is
+its group's weight and ``u ∈ [0, 1)`` is an engine-independent uniform
+hash of the row id (first 16 bits of sha256, the assign_split trick) —
+so in expectation every group contributes exactly ``w ×`` its rows,
+and MEMBERSHIP of the fractional part is reproducible from any engine
+(the oracle derives the identical expansion in pure SQL), any
+partitioning, any cluster layout.
+
+Scale shape: pure per-batch expansion (np.repeat over the batch), zero
+shuffle; the weight table is a plain dict broadcast inside the
+function closure (small — one entry per group/domain).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def weighted_epoch_mix(
+    ds,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default: float = 0.0,
+):
+    """Dataset → Dataset with each row repeated per its group weight,
+    plus a ``rep`` column (1..n_rep). Groups absent from ``weights``
+    get ``default`` (0.0 = dropped)."""
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import hex_prefix16, sha256_array
+
+    _stw()
+
+    def expand(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        groups = b.column(group_col).to_numpy(zero_copy_only=False)
+        w = pd.Series(groups).map(weights).fillna(default).to_numpy(dtype=np.float64)
+        ids_str = pc.cast(b.column(id_col), pa.string())
+        u = hex_prefix16(
+            sha256_array(ids_str).to_numpy(zero_copy_only=False)
+        ).astype(np.float64) / 65536.0
+        base = np.floor(w)
+        n_rep = (base + (u < (w - base))).astype(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), n_rep)
+        starts = np.cumsum(n_rep) - n_rep
+        rep = np.arange(len(idx), dtype=np.int64) - starts[idx] + 1
+        out = b.take(pa.array(idx))
+        return out.append_column("rep", pa.array(rep))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def expected_rows(counts: dict[str, int], weights: dict[str, float],
+                  default: float = 0.0) -> float:
+    """Expected output size of :func:`weighted_epoch_mix` — the sanity
+    number a mixing config review wants."""
+    return math.fsum(
+        counts[g] * weights.get(g, default) for g in counts
+    )

@@ -1,0 +1,118 @@
+"""Global rank / row numbering by a key — ``row_number() OVER (ORDER
+BY key)`` — without a full global sort.
+
+The TeraSort shape: (1) a deterministic hash-sample of the key column
+yields range boundaries (reusing the no-RNG "splitmix(key) ≡ 0 mod
+rate" sample of range_partitioned_export — a pure function of the key
+multiset); (2) every row routes to its range bucket, the ONLY
+all-to-all, and it ships just (key, carried columns); (3) each bucket
+sorts locally and ranks; (4) bucket offsets are the cumulative bucket
+counts — k integers on the driver — added back in the same pass via a
+broadcast. Nothing is globally sorted; the wide exchange is one
+partition-by-range shuffle.
+
+Keys must be unique (row_number over a unique key == rank); ties on
+duplicate keys would get arbitrary order within the tie, exactly like
+an unqualified SQL row_number.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def global_rank(
+    ds,
+    key_col: str,
+    carry_cols: tuple[str, ...] = (),
+    n_partitions: int = 32,
+    target_sample: int = 4000,
+    rank_col: str = "rank",
+):
+    """Dataset → Dataset(key_col, *carry_cols, rank_col) with rank =
+    1-based global position of key_col in ascending order; carry_cols
+    ride along through the range shuffle (keep them narrow — ids, not
+    content)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Count
+
+    proj = ds.select_columns([key_col, *carry_cols])
+    total = proj.count()
+    rate = max(1, total // target_sample)
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.drop_null()
+        vals = arr.to_numpy(zero_copy_only=False)
+        keep = bucket_hash(vals) % np.uint64(rate) == 0
+        return pa.table({"k": arr.filter(pa.array(keep))})
+
+    sampled = np.sort(
+        np.concatenate(
+            [
+                t.column("k").to_numpy(zero_copy_only=False)
+                for t in proj.map_batches(sample, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                if len(t)
+            ]
+            or [np.array([])]
+        )
+    )
+    if len(sampled) == 0:
+        boundaries = np.array([])
+    else:
+        qs = np.arange(1, n_partitions) / n_partitions
+        idx = np.minimum((qs * len(sampled)).astype(np.int64), len(sampled) - 1)
+        boundaries = np.unique(sampled[idx])
+
+    def route(b: pa.Table) -> pa.Table:
+        vals = b.column(key_col).to_numpy(zero_copy_only=False)
+        part = (
+            np.searchsorted(boundaries, vals, side="right")
+            if len(boundaries)
+            else np.zeros(len(b), dtype=np.int64)
+        )
+        cols = {key_col: b.column(key_col)}
+        for c in carry_cols:
+            cols[c] = b.column(c)
+        cols["_part"] = pa.array(part.astype(np.int64))
+        return pa.table(cols)
+
+    routed = proj.map_batches(route, batch_format="pyarrow").materialize()
+
+    # bucket offsets: k integers through one pre-combined count aggregate
+    cnt = routed.groupby("_part").aggregate(Count(alias_name="n")).to_pandas()
+    cnt = cnt.sort_values("_part")
+    parts = cnt["_part"].to_numpy(dtype=np.int64)
+    ns = cnt["n"].to_numpy(dtype=np.int64)
+    offsets = np.zeros(int(parts.max()) + 1 if len(parts) else 1, dtype=np.int64)
+    offsets[parts] = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    oref = ray.put(offsets)
+
+    import pandas as pd
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offs = _ray.get(oref)
+        p = int(g["_part"].iloc[0])
+        keys = g[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        rank = np.empty(len(keys), dtype=np.int64)
+        rank[order] = np.arange(1, len(keys) + 1) + offs[p]
+        out = {key_col: keys}
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()
+        out[rank_col] = rank
+        return pd.DataFrame(out)
+
+    return routed.groupby("_part").map_groups(rank_part, batch_format="pandas")

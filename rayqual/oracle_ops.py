@@ -387,3 +387,74 @@ def decontam_py(df: pd.DataFrame, id_col: str, text_col: str,
         if hits:
             rows.append((int(r[id_col]), hits))
     return rows
+
+
+def kmeans_py(ids: np.ndarray, vecs: np.ndarray, k: int, n_iter: int = 4):
+    """Naive Lloyd's k-means on the ops/cluster.py SPEC: quantize to
+    round(x * 2^16) clipped to ±2^20 (the grid IS the spec, like a
+    RuleConfig threshold), init = the k smallest ids' vectors, assign
+    by squared L2 with first-min tie-break, update with EXACT integer
+    sums (empty cluster keeps its centroid). Per-point loops — no
+    shared code with the distributed implementation."""
+    q = np.clip(np.rint(vecs.astype(np.float64) * 65536.0), -1048576.0, 1048576.0)
+    q = q.astype(np.int64)
+    n, d = q.shape
+    order = np.argsort(ids, kind="stable")
+    mu = q[order[:k]].astype(np.float64) / 65536.0
+    x = q.astype(np.float64) / 65536.0
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iter):
+        for i in range(n):
+            dd = ((mu - x[i]) ** 2).sum(axis=1)
+            assign[i] = int(np.argmin(dd))
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for i in range(n):
+            sums[assign[i]] += q[i]
+            cnts[assign[i]] += 1
+        for c in range(k):
+            if cnts[c] > 0:
+                mu[c] = sums[c] / (cnts[c] * 65536.0)
+    for i in range(n):
+        dd = ((mu - x[i]) ** 2).sum(axis=1)
+        assign[i] = int(np.argmin(dd))
+    return assign, mu
+
+
+def semantic_dedup_py(ids: np.ndarray, vecs: np.ndarray, threshold: float = 0.95,
+                      k: int = 8, n_iter: int = 4) -> list[tuple[int, int]]:
+    """Naive SemDeDup: kmeans_py clusters, then per cluster a double
+    loop over id-sorted members collecting cosine pairs >= threshold
+    into a dict union-find; returns sorted (loser_id, kept_id)."""
+    assign, _ = kmeans_py(ids, vecs, k, n_iter)
+    q = np.clip(np.rint(vecs.astype(np.float64) * 65536.0), -1048576.0, 1048576.0)
+    out: list[tuple[int, int]] = []
+    for c in range(k):
+        members = np.flatnonzero(assign == c)
+        if len(members) < 2:
+            continue
+        mids = ids[members]
+        srt = np.argsort(mids, kind="stable")
+        mids = mids[srt]
+        xq = q[members][srt]
+        norms = np.sqrt((xq * xq).sum(axis=1))
+        norms[norms == 0] = 1.0
+        xn = xq / norms[:, None]
+        parent: dict = {}
+
+        def find(a):
+            while parent.get(a, a) != a:
+                a = parent.get(a, a)
+            return a
+
+        for i in range(len(mids)):
+            for j in range(i + 1, len(mids)):
+                if (xn[i] * xn[j]).sum() >= threshold:
+                    ra, rb = find(int(mids[i])), find(int(mids[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for m in mids:
+            r = find(int(m))
+            if r != int(m):
+                out.append((int(m), r))
+    return sorted(out)

@@ -1,0 +1,113 @@
+"""Tests for the integer-exact distributed k-means and SemDeDup-style
+semantic dedup (ops/cluster.py): oracle equality on synthetic data,
+partition invariance (the determinism claim), blob purity, and the
+max_cluster guard."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _emb_df(n=240, d=8, k_blobs=4, sep=6.0, seed=13):
+    """Well-separated Gaussian blobs with known membership."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k_blobs, d)) * sep
+    labels = np.arange(n) % k_blobs
+    vecs = centers[labels] + rng.standard_normal((n, d)) * 0.3
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(vecs.astype(np.float64)),
+            "blob": labels.astype(np.int64),
+        }
+    )
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df[["vec_id", "embedding"]], preserve_index=False)
+    ).repartition(n_parts)
+
+
+def test_kmeans_matches_oracle_and_partitioning(ray_session):
+    import ray
+
+    from rayqual import oracle_ops as oo
+    from rayqual.ops.cluster import kmeans
+
+    df = _emb_df()
+    vecs = np.stack(df["embedding"].to_numpy())
+    exp_assign, exp_mu = oo.kmeans_py(df["vec_id"].to_numpy(), vecs, k=4, n_iter=3)
+
+    outs = []
+    for parts in (1, 3, 7):
+        a, mu, counts = kmeans(_ds(ray, df, parts), "vec_id", "embedding", k=4, n_iter=3)
+        got = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        outs.append((got, mu, counts))
+        assert (got["cluster"].to_numpy() == exp_assign).all()
+        np.testing.assert_array_equal(mu, exp_mu)  # bit-exact, not approx
+    # partitioning cannot change anything, including counts
+    pd.testing.assert_frame_equal(outs[0][0], outs[2][0])
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+
+
+def test_kmeans_blob_purity(ray_session):
+    import ray
+
+    from rayqual.ops.cluster import kmeans
+
+    df = _emb_df(n=400, k_blobs=4)
+    a, _, counts = kmeans(_ds(ray, df), "vec_id", "embedding", k=4, n_iter=5)
+    got = a.to_pandas().merge(df[["vec_id", "blob"]], on="vec_id")
+    # with well-separated blobs every cluster maps 1:1 onto a blob
+    purity = (
+        got.groupby("cluster")["blob"].agg(lambda s: s.value_counts().iloc[0]).sum()
+        / len(got)
+    )
+    assert purity == 1.0
+    assert int(counts.sum()) == len(df)
+
+
+def test_semantic_dedup_matches_oracle(ray_session):
+    import ray
+
+    from rayqual import oracle_ops as oo
+    from rayqual.ops.cluster import semantic_dedup
+
+    df = _emb_df(n=300, d=8, k_blobs=3)
+    vecs = np.stack(df["embedding"].to_numpy())
+    # plant near-duplicates: ids 0/10/20 share a direction (tiny jitter)
+    base = vecs[0].copy()
+    for i, eps in ((10, 1e-4), (20, 2e-4)):
+        vecs[i] = base * (1.0 + eps)
+    df["embedding"] = list(vecs)
+
+    exp = oo.semantic_dedup_py(
+        df["vec_id"].to_numpy(), vecs, threshold=0.99, k=3, n_iter=3
+    )
+    assert len(exp) >= 2  # planted dups must register
+
+    for parts in (2, 6):
+        got = (
+            semantic_dedup(
+                _ds(ray, df, parts), "vec_id", "embedding",
+                threshold=0.99, k=3, n_iter=3,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, got.to_numpy())) == exp
+
+
+def test_semantic_dedup_max_cluster_guard(ray_session):
+    import ray
+
+    from rayqual.ops.cluster import semantic_dedup
+
+    df = _emb_df(n=60, k_blobs=1)
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(
+            _ds(ray, df, 2), "vec_id", "embedding", k=1, n_iter=1, max_cluster=10
+        ).to_pandas()

@@ -126,3 +126,53 @@ def test_benchmark_hashes_refuses_oversized(ray_session):
     bench = ray_session.data.from_pandas(df)
     with pytest.raises(ValueError, match="max_bench_hashes"):
         benchmark_hashes(bench, "text", max_bench_hashes=10)
+
+
+def test_embedding_decontam_vs_numpy(ray_session):
+    import ray
+
+    from rayqual.ops.decontam import embedding_decontam
+
+    rng = np.random.default_rng(21)
+    n, d = 200, 16
+    vecs = rng.standard_normal((n, d))
+    # plant leakage: corpus rows 7 and 33 duplicate eval rows
+    vecs[7] = vecs[0] * 2.0   # same direction as eval vec 0
+    vecs[33] = vecs[100]
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    is_eval = ids % 100 == 0
+
+    def ds_of(mask, parts=3):
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df[mask], preserve_index=False)
+        ).repartition(parts)
+
+    got = (
+        embedding_decontam(ds_of(~is_eval), ds_of(is_eval, 1), "vec_id", "embedding",
+                           threshold=0.8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    en = vecs[is_eval] / np.linalg.norm(vecs[is_eval], axis=1, keepdims=True)
+    cn = vecs[~is_eval] / np.linalg.norm(vecs[~is_eval], axis=1, keepdims=True)
+    hits = ((cn @ en.T) >= 0.8).sum(axis=1)
+    exp = pd.DataFrame({"vec_id": ids[~is_eval][hits > 0], "n_hits": hits[hits > 0]})
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True).astype(got.dtypes.to_dict()))
+    assert {7, 33} <= set(got["vec_id"])  # planted leaks caught
+
+
+def test_embedding_decontam_max_eval_guard(ray_session):
+    import pytest
+    import ray
+
+    from rayqual.ops.decontam import embedding_decontam
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(5, dtype=np.int64),
+         "embedding": list(np.eye(5))}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    with pytest.raises(ValueError, match="max_eval"):
+        embedding_decontam(ds, ds, "vec_id", "embedding", max_eval=2)

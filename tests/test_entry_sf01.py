@@ -42,6 +42,11 @@ SCALE_SENSITIVE = [
     "source_drift_docs",
     "len_percentile_docs",
     "snapshot_delta_docs",
+    # sha-hash membership at the larger id domain
+    "split_assign_docs",
+    "epoch_mix_docs",
+    "embed_decontam_embeddings",
+    "global_rank_docs",
 ]
 
 
@@ -50,7 +55,7 @@ def con01():
     if not os.path.isdir(SF01):  # pragma: no cover
         pytest.skip("sf0.1 testdata not present")
     con = duckdb.connect()
-    for t in ["events", "orders", "customer", "nation", "documents", "lineitem"]:
+    for t in ["events", "orders", "customer", "nation", "documents", "lineitem", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
     return con
 

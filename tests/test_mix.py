@@ -1,0 +1,80 @@
+"""Tests for weighted epoch mixing (ops/mix.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_parts)
+
+
+def _u(i: int) -> float:
+    return int(hashlib.sha256(str(i).encode()).hexdigest()[:4], 16) / 65536.0
+
+
+def test_epoch_mix_matches_python_and_partitioning(ray_session):
+    import ray
+
+    from rayqual.ops.mix import weighted_epoch_mix
+
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"g{i % 3}" for i in range(n)],
+        }
+    )
+    weights = {"g0": 2.25, "g1": 1.0, "g2": 0.4}
+    outs = []
+    for parts in (1, 5):
+        got = (
+            weighted_epoch_mix(_ds(ray, df, parts), "doc_id", "source", weights)
+            .to_pandas()
+            .sort_values(["doc_id", "rep"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # python ground truth: floor(w) + (u < frac(w)), rep = 1..n_rep
+    rows = []
+    for i in range(n):
+        w = weights[f"g{i % 3}"]
+        n_rep = int(w) + (1 if _u(i) < w - int(w) else 0)
+        for r in range(1, n_rep + 1):
+            rows.append((i, f"g{i % 3}", r))
+    exp = pd.DataFrame(rows, columns=["doc_id", "source", "rep"]).astype(
+        {"doc_id": "int64", "rep": "int64"}
+    )
+    pd.testing.assert_frame_equal(outs[0], exp)
+
+    # weight-1.0 group passes through exactly once; weight-0 default drops
+    g1 = outs[0][outs[0].source == "g1"]
+    assert len(g1) == 100 and (g1["rep"] == 1).all()
+
+
+def test_epoch_mix_unknown_group_default(ray_session):
+    import ray
+
+    from rayqual.ops.mix import weighted_epoch_mix
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "source": ["known"] * 5 + ["mystery"] * 5}
+    )
+    got = weighted_epoch_mix(
+        _ds(ray, df, 2), "doc_id", "source", {"known": 2.0}, default=0.0
+    ).to_pandas()
+    assert set(got["source"]) == {"known"}
+    assert len(got) == 10  # 5 rows x exactly 2 reps
+
+
+def test_expected_rows_helper():
+    from rayqual.ops.mix import expected_rows
+
+    assert expected_rows({"a": 100, "b": 50}, {"a": 2.5, "b": 0.5}) == 275.0
+    assert expected_rows({"a": 10, "z": 99}, {"a": 1.0}) == 10.0

@@ -1,0 +1,51 @@
+"""Tests for the range-partitioned global rank (ops/rank.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(ray, df, n_parts=4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_parts)
+
+
+def test_global_rank_matches_argsort(ray_session):
+    import ray
+
+    from rayqual.ops.rank import global_rank
+
+    rng = np.random.default_rng(17)
+    keys = rng.permutation(3000).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "id": np.arange(3000, dtype=np.int64)})
+    for parts in (1, 8):
+        got = (
+            global_rank(_ds(ray, df, parts), "k", carry_cols=("id",))
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp_rank = np.empty(3000, dtype=np.int64)
+        exp_rank[np.argsort(keys, kind="stable")] = np.arange(1, 3001)
+        assert (got["rank"].to_numpy() == exp_rank).all()
+    # ranks are a permutation of 1..n
+    assert sorted(got["rank"]) == list(range(1, 3001))
+
+
+def test_global_rank_skewed_keys(ray_session):
+    """Heavily repeated boundary-adjacent keys: ranks must still be a
+    permutation and order-consistent (ties get arbitrary but unique
+    positions, like SQL row_number)."""
+    import ray
+
+    from rayqual.ops.rank import global_rank
+
+    keys = np.concatenate(
+        [np.full(500, 7, dtype=np.int64), np.arange(100, dtype=np.int64)]
+    )
+    df = pd.DataFrame({"k": keys, "id": np.arange(len(keys), dtype=np.int64)})
+    got = global_rank(_ds(ray, df, 6), "k", carry_cols=("id",)).to_pandas()
+    assert sorted(got["rank"]) == list(range(1, len(keys) + 1))
+    merged = got.sort_values("rank")
+    assert (np.diff(merged["k"].to_numpy()) >= 0).all()  # rank respects key order

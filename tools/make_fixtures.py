@@ -119,6 +119,21 @@ def main():
     write_fixture("lsh_embed_neardup_docs", exp,
                   pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
 
+    # --- integer-exact k-means + semantic dedup ---
+    assign, _mu = oo.kmeans_py(emb_ids, emb_vecs, k=8, n_iter=4)
+    exp = pd.DataFrame({"vec_id": pd.Series(emb_ids, dtype="int64"),
+                        "cluster": pd.Series(assign, dtype="int64")})
+    check_equal("kmeans_embeddings", m.q_kmeans_embeddings(SF), exp)
+    write_fixture("kmeans_embeddings", exp,
+                  pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]))
+
+    pairs = oo.semantic_dedup_py(emb_ids, inj, threshold=0.95, k=8)
+    exp = pd.DataFrame({"vec_id": pd.Series([a for a, _ in pairs], dtype="int64"),
+                        "kept_id": pd.Series([b for _, b in pairs], dtype="int64")})
+    check_equal("semantic_dedup_embeddings", m.q_semantic_dedup_embeddings(SF), exp)
+    write_fixture("semantic_dedup_embeddings", exp,
+                  pa.schema([("vec_id", pa.int64()), ("kept_id", pa.int64())]))
+
     # --- LSH / IVF top-k (queries = vec_id < 3 in file order) ---
     qmask = emb_ids < 3
     queries = emb_vecs[qmask]
