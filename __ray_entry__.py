@@ -1449,6 +1449,44 @@ def q_embed_decontam_embeddings(sf_dir: str, threshold: float = 0.3):
     return _typed(out, {"vec_id": "int64", "n_hits": "int64"})
 
 
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel depth per user (ops/funnel.py): view → click →
+    purchase, each step strictly after the previous step's first
+    completion and within a 24-hour conversion window. Input
+    filtered + projected to (user, ts, step) before the single
+    bucketed exchange; per-bucket vectorized masked segmented mins
+    (one np.minimum.at per step, no per-user Python)."""
+    import ray.data
+
+    from rayqual.ops.funnel import funnel_depth
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_depth(ds, "user_id", "ts", "event_type",
+                       ["view", "click", "purchase"],
+                       max_gap_us=24 * 3600 * 1_000_000)
+    return _typed(out, {"user_id": "int64", "depth": "int64"})
+
+
+def q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) in one pass over the data
+    (ops/agg.py:rollup_counts): only the finest groupby touches the
+    input; the per-source and grand-total levels re-aggregate the tiny
+    intermediate. The multi-resolution corpus report."""
+    from rayqual.ops.agg import rollup_counts
+
+    out = rollup_counts(
+        _docs(sf_dir).select_columns(["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        sum_cols=["n_chars"],
+    )
+    return _typed(
+        out,
+        {"source": "object", "lang": "object", "n_rows": "int64", "n_chars": "int64"},
+    )
+
+
 def q_global_rank_docs(sf_dir: str):
     """Global row_number by a derived unique key WITHOUT a global sort
     (ops/rank.py — the TeraSort rank shape): deterministic hash-sampled
@@ -1872,6 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_mix_docs": q_epoch_mix_docs,
         "embed_decontam_embeddings": q_embed_decontam_embeddings,
         "global_rank_docs": q_global_rank_docs,
+        "rollup_docs": q_rollup_docs,
+        "funnel_events": q_funnel_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -2409,6 +2449,34 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "funnel_events": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+              WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS depth
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
+        "rollup_docs": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "global_rank_docs": """
             SELECT doc_id, n_chars,

@@ -120,7 +120,8 @@ def run_queries(sf_dir: str) -> dict:
         "len_quantiles_by_source",
         "snapshot_delta_docs", "split_assign_docs", "epoch_mix_docs",
         "kmeans_embeddings", "semantic_dedup_embeddings",
-        "embed_decontam_embeddings", "global_rank_docs",
+        "embed_decontam_embeddings", "global_rank_docs", "rollup_docs",
+        "funnel_events",
     ]
     qs = entrymod.queries()
     out = {}

@@ -92,3 +92,78 @@ def grouped_mode(ds, key: str, value_col: str, n_buckets: int = 32):
         .groupby("_bucket")
         .map_groups(argmax_bucket, batch_format="pandas")
     )
+
+
+def rollup_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
+    """GROUP BY ROLLUP(keys): one row per prefix level of ``keys``
+    (finest → grand total), rolled columns NULL — the multi-resolution
+    corpus report (per source+lang, per source, overall) in ONE pass
+    over the data.
+
+    Scale shape: only the FINEST groupby touches the input (block
+    pre-combined); every coarser level re-aggregates the previous
+    level's already-tiny result (at most keys-cardinality rows), so the
+    wide data is read exactly once no matter how many levels roll up.
+
+    Returns one Dataset with columns keys + n_rows + sum_cols; level L
+    has keys[L:] NULL. Key columns must be strings (cast upstream) so
+    the NULL fill unions type-cleanly across levels."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count, Sum
+
+    sum_cols = sum_cols or []
+
+    def null_fill(level: int):
+        """Append NULL columns for the rolled-up keys of this level."""
+
+        def f(b: pa.Table) -> pa.Table:
+            cols = {}
+            for i, k in enumerate(keys):
+                cols[k] = (
+                    b.column(k)
+                    if i < level
+                    else pa.nulls(len(b), type=pa.string())
+                )
+            cols["n_rows"] = b.column("n_rows")
+            for c in sum_cols:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+
+        return f
+
+    finest = ds.groupby(keys).aggregate(
+        Count(alias_name="n_rows"), *[Sum(c, alias_name=c) for c in sum_cols]
+    )
+    levels = [finest.map_batches(null_fill(len(keys)), batch_format="pyarrow")]
+    prev = finest
+    for level in range(len(keys) - 1, 0, -1):
+        prev = prev.groupby(keys[:level]).aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            *[Sum(c, alias_name=c) for c in sum_cols],
+        )
+        levels.append(prev.map_batches(null_fill(level), batch_format="pyarrow"))
+
+    # grand total: aggregate the level-1 table (tiny) to one row
+    def total(b: pa.Table) -> pa.Table:
+        cols = {k: pa.nulls(1, type=pa.string()) for k in keys}
+        cols["n_rows"] = pa.array(
+            [int(np.sum(b.column("n_rows").to_numpy(zero_copy_only=False)))]
+        )
+        for c in sum_cols:
+            cols[c] = pa.array(
+                [int(np.sum(b.column(c).to_numpy(zero_copy_only=False)))]
+            )
+        return pa.table(cols)
+
+    # batch_size=None: the single repartitioned block must arrive whole
+    grand = prev.repartition(1).map_batches(
+        total, batch_format="pyarrow", batch_size=None
+    )
+    levels.append(grand)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -1,0 +1,92 @@
+"""Ordered-funnel analysis over an event stream: how deep into the
+step sequence (e.g. view → click → purchase) each user got, where each
+step must STRICTLY follow the previous step's first completion time —
+the classic product-analytics query, and a stand-in for any ordered
+sequence-detection pass over a keyed event log.
+
+Semantics (mirrors the SQL chain of min-joins): t1 = min ts of step-1
+events; t_{s+1} = min ts of step-(s+1) events with ts > t_s. A user's
+depth is the number of chained steps completed; only users who
+completed step 1 appear.
+
+Scale shape: the input is filtered to funnel event types and projected
+to (user, ts, step) BEFORE the only exchange (a hash-bucket groupby on
+user); each bucket runs one vectorized pass per step — factorize the
+users once, then per step a masked ``np.minimum.at`` segmented min
+against the previous step's per-user threshold. Python dispatch is per
+BUCKET (bounded), never per user.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def funnel_depth(
+    ds,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_gap_us: int | None = None,
+    n_buckets: int = 32,
+):
+    """Dataset → Dataset(user_col, depth): depth = number of funnel
+    steps completed in strict time order (1..len(steps)); users who
+    never completed step 1 are omitted. ``max_gap_us`` additionally
+    requires each later step within that many microseconds of the
+    previous step's first completion (the conversion window)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def project(b: pa.Table) -> pa.Table:
+        types = b.column(type_col).to_numpy(zero_copy_only=False)
+        sidx = np.full(len(types), -1, dtype=np.int64)
+        for s, i in step_idx.items():  # len(steps) vectorized compares, not per-row
+            sidx[types == s] = i
+        keep = sidx >= 0
+        users = b.column(user_col).to_numpy(zero_copy_only=False)[keep]
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False)[keep]
+        kb = (bucket_hash(users) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                user_col: pa.array(users),
+                "_ts": pa.array(ts.astype("datetime64[us]")),
+                "_s": pa.array(sidx[keep]),
+                "_bucket": pa.array(kb),
+            }
+        )
+
+    def depth_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = g[user_col].to_numpy()
+        ts = g["_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        sidx = g["_s"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(users, sort=False)
+        n_u = len(uniques)
+        INF = np.iinfo(np.int64).max
+        t_prev = np.full(n_u, -1, dtype=np.int64)  # step-0 threshold: -inf
+        depth = np.zeros(n_u, dtype=np.int64)
+        for s in range(n_steps):
+            cur = np.full(n_u, INF, dtype=np.int64)
+            m = (sidx == s) & (ts > t_prev[codes]) & (t_prev[codes] != INF)
+            if max_gap_us is not None and s > 0:
+                m &= ts <= t_prev[codes] + max_gap_us
+            np.minimum.at(cur, codes[m], ts[m])
+            done = cur != INF
+            depth[done] += 1
+            t_prev = cur
+        keep = depth > 0
+        return pd.DataFrame({user_col: uniques[keep], "depth": depth[keep]})
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(depth_bucket, batch_format="pandas")
+    )

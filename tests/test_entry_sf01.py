@@ -47,6 +47,8 @@ SCALE_SENSITIVE = [
     "epoch_mix_docs",
     "embed_decontam_embeddings",
     "global_rank_docs",
+    "rollup_docs",
+    "funnel_events",
 ]
 
 

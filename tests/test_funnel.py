@@ -1,0 +1,75 @@
+"""Tests for ordered-funnel depth (ops/funnel.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ev(user, minute, etype):
+    return (user, np.datetime64("2024-01-01T00:00:00") + np.timedelta64(minute, "m"), etype)
+
+
+def test_funnel_depth_semantics(ray_session):
+    import ray
+
+    from rayqual.ops.funnel import funnel_depth
+
+    rows = [
+        # u1: clean A->B->C
+        _ev(1, 0, "A"), _ev(1, 5, "B"), _ev(1, 9, "C"),
+        # u2: B before A doesn't count; no B after A -> depth 1
+        _ev(2, 0, "B"), _ev(2, 3, "A"), _ev(2, 3, "B"),  # same-ts B not strictly after
+        # u3: A then B inside window, C outside the 10-min gap -> depth 2
+        _ev(3, 0, "A"), _ev(3, 4, "B"), _ev(3, 30, "C"),
+        # u4: never does A -> omitted
+        _ev(4, 1, "B"), _ev(4, 2, "C"),
+        # u5: min(B after A) chains; the EARLIER qualifying B defines t2
+        _ev(5, 0, "A"), _ev(5, 2, "B"), _ev(5, 8, "B"), _ev(5, 7, "C"),
+        # noise types are ignored
+        _ev(1, 1, "Z"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(3)
+    got = (
+        funnel_depth(ds, "user_id", "ts", "event_type", ["A", "B", "C"],
+                     max_gap_us=10 * 60 * 1_000_000)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"user_id": [1, 2, 3, 5], "depth": [3, 1, 2, 3]}
+    ).astype({"user_id": df.user_id.dtype, "depth": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_funnel_partition_invariant(ray_session):
+    import ray
+
+    from rayqual.ops.funnel import funnel_depth
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n),
+            "ts": np.datetime64("2024-01-01") + rng.integers(0, 10**9, n).astype("timedelta64[s]"),
+            "event_type": rng.choice(["A", "B", "C", "noise"], n),
+        }
+    )
+    outs = []
+    for parts in (1, 8):
+        out = (
+            funnel_depth(
+                ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(parts),
+                "user_id", "ts", "event_type", ["A", "B", "C"],
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert set(outs[0]["depth"]) <= {1, 2, 3} and len(outs[0]) > 0

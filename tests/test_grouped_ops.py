@@ -238,3 +238,42 @@ def test_grouped_mode_tiebreak(ray_session):
     # 'b': clear winner 'x' with 2
     assert got.loc[got.k == "b", "v"].iloc[0] == "x"
     assert int(got.loc[got.k == "b", "cnt"].iloc[0]) == 2
+
+
+def test_rollup_counts_three_levels(ray_session):
+    import ray
+
+    from rayqual.ops.agg import rollup_counts
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 300),
+            "b": rng.choice(["p", "q", "r"], 300),
+            "v": rng.integers(0, 100, 300).astype(np.int64),
+        }
+    )
+    got = (
+        rollup_counts(_ds(ray, df, 5), ["a", "b"], sum_cols=["v"])
+        .to_pandas()
+        .fillna("∅")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # level sizes: fine (<=6) + per-a (2) + grand (1)
+    fine = df.groupby(["a", "b"]).agg(n_rows=("v", "size"), v=("v", "sum")).reset_index()
+    assert len(got) == len(fine) + 2 + 1
+    # grand total row
+    g = got[(got.a == "∅") & (got.b == "∅")]
+    assert int(g["n_rows"].iloc[0]) == 300 and int(g["v"].iloc[0]) == int(df.v.sum())
+    # a-level rows roll the b column
+    ga = got[(got.a != "∅") & (got.b == "∅")].set_index("a")
+    exp_a = df.groupby("a")["v"].sum()
+    for a in ("x", "y"):
+        assert int(ga.loc[a, "v"]) == int(exp_a[a])
+    # fine level equals pandas
+    gf = got[(got.b != "∅")].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gf[["a", "b", "n_rows", "v"]].astype({"n_rows": "int64", "v": "int64"}),
+        fine.sort_values(["a", "b"]).reset_index(drop=True).astype({"n_rows": "int64", "v": "int64"}),
+    )
