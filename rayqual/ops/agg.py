@@ -133,15 +133,24 @@ def rollup_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
 
         return f
 
-    finest = ds.groupby(keys).aggregate(
-        Count(alias_name="n_rows"), *[Sum(c, alias_name=c) for c in sum_cols]
+    # materialize each (tiny) aggregate level: every level feeds TWO
+    # consumers (its own null-filled branch + the next coarser level),
+    # and lazy lineage would re-execute the full input scan per branch
+    finest = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="n_rows"), *[Sum(c, alias_name=c) for c in sum_cols])
+        .materialize()
     )
     levels = [finest.map_batches(null_fill(len(keys)), batch_format="pyarrow")]
     prev = finest
     for level in range(len(keys) - 1, 0, -1):
-        prev = prev.groupby(keys[:level]).aggregate(
-            Sum("n_rows", alias_name="n_rows"),
-            *[Sum(c, alias_name=c) for c in sum_cols],
+        prev = (
+            prev.groupby(keys[:level])
+            .aggregate(
+                Sum("n_rows", alias_name="n_rows"),
+                *[Sum(c, alias_name=c) for c in sum_cols],
+            )
+            .materialize()
         )
         levels.append(prev.map_batches(null_fill(level), batch_format="pyarrow"))
 
