@@ -1449,6 +1449,73 @@ def q_embed_decontam_embeddings(sf_dir: str, threshold: float = 0.3):
     return _typed(out, {"vec_id": "int64", "n_hits": "int64"})
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass per-column table profile (ops/profile.py): counts,
+    null counts, min/max per column — numeric columns as values,
+    string columns as UTF-8 lengths, timestamps as epoch micros. Each
+    batch emits one fixed-size partial row per column; only those
+    sketch rows enter the (tiny) exchange."""
+    import ray.data
+
+    from rayqual.ops.profile import profile_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = profile_table(
+        ds,
+        {
+            "event_id": "numeric",
+            "user_id": "numeric",
+            "value": "numeric",
+            "event_type": "string",
+            "props": "string",
+            "ts": "timestamp",
+        },
+    )
+    return _typed(
+        out,
+        {"col_name": "object", "n_rows": "int64", "n_null": "int64",
+         "min_v": "float64", "max_v": "float64"},
+    )
+
+
+def q_orphan_lineitems(sf_dir: str):
+    """Referential-integrity check (orphan foreign keys) — lineitem
+    rows whose l_orderkey has no parent in the orders snapshot
+    (parents with o_orderkey % 7 == 0 dropped to make the check
+    non-vacuous). ops/bloom.py anti-join: bloom misses skip the exact
+    probe; the fact table never shuffles; the per-key rollup exchanges
+    pre-combined (key, count) rows only."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rayqual.ops.bloom import bloom_semijoin
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def parents(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(keys[keys % 7 != 0])})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(parents, batch_format="pyarrow")
+    orphans = bloom_semijoin(lineitem, orders, "l_orderkey", "o_orderkey", anti=True)
+    out = orphans.groupby("l_orderkey").aggregate(Count(alias_name="n_lines"))
+
+    def to64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "n_lines": b.column("n_lines").cast(pa.int64())}
+        )
+
+    return _typed(
+        out.map_batches(to64, batch_format="pyarrow"),
+        {"l_orderkey": "int64", "n_lines": "int64"},
+    )
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered funnel depth per user (ops/funnel.py): view → click →
     purchase, each step strictly after the previous step's first
@@ -1912,6 +1979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_docs": q_global_rank_docs,
         "rollup_docs": q_rollup_docs,
         "funnel_events": q_funnel_events,
+        "profile_events": q_profile_events,
+        "orphan_lineitems": q_orphan_lineitems,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -2449,6 +2518,46 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+                   CAST(min(event_id) AS DOUBLE) AS min_v,
+                   CAST(max(event_id) AS DOUBLE) AS max_v FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   CAST(min(length(event_type)) AS DOUBLE),
+                   CAST(max(length(event_type)) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'props', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(props) AS BIGINT),
+                   CAST(min(length(props)) AS DOUBLE),
+                   CAST(max(length(props)) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT),
+                   CAST(min(epoch_us(ts)) AS DOUBLE),
+                   CAST(max(epoch_us(ts)) AS DOUBLE) FROM events
+        """,
+        "orphan_lineitems": """
+            SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            LEFT JOIN (SELECT o_orderkey FROM orders
+                       WHERE o_orderkey % 7 <> 0) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+            GROUP BY l.l_orderkey
         """,
         "funnel_events": """
             WITH s1 AS (

@@ -121,7 +121,7 @@ def run_queries(sf_dir: str) -> dict:
         "snapshot_delta_docs", "split_assign_docs", "epoch_mix_docs",
         "kmeans_embeddings", "semantic_dedup_embeddings",
         "embed_decontam_embeddings", "global_rank_docs", "rollup_docs",
-        "funnel_events",
+        "funnel_events", "profile_events", "orphan_lineitems",
     ]
     qs = entrymod.queries()
     out = {}

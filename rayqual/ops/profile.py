@@ -1,0 +1,99 @@
+"""One-pass table profiling — the per-column summary a data-quality
+run opens with (generalizes the reference's per-column validation to a
+whole-table statistical profile; reference checks one rule per column,
+this computes the profile every rule author needs first).
+
+One streaming pass: each batch emits ONE partial row per profiled
+column (count, null count, min, max) — a fixed-size sketch — and a
+column-keyed groupby of those partials (at most n_columns × n_batches
+rows, block pre-combined) produces the profile. The wide table is
+never shuffled and never read twice.
+
+Value domain per column kind (keeps min/max engine-comparable without
+cross-engine string formatting):
+  numeric   — the value as float64
+  string    — the UTF-8 length (profile of sizes, not lexicographic)
+  timestamp — epoch microseconds as float64
+Columns that are entirely NULL profile to min/max NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _col_values(b: pa.Table, col: str, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """(values float64 with NaN for null, null mask)."""
+    c = b.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    null = pc.is_null(c).to_numpy(zero_copy_only=False)
+    if kind == "string":
+        v = pc.utf8_length(c).cast(pa.float64())
+    elif kind == "timestamp":
+        v = pc.cast(pc.cast(c, pa.int64()), pa.float64())
+    else:
+        v = pc.cast(c, pa.float64())
+    vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals, null
+
+
+def profile_table(ds, spec: dict[str, str]):
+    """``spec``: column -> kind ('numeric' | 'string' | 'timestamp').
+    Returns Dataset(col_name, n_rows, n_null, min_v, max_v)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = list(spec.items())
+
+    def partials(b: pa.Table) -> pa.Table:
+        names, n_rows, n_null, mn, mx = [], [], [], [], []
+        for col, kind in cols:
+            vals, null = _col_values(b, col, kind)
+            ok = vals[~null]
+            names.append(col)
+            n_rows.append(len(vals))
+            n_null.append(int(null.sum()))
+            mn.append(float(ok.min()) if len(ok) else np.inf)
+            mx.append(float(ok.max()) if len(ok) else -np.inf)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(np.array(n_rows, dtype=np.int64)),
+                "n_null": pa.array(np.array(n_null, dtype=np.int64)),
+                "min_v": pa.array(np.array(mn, dtype=np.float64)),
+                "max_v": pa.array(np.array(mx, dtype=np.float64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mn = b.column("min_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = b.column("max_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "col_name": b.column("col_name"),
+                "n_rows": b.column("n_rows").cast(pa.int64()),
+                "n_null": b.column("n_null").cast(pa.int64()),
+                # all-NULL columns carry the ±inf sentinels -> NULL
+                "min_v": pa.array(np.where(np.isfinite(mn), mn, np.nan)),
+                "max_v": pa.array(np.where(np.isfinite(mx), mx, np.nan)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -49,6 +49,8 @@ SCALE_SENSITIVE = [
     "global_rank_docs",
     "rollup_docs",
     "funnel_events",
+    "profile_events",
+    "orphan_lineitems",
 ]
 
 

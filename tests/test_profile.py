@@ -1,0 +1,49 @@
+"""Tests for one-pass table profiling (ops/profile.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_profile_table_vs_pandas(ray_session):
+    import ray
+
+    from rayqual.ops.profile import profile_table
+
+    df = pd.DataFrame(
+        {
+            "a": [1.5, -2.0, None, 7.25, 0.0, None],
+            "s": ["xx", None, "", "abcdef", "q", "qq"],
+            "b": pd.Series([None] * 6, dtype="float64"),  # all-null column
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    got = (
+        profile_table(ds, {"a": "numeric", "s": "string", "b": "numeric"})
+        .to_pandas()
+        .set_index("col_name")
+        .sort_index()
+    )
+    assert (got["n_rows"] == 6).all()
+    assert got.loc["a", "n_null"] == 2
+    assert got.loc["a", "min_v"] == -2.0 and got.loc["a", "max_v"] == 7.25
+    assert got.loc["s", "n_null"] == 1
+    assert got.loc["s", "min_v"] == 0.0 and got.loc["s", "max_v"] == 6.0
+    # all-null column: counts exact, min/max NULL (sentinels stripped)
+    assert got.loc["b", "n_null"] == 6
+    assert np.isnan(got.loc["b", "min_v"]) and np.isnan(got.loc["b", "max_v"])
+
+
+def test_profile_partition_invariant(ray_session):
+    import ray
+
+    from rayqual.ops.profile import profile_table
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"x": rng.standard_normal(500)})
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(parts)
+        outs.append(profile_table(ds, {"x": "numeric"}).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["min_v"].iloc[0] == df.x.min()
