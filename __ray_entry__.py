@@ -1562,8 +1562,10 @@ def q_global_rank_docs(sf_dir: str):
     from rayqual.ops.rank import global_rank
 
     def keyed(b: pa.Table) -> pa.Table:
+        # 2^33 multiplier keeps the key injective to 8.6e9 docs (the
+        # op requires unique keys; 1e6 would collide at sf >= 200)
         sk = pc.add(
-            pc.multiply(b.column("n_chars"), pa.scalar(1_000_000, pa.int64())),
+            pc.multiply(b.column("n_chars"), pa.scalar(1 << 33, pa.int64())),
             b.column("doc_id"),
         )
         return pa.table(
@@ -1589,7 +1591,9 @@ def q_epoch_mix_docs(sf_dir: str):
     the identical expansion in SQL). Zero shuffle."""
     from rayqual.ops.mix import weighted_epoch_mix
 
-    weights = {f"src{i}": (2.5, 1.25, 0.5, 0.0)[i % 4] for i in range(200)}
+    # cover any plausible source cardinality so the dict rule and the
+    # oracle's CASE-on-source-number rule can never diverge
+    weights = {f"src{i}": (2.5, 1.25, 0.5, 0.0)[i % 4] for i in range(20_000)}
     out = weighted_epoch_mix(
         _docs(sf_dir).select_columns(["doc_id", "source"]),
         "doc_id",
@@ -2590,7 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank_docs": """
             SELECT doc_id, n_chars,
                    CAST(row_number() OVER (
-                        ORDER BY n_chars * 1000000 + doc_id) AS BIGINT) AS rank
+                        ORDER BY n_chars * 8589934592 + doc_id) AS BIGINT) AS rank
             FROM documents
         """,
         "embed_decontam_embeddings": """

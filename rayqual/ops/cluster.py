@@ -185,8 +185,10 @@ def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4):
     _stw()
     import ray
 
+    from ray.data.aggregate import Count
+
     qds = quantized_dataset(ds, id_col, vec_col).materialize()
-    mu, counts = _kmeans_qds(qds, id_col, k, n_iter)
+    mu, _ = _kmeans_qds(qds, id_col, k, n_iter)
     ref = ray.put(mu)
 
     def label(b: pa.Table) -> pa.Table:
@@ -196,7 +198,13 @@ def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4):
         a = _assign(_xq_matrix(b), m)
         return pa.table({id_col: b.column(id_col), "cluster": pa.array(a)})
 
-    return qds.map_batches(label, batch_format="pyarrow"), mu, counts
+    assignments = qds.map_batches(label, batch_format="pyarrow").materialize()
+    # counts must reflect the FINAL assignments (the last Lloyd E-step's
+    # counts predate the final centroid update and can disagree)
+    cdf = assignments.groupby("cluster").aggregate(Count(alias_name="n")).to_pandas()
+    counts = np.zeros(k, dtype=np.int64)
+    counts[cdf["cluster"].to_numpy(dtype=np.int64)] = cdf["n"].to_numpy(dtype=np.int64)
+    return assignments, mu, counts
 
 
 def semantic_dedup(

@@ -203,9 +203,12 @@ def embedding_decontam(
     _stw()
     import ray
 
+    # count BEFORE collecting — the guard must fire without first
+    # materializing an oversized eval set on the driver
+    n_eval = eval_ds.count()
+    if n_eval > max_eval:
+        raise ValueError(f"eval set of {n_eval} rows exceeds max_eval={max_eval}")
     ev = eval_ds.to_pandas()
-    if len(ev) > max_eval:
-        raise ValueError(f"eval set of {len(ev)} rows exceeds max_eval={max_eval}")
     em = np.stack(ev[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((em * em).sum(axis=1))
     norms[norms == 0] = 1.0

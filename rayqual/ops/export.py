@@ -81,6 +81,50 @@ def assign_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def hash_sample_boundaries(
+    ds,
+    key_col: str,
+    n_partitions: int,
+    target_sample: int,
+    total: int | None = None,
+) -> np.ndarray:
+    """Deterministic range boundaries for ``key_col``: sample = "keys
+    whose splitmix/siphash value ≡ 0 (mod rate)" — a pure function of
+    the key multiset (no RNG, invariant to partitioning/scheduling) —
+    then the sample's n_partitions-quantile keys. Shared by
+    range_partitioned_export and ops/rank.global_rank."""
+    if total is None:
+        total = ds.count()
+    rate = max(1, total // target_sample)
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.drop_null()
+        vals = arr.to_numpy(zero_copy_only=False)
+        keep = bucket_hash(vals) % np.uint64(rate) == 0
+        return pa.table({"k": arr.filter(pa.array(keep))})
+
+    sampled = np.sort(
+        np.concatenate(
+            [
+                t.column("k").to_numpy(zero_copy_only=False)
+                for t in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                if len(t)
+            ]
+            or [np.array([])]
+        )
+    )
+    if len(sampled) == 0:
+        return np.array([])
+    qs = np.arange(1, n_partitions) / n_partitions
+    idx = np.minimum((qs * len(sampled)).astype(np.int64), len(sampled) - 1)
+    return np.unique(sampled[idx])
+
+
 def range_partitioned_export(
     ds,
     out_dir: str,
@@ -112,38 +156,9 @@ def range_partitioned_export(
     _stw()
     import pyarrow.compute as pc
 
-    total = ds.count()
     if target_sample is None:
         target_sample = max(200 * n_partitions, 2000)
-    rate = max(1, total // target_sample)
-
-    def sample(b: pa.Table) -> pa.Table:
-        col = b.column(key_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        arr = col.drop_null()
-        vals = arr.to_numpy(zero_copy_only=False)
-        keep = bucket_hash(vals) % np.uint64(rate) == 0
-        return pa.table({"k": arr.filter(pa.array(keep))})
-
-    sampled = np.sort(
-        np.concatenate(
-            [
-                t.column("k").to_numpy(zero_copy_only=False)
-                for t in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"
-                )
-                if len(t)
-            ]
-            or [np.array([])]
-        )
-    )
-    if len(sampled) == 0:
-        boundaries = np.array([])
-    else:
-        qs = np.arange(1, n_partitions) / n_partitions
-        idx = np.minimum((qs * len(sampled)).astype(np.int64), len(sampled) - 1)
-        boundaries = np.unique(sampled[idx])
+    boundaries = hash_sample_boundaries(ds, key_col, n_partitions, target_sample)
 
     def route(b: pa.Table) -> pa.Table:
         col = b.column(key_col)

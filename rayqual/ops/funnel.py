@@ -71,7 +71,8 @@ def funnel_depth(
         codes, uniques = pd.factorize(users, sort=False)
         n_u = len(uniques)
         INF = np.iinfo(np.int64).max
-        t_prev = np.full(n_u, -1, dtype=np.int64)  # step-0 threshold: -inf
+        # true -inf: pre-epoch (negative-µs) step-1 events must qualify
+        t_prev = np.full(n_u, np.iinfo(np.int64).min, dtype=np.int64)
         depth = np.zeros(n_u, dtype=np.int64)
         for s in range(n_steps):
             cur = np.full(n_u, INF, dtype=np.int64)

@@ -34,7 +34,9 @@ def _col_values(b: pa.Table, col: str, kind: str) -> tuple[np.ndarray, np.ndarra
     if kind == "string":
         v = pc.utf8_length(c).cast(pa.float64())
     elif kind == "timestamp":
-        v = pc.cast(pc.cast(c, pa.int64()), pa.float64())
+        # normalize to µs first: a timestamp[ns]/[s] column would
+        # otherwise profile in its native unit, not the documented one
+        v = pc.cast(pc.cast(pc.cast(c, pa.timestamp("us")), pa.int64()), pa.float64())
     else:
         v = pc.cast(c, pa.float64())
     vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -90,9 +92,10 @@ def profile_table(ds, spec: dict[str, str]):
                 "col_name": b.column("col_name"),
                 "n_rows": b.column("n_rows").cast(pa.int64()),
                 "n_null": b.column("n_null").cast(pa.int64()),
-                # all-NULL columns carry the ±inf sentinels -> NULL
-                "min_v": pa.array(np.where(np.isfinite(mn), mn, np.nan)),
-                "max_v": pa.array(np.where(np.isfinite(mx), mx, np.nan)),
+                # all-NULL columns carry the ±inf sentinels -> real
+                # Arrow NULLs (validity mask), not NaN payloads
+                "min_v": pa.array(mn, mask=~np.isfinite(mn)),
+                "max_v": pa.array(mx, mask=~np.isfinite(mx)),
             }
         )
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from rayqual.functions.hashing import bucket_hash
 
 
 def global_rank(
@@ -42,37 +41,15 @@ def global_rank(
     import ray
     from ray.data.aggregate import Count
 
-    proj = ds.select_columns([key_col, *carry_cols])
+    from rayqual.ops.export import hash_sample_boundaries
+
+    # materialize the narrow projection ONCE: count, boundary sample and
+    # route would otherwise each re-execute the full upstream lineage
+    proj = ds.select_columns([key_col, *carry_cols]).materialize()
     total = proj.count()
-    rate = max(1, total // target_sample)
-
-    def sample(b: pa.Table) -> pa.Table:
-        col = b.column(key_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        arr = col.drop_null()
-        vals = arr.to_numpy(zero_copy_only=False)
-        keep = bucket_hash(vals) % np.uint64(rate) == 0
-        return pa.table({"k": arr.filter(pa.array(keep))})
-
-    sampled = np.sort(
-        np.concatenate(
-            [
-                t.column("k").to_numpy(zero_copy_only=False)
-                for t in proj.map_batches(sample, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"
-                )
-                if len(t)
-            ]
-            or [np.array([])]
-        )
+    boundaries = hash_sample_boundaries(
+        proj, key_col, n_partitions, target_sample, total=total
     )
-    if len(sampled) == 0:
-        boundaries = np.array([])
-    else:
-        qs = np.arange(1, n_partitions) / n_partitions
-        idx = np.minimum((qs * len(sampled)).astype(np.int64), len(sampled) - 1)
-        boundaries = np.unique(sampled[idx])
 
     def route(b: pa.Table) -> pa.Table:
         vals = b.column(key_col).to_numpy(zero_copy_only=False)
