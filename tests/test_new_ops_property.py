@@ -1,0 +1,96 @@
+"""Property-based tests for the round-3 helper kernels: the hex-prefix
+hash, the packing cumsum kernel, and the drift integer numerator —
+pure functions tested against direct Python transliterations on
+arbitrary inputs (no Ray session needed)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rayqual.functions.hashing import hex_prefix16
+from rayqual.ops.packing import _pack_kernel
+
+hexdigits = "0123456789abcdefABCDEF"
+
+
+@given(st.lists(st.text(alphabet=hexdigits, min_size=4, max_size=64), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_hex_prefix16_matches_int_parse(strs):
+    got = hex_prefix16(np.array(strs, dtype=object))
+    exp = np.array([int(s[:4], 16) for s in strs], dtype=np.int64)
+    assert (got == exp).all()
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100, deadline=None)
+def test_hex_prefix16_of_sha_matches_python(i):
+    h = hashlib.sha256(str(i).encode()).hexdigest()
+    assert int(hex_prefix16(np.array([h], dtype=object))[0]) == int(h[:4], 16)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # group
+            st.integers(min_value=0, max_value=10**6),  # order key
+            st.integers(min_value=0, max_value=500),    # n_tok
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=64),  # seq_len
+)
+@settings(max_examples=150, deadline=None)
+def test_pack_kernel_matches_naive(rows, seq_len):
+    df = pd.DataFrame(rows, columns=["g", "o", "t"])
+    df["o"] = df["o"].astype(np.int64)
+    df["t"] = df["t"].astype(np.int64)
+    # order keys must be unique within a group for a defined scan order
+    df = df.drop_duplicates(["g", "o"]).reset_index(drop=True)
+    got = _pack_kernel(df, "g", "o", "t", seq_len)
+
+    # naive per-group walk
+    exp_rows = {}
+    for g, grp in df.sort_values(["g", "o"]).groupby("g", sort=False):
+        off = 0
+        for _, r in grp.iterrows():
+            if r["t"] > 0:
+                first = off // seq_len
+                last = (off + r["t"] - 1) // seq_len
+                exp_rows[(g, int(r["o"]))] = (off, first, last - first + 1)
+            off += int(r["t"])
+
+    assert len(got) == len(exp_rows)
+    for _, r in got.iterrows():
+        ts, sid, ns = exp_rows[(r["g"], int(r["o"]))]
+        assert (int(r["tok_start"]), int(r["seq_id"]), int(r["n_seqs"])) == (ts, sid, ns)
+
+
+@given(
+    st.lists(st.tuples(st.sampled_from("xy"), st.sampled_from("pqr")), min_size=1, max_size=40),
+    st.lists(st.tuples(st.sampled_from("xy"), st.sampled_from("pqr")), min_size=1, max_size=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_drift_kernel_tvd_identities(old, new):
+    """drift_num / (2*n_old*n_new) is a true TVD: 0 iff identical
+    distributions, and <= 1 always."""
+    from rayqual.ops.drift import _drift_kernel
+
+    co = pd.DataFrame(old, columns=["k", "v"]).groupby(["k", "v"]).size().rename("c_old")
+    cn = pd.DataFrame(new, columns=["k", "v"]).groupby(["k", "v"]).size().rename("c_new")
+    m = pd.concat([co, cn], axis=1).fillna(0).astype(np.int64).reset_index()
+    out = _drift_kernel(m, "k", "v").set_index("k")
+    for k, r in out.iterrows():
+        n_old, n_new, num = int(r["n_old"]), int(r["n_new"]), int(r["drift_num"])
+        if n_old and n_new:
+            tvd = num / (2 * n_old * n_new)
+            assert 0.0 <= tvd <= 1.0
+            sub_o = {v: c for (kk, v), c in co.items() if kk == k}
+            sub_n = {v: c for (kk, v), c in cn.items() if kk == k}
+            same = sub_o.keys() == sub_n.keys() and all(
+                sub_o[v] * n_new == sub_n[v] * n_old for v in sub_o
+            )
+            assert (tvd == 0.0) == same
