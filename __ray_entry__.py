@@ -1449,6 +1449,53 @@ def q_embed_decontam_embeddings(sf_dir: str, threshold: float = 0.3):
     return _typed(out, {"vec_id": "int64", "n_hits": "int64"})
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped count-distinct, two-phase: groupby((type, user))
+    collapses duplicates with block pre-combine, then a tiny
+    groupby(type) counts — the exchange carries distinct pairs, never
+    raw rows."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def to64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b.column("event_type"),
+             "n_users": b.column("n_users").cast(pa.int64())}
+        )
+
+    return _typed(
+        out.map_batches(to64, batch_format="pyarrow"),
+        {"event_type": "object", "n_users": "int64"},
+    )
+
+
+def q_approx_distinct_users_by_type(sf_dir: str, p: int = 12):
+    """Per-key HLL count-distinct (ops/sketch.grouped_approx_distinct)
+    — the mergeable-sketch-as-GROUP-BY shape: batches emit sparse
+    (key, register, rank) rows, one Max-merge groupby, vectorized
+    rank-histogram estimation (order-independent float arithmetic, so
+    the committed fixture is an exact oracle)."""
+    import ray.data
+
+    from rayqual.ops.sketch import grouped_approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = grouped_approx_distinct(ds, "event_type", "user_id", p=p)
+    return (
+        _typed(out, {"event_type": "object", "approx_distinct": "float64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_profile_events(sf_dir: str):
     """One-pass per-column table profile (ops/profile.py): counts,
     null counts, min/max per column — numeric columns as values,
@@ -1985,6 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "profile_events": q_profile_events,
         "orphan_lineitems": q_orphan_lineitems,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -2522,6 +2571,15 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "approx_distinct_users_by_type": f"""
+            SELECT event_type, approx_distinct
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/approx_distinct_users_by_type_sf001_expected.parquet')
         """,
         "profile_events": """
             SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -122,6 +122,7 @@ def run_queries(sf_dir: str) -> dict:
         "kmeans_embeddings", "semantic_dedup_embeddings",
         "embed_decontam_embeddings", "global_rank_docs", "rollup_docs",
         "funnel_events", "profile_events", "orphan_lineitems",
+        "distinct_users_by_type", "approx_distinct_users_by_type",
     ]
     qs = entrymod.queries()
     out = {}

@@ -40,22 +40,7 @@ def hll_registers(values: np.ndarray, p: int = 14) -> np.ndarray:
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = bucket_hash(values)
-    idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits with 1s
-    # rank = position of the first 1 bit from the top of `rest`, 1-based;
-    # values stop counting at their first 1 (the `active` mask)
-    ranks = np.ones(len(h), dtype=np.uint8)
-    probe = rest.copy()
-    top = np.uint64(1) << np.uint64(63)
-    active = np.ones(len(h), dtype=bool)
-    for _ in range(64 - p):
-        still_zero = active & ((probe & top) == 0)
-        if not still_zero.any():
-            break
-        ranks[still_zero] += 1
-        active = still_zero
-        probe = probe << np.uint64(1)
+    idx, ranks = _hll_rows(values, p)
     np.maximum.at(regs, idx, ranks)
     return regs
 
@@ -179,3 +164,124 @@ def approx_quantiles(ds, column: str, qs=(0.5, 0.95, 0.99), alpha: float = 0.01)
     buckets = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
     counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
     return dd_quantiles_from_counts(buckets, counts, qs, alpha)
+
+
+def _hll_rows(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per VALUE — the row form of
+    hll_registers, before any per-register max."""
+    h = bucket_hash(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    ranks = np.ones(len(h), dtype=np.uint8)
+    probe = rest.copy()
+    top = np.uint64(1) << np.uint64(63)
+    active = np.ones(len(h), dtype=bool)
+    for _ in range(64 - p):
+        still_zero = active & ((probe & top) == 0)
+        if not still_zero.any():
+            break
+        ranks[still_zero] += 1
+        active = still_zero
+        probe = probe << np.uint64(1)
+    return idx, ranks
+
+
+def hll_estimate_sparse(n_obs: int, pow_sum: float, m: int) -> float:
+    """Estimate from a SPARSE register set: n_obs observed registers
+    with sum(2^-rank) = pow_sum; the other m - n_obs registers are 0."""
+    zeros = m - n_obs
+    est = _alpha(m) * m * m / (pow_sum + zeros)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def grouped_approx_distinct(ds, key_col: str, value_col: str, p: int = 12,
+                            n_buckets: int = 32):
+    """Per-key approximate count-distinct — the mergeable-sketch-as-
+    GROUP-BY-aggregate shape. Each batch reduces to at most one
+    (key, register, rank) row per observed register — fully vectorized
+    (one lexsort + maximum.reduceat per batch, no per-group Python) —
+    and ONE ``groupby((key, register)).Max`` merges the sketches; the
+    estimate falls out of a vectorized per-bucket segment pass over
+    the (keys × ≤2^p)-row merged table. Values never shuffle.
+
+    Returns Dataset(key_col, approx_distinct float64, rounded to 6
+    decimals for cross-run hashability)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        ok = pd.notna(vals) & pd.notna(keys)
+        keys, vals = keys[ok], vals[ok]
+        if len(vals) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "_ri": pa.array([], pa.int64()),
+                             "_rank": pa.array([], pa.int64())})
+        idx, ranks = _hll_rows(vals, p)
+        codes, uniques = pd.factorize(keys, sort=False)
+        combo = codes.astype(np.int64) * m + idx
+        order = np.argsort(combo, kind="stable")
+        sc = combo[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        rmax = np.maximum.reduceat(ranks[order].astype(np.int64), starts)
+        kcombo = sc[starts]
+        return pa.table(
+            {
+                key_col: pa.array(uniques[(kcombo // m).astype(np.int64)]),
+                "_ri": pa.array(kcombo % m),
+                "_rank": pa.array(rmax),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "_ri"])
+        .aggregate(Max("_rank", alias_name="_rank"))
+    )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key_col).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    pow2 = np.power(2.0, -np.arange(65, dtype=np.float64))
+
+    def estimate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(g[key_col].to_numpy(), sort=False)
+        ranks = g["_rank"].to_numpy(dtype=np.int64)
+        n_keys = len(uniques)
+        # rank HISTOGRAM per key: pow_sum = Σ_r cnt[r]·2^-r in fixed
+        # rank order — independent of the merged table's row order
+        # (a float reduce over rows would wobble at the last ulp
+        # between runs and break the rounded fixture oracle)
+        hist = np.bincount(codes * 65 + ranks, minlength=n_keys * 65).reshape(
+            n_keys, 65
+        )
+        pow_sums = hist @ pow2
+        n_obs = hist.sum(axis=1)
+        ests = [
+            round(hll_estimate_sparse(int(n), float(s), m), 6)
+            for n, s in zip(n_obs, pow_sums)
+        ]
+        return pd.DataFrame(
+            {key_col: uniques,
+             "approx_distinct": np.array(ests, dtype=np.float64)}
+        )
+
+    return (
+        merged.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(estimate_bucket, batch_format="pandas")
+    )

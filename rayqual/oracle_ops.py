@@ -458,3 +458,43 @@ def semantic_dedup_py(ids: np.ndarray, vecs: np.ndarray, threshold: float = 0.95
             if r != int(m):
                 out.append((int(m), r))
     return sorted(out)
+
+
+def grouped_approx_distinct_py(keys, values, p: int = 12) -> list[tuple]:
+    """Naive per-key HLL (dict of per-register max ranks, per-value
+    python-int splitmix) with the same rank-HISTOGRAM estimator
+    arithmetic as ops/sketch.grouped_approx_distinct. Returns sorted
+    (key, estimate rounded to 6 decimals)."""
+    m = 1 << p
+    per_key: dict = {}
+    for k, v in zip(keys, values):
+        h = _splitmix64_py(int(v) % _MOD)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) % _MOD
+        rank = 1
+        probe = rest
+        for _ in range(64 - p):
+            if probe & (1 << 63):
+                break
+            rank += 1
+            probe = (probe << 1) % _MOD
+        regs = per_key.setdefault(k, {})
+        if rank > regs.get(idx, 0):
+            regs[idx] = rank
+    pow2 = np.power(2.0, -np.arange(65, dtype=np.float64))
+    out = []
+    for k, regs in per_key.items():
+        hist = np.zeros(65, dtype=np.int64)
+        for r in regs.values():
+            hist[r] += 1
+        pow_sum = float(hist @ pow2)
+        n_obs = len(regs)
+        zeros = m - n_obs
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / (pow_sum + zeros)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        elif est > (1 << 32) / 30.0:
+            est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+        out.append((k, round(float(est), 6)))
+    return sorted(out)

@@ -51,6 +51,7 @@ SCALE_SENSITIVE = [
     "funnel_events",
     "profile_events",
     "orphan_lineitems",
+    "distinct_users_by_type",
 ]
 
 

@@ -228,3 +228,38 @@ def test_bloom_semijoin_refuses_oversized_key_set(ray_session):
             key_on="key",
             max_exact_keys=50,
         )
+
+
+def test_grouped_approx_distinct_accuracy_and_invariance(ray_session):
+    import ray
+
+    from rayqual.ops.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(31)
+    # key 'big': ~2000 distinct of 3000 draws; key 'small': 12 distinct
+    big_vals = rng.integers(0, 2500, 3000)
+    small_vals = rng.integers(0, 12, 400)
+    df = pd.DataFrame(
+        {
+            "k": ["big"] * len(big_vals) + ["small"] * len(small_vals),
+            "v": np.concatenate([big_vals, small_vals]).astype(np.int64),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        out = (
+            grouped_approx_distinct(ds, "k", "v", p=12)
+            .to_pandas()
+            .set_index("k")["approx_distinct"]
+        )
+        outs.append(out)
+    # identical under any partitioning (order-independent estimator)
+    assert outs[0].sort_index().equals(outs[1].sort_index())
+    exact_big = len(np.unique(big_vals))
+    exact_small = len(np.unique(small_vals))
+    assert abs(outs[0]["big"] - exact_big) / exact_big < 0.05
+    # small-range (linear counting) regime: near-exact
+    assert abs(outs[0]["small"] - exact_small) / exact_small < 0.05

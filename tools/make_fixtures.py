@@ -152,6 +152,19 @@ def main():
     write_fixture("ivf_topk_embeddings", exp,
                   pa.schema([("query_id", pa.int64()), ("id", pa.int64())]))
 
+    # --- grouped HLL approx distinct ---
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    rows = oo.grouped_approx_distinct_py(
+        ev.column("event_type").to_pylist(), ev.column("user_id").to_pylist(), p=12
+    )
+    exp = pd.DataFrame({"event_type": pd.Series([k for k, _ in rows], dtype="object"),
+                        "approx_distinct": pd.Series([e for _, e in rows], dtype="float64")})
+    check_equal("approx_distinct_users_by_type",
+                m.q_approx_distinct_users_by_type(SF), exp)
+    write_fixture("approx_distinct_users_by_type", exp,
+                  pa.schema([("event_type", pa.string()),
+                             ("approx_distinct", pa.float64())]))
+
     # --- HLL approx distinct ---
     users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).column("user_id").to_numpy()
     est = round(oo.approx_distinct_py(users[pd.notna(users)]), 2)
