@@ -1449,6 +1449,20 @@ def q_embed_decontam_embeddings(sf_dir: str, threshold: float = 0.3):
     return _typed(out, {"vec_id": "int64", "n_hits": "int64"})
 
 
+def q_weighted_sample_docs(sf_dir: str, k: int = 5):
+    """Per-source weighted sample WITHOUT replacement (ops/sampling.py
+    — Efraimidis–Spirakis keys u^(1/w), w = n_chars, u = 48 sha bits of
+    doc_id): the length-biased doc picker a mixture review wants.
+    Deterministic and engine-independent — the SQL oracle derives the
+    identical sample; per-batch prune bounds the exchange at k rows per
+    group per batch."""
+    from rayqual.ops.sampling import weighted_sample_per_group
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    out = weighted_sample_per_group(ds, "source", "doc_id", "n_chars", k=k)
+    return _typed(out, {"source": "object", "doc_id": "int64", "rk": "int64"})
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped count-distinct, two-phase: groupby((type, user))
     collapses duplicates with block pre-combine, then a tiny
@@ -2032,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "profile_events": q_profile_events,
         "orphan_lineitems": q_orphan_lineitems,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "distinct_users_by_type": q_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2571,6 +2586,20 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "weighted_sample_docs": """
+            WITH kdf AS (
+              SELECT doc_id, source,
+                     pow(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                                              1, 12)) AS BIGINT)
+                         / 281474976710656.0, 1.0 / n_chars) AS key
+              FROM documents WHERE n_chars > 0)
+            SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY key DESC, doc_id ASC) AS rk
+              FROM kdf)
+            WHERE rk <= 5
         """,
         "distinct_users_by_type": """
             SELECT event_type,

@@ -52,6 +52,7 @@ SCALE_SENSITIVE = [
     "profile_events",
     "orphan_lineitems",
     "distinct_users_by_type",
+    "weighted_sample_docs",
 ]
 
 

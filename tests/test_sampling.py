@@ -1,0 +1,76 @@
+"""Tests for distributed weighted sampling (ops/sampling.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _u(i: int) -> float:
+    return int(hashlib.sha256(str(i).encode()).hexdigest()[:12], 16) / float(1 << 48)
+
+
+def _es_sample_py(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    rows = []
+    for g, grp in df[df.w > 0].groupby("g"):
+        keys = [(_u(i) ** (1.0 / w), i) for i, w in zip(grp["id"], grp["w"])]
+        keys.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (_, i) in enumerate(keys[:k], 1):
+            rows.append((g, i, rk))
+    return pd.DataFrame(rows, columns=["g", "id", "rk"]).astype(
+        {"id": "int64", "rk": "int64"}
+    )
+
+
+def test_weighted_sample_matches_python_and_partitioning(ray_session):
+    import ray
+
+    from rayqual.ops.sampling import weighted_sample_per_group
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i % 4}" for i in range(n)],
+            "id": np.arange(n, dtype=np.int64),
+            "w": rng.integers(0, 50, n).astype(np.int64),  # some zero weights
+        }
+    )
+    exp = _es_sample_py(df, k=7).sort_values(["g", "rk"]).reset_index(drop=True)
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        got = (
+            weighted_sample_per_group(ds, "g", "id", "w", k=7)
+            .to_pandas()
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_weighted_sample_is_weight_biased(ray_session):
+    """Across many independent groups, heavy rows must be picked far
+    more often than light rows (the Efraimidis-Spirakis property)."""
+    import ray
+
+    from rayqual.ops.sampling import weighted_sample_per_group
+
+    # 200 groups x 10 rows; in each group one row has weight 50, rest 1
+    rows = []
+    rid = 0
+    for g in range(200):
+        for j in range(10):
+            rows.append((f"g{g}", rid, 50 if j == 0 else 1))
+            rid += 1
+    df = pd.DataFrame(rows, columns=["g", "id", "w"]).astype(
+        {"id": "int64", "w": "int64"}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    got = weighted_sample_per_group(ds, "g", "id", "w", k=1).to_pandas()
+    heavy_ids = set(df[df.w == 50]["id"])
+    frac_heavy = got["id"].isin(heavy_ids).mean()
+    # P(heavy wins) = 50/59 ~ 0.85; with 200 trials, > 0.7 is a safe bound
+    assert frac_heavy > 0.7
