@@ -1,0 +1,76 @@
+"""Run any registered pipeline/query from the command line.
+
+    python -m rayqual.query_cli --list
+    python -m rayqual.query_cli doc_stats_by_source \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/stats.parquet
+
+Every operator the engine exposes through the driver contract
+(``__ray_entry__.queries()``) becomes runnable ad hoc: the named
+query executes against the given table directory and the result is
+printed (head + row count) or written to Parquet. Owns its Ray
+session (local), guarded so an already-initialised session is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rayqual.query_cli", description=__doc__)
+    ap.add_argument("query", nargs="?", help="query name (see --list)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory of input parquet tables")
+    ap.add_argument("--out", default=None, help="write result parquet here")
+    ap.add_argument("--list", action="store_true", help="list query names")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        if args.list or not args.query:
+            for name in sorted(qs):
+                print(name)
+            return 0
+        if args.query not in qs:
+            print(f"unknown query {args.query!r}; see --list", file=sys.stderr)
+            return 2
+        res = qs[args.query](args.sf_dir)
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            df = res.to_pandas()
+        elif isinstance(res, pd.DataFrame):
+            df = res
+        else:
+            df = res.to_pandas()
+        if args.out:
+            df.to_parquet(args.out, index=False)
+            print(f"{args.query}: {len(df)} rows -> {args.out}")
+        else:
+            print(df.head(20).to_string())
+            print(f"[{args.query}: {len(df)} rows]")
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -129,3 +129,30 @@ def test_rule_error_dead_letter_ids_distinct_per_rule(ray_session):
     )
     out = _with_dq_id(t).to_pandas()
     assert out["DQ_REPORT_ID"].nunique() == 2
+
+
+def test_query_cli_runs_and_writes(tmp_path):
+    """End-to-end: the generic query runner executes a registered query
+    from a clean subprocess (own Ray session) and writes parquet."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "stats.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "rayqual.query_cli", "doc_stats_by_source",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == 20 and "source" in t.schema.names
+
+    ls = subprocess.run(
+        [sys.executable, "-m", "rayqual.query_cli", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert ls.returncode == 0
+    assert "weighted_sample_docs" in ls.stdout.split()
