@@ -1474,6 +1474,12 @@ def q_distinct_users_by_type(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
+
+    def drop_null_users(b: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT user_id) ignores NULLs; match it exactly
+        return b.filter(pc.is_valid(b.column("user_id")))
+
+    ds = ds.map_batches(drop_null_users, batch_format="pyarrow")
     pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
     out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
@@ -1652,9 +1658,12 @@ def q_epoch_mix_docs(sf_dir: str):
     the identical expansion in SQL). Zero shuffle."""
     from rayqual.ops.mix import weighted_epoch_mix
 
-    # cover any plausible source cardinality so the dict rule and the
-    # oracle's CASE-on-source-number rule can never diverge
-    weights = {f"src{i}": (2.5, 1.25, 0.5, 0.0)[i % 4] for i in range(20_000)}
+    # THE RULE ITSELF, not an enumeration: identical by construction to
+    # the oracle's CASE CAST(substr(source, 4) AS INT) % 4 for any
+    # source cardinality
+    def weights(source: str) -> float:
+        return (2.5, 1.25, 0.5, 0.0)[int(source[3:]) % 4]
+
     out = weighted_epoch_mix(
         _docs(sf_dir).select_columns(["doc_id", "source"]),
         "doc_id",

@@ -56,14 +56,26 @@ for _i, _c in enumerate(b"0123456789ABCDEF"):
     _HEX_LUT[_c] = _i
 
 
+def hex_prefix_int(arr: np.ndarray, n_digits: int) -> np.ndarray:
+    """int64 value of the first ``n_digits`` hex chars of each string
+    — the engine-independent uniform hash used by assign_split /
+    epoch_mix / weighted sampling (SQL reproduces it as
+    ``('0x' || substr(h, 1, n))::BIGINT``). Vectorized: fixed-width
+    byte view + a hex-digit LUT; accepts either case. n_digits ≤ 15
+    (int64 headroom)."""
+    if not 1 <= n_digits <= 15:
+        raise ValueError("hex_prefix_int: n_digits must be in [1, 15]")
+    h = arr.astype(f"S{n_digits}").view(np.uint8).reshape(len(arr), n_digits)
+    v = _HEX_LUT[h].astype(np.int64)
+    out = np.zeros(len(arr), dtype=np.int64)
+    for c in range(n_digits):
+        out = out * 16 + v[:, c]
+    return out
+
+
 def hex_prefix16(arr: np.ndarray) -> np.ndarray:
-    """int64 value of the first 4 hex chars of each string — the
-    engine-independent uniform hash used by assign_split / epoch_mix
-    (SQL reproduces it as ``('0x' || substr(h, 1, 4))::INT``).
-    Vectorized: fixed-width byte view + a hex-digit LUT."""
-    h4 = arr.astype("S4").view(np.uint8).reshape(len(arr), 4)
-    v = _HEX_LUT[h4].astype(np.int64)
-    return ((v[:, 0] * 16 + v[:, 1]) * 16 + v[:, 2]) * 16 + v[:, 3]
+    """int64 value of the first 4 hex chars of each string."""
+    return hex_prefix_int(arr, 4)
 
 
 def sha256_array(arr, active=None) -> pa.Array:

@@ -175,11 +175,16 @@ def _kmeans_qds(qds, id_col: str, k: int, n_iter: int) -> tuple[np.ndarray, np.n
     return mu, counts
 
 
-def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4):
+def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4,
+           with_counts: bool = False):
     """Distributed Lloyd's k-means. Returns (assignments
-    Dataset(id_col, cluster), centroids float64 (k, d), counts int64
-    (k,)). Cluster ids are the rank of their seed id — deterministic
-    and layout-invariant (tested)."""
+    Dataset(id_col, cluster), centroids float64 (k, d), counts). By
+    default counts is None and the assignments stay LAZY (one label
+    pass when consumed); ``with_counts=True`` materializes the
+    assignments and pays one extra tiny aggregate so counts reflect
+    the FINAL assignments (the last Lloyd E-step's counts predate the
+    final centroid update and can disagree). Cluster ids are the rank
+    of their seed id — deterministic and layout-invariant (tested)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
@@ -198,9 +203,10 @@ def kmeans(ds, id_col: str, vec_col: str, k: int, n_iter: int = 4):
         a = _assign(_xq_matrix(b), m)
         return pa.table({id_col: b.column(id_col), "cluster": pa.array(a)})
 
-    assignments = qds.map_batches(label, batch_format="pyarrow").materialize()
-    # counts must reflect the FINAL assignments (the last Lloyd E-step's
-    # counts predate the final centroid update and can disagree)
+    assignments = qds.map_batches(label, batch_format="pyarrow")
+    if not with_counts:
+        return assignments, mu, None
+    assignments = assignments.materialize()
     cdf = assignments.groupby("cluster").aggregate(Count(alias_name="n")).to_pandas()
     counts = np.zeros(k, dtype=np.int64)
     counts[cdf["cluster"].to_numpy(dtype=np.int64)] = cdf["n"].to_numpy(dtype=np.int64)

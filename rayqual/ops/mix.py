@@ -28,12 +28,16 @@ def weighted_epoch_mix(
     ds,
     id_col: str,
     group_col: str,
-    weights: dict[str, float],
+    weights,
     default: float = 0.0,
 ):
     """Dataset → Dataset with each row repeated per its group weight,
-    plus a ``rep`` column (1..n_rep). Groups absent from ``weights``
-    get ``default`` (0.0 = dropped)."""
+    plus a ``rep`` column (1..n_rep). ``weights`` is a dict
+    (group → weight; absent groups get ``default``, 0.0 = dropped) or
+    a CALLABLE group → weight — pass the rule itself when weights are
+    derived from the group name, so the engine and any external
+    formulation of the same rule cannot diverge on unseen groups. A
+    callable is evaluated once per DISTINCT group per batch."""
     from rayqual import ship_to_workers as _stw
     from rayqual.functions.hashing import hex_prefix16, sha256_array
 
@@ -43,7 +47,12 @@ def weighted_epoch_mix(
         import pandas as pd
 
         groups = b.column(group_col).to_numpy(zero_copy_only=False)
-        w = pd.Series(groups).map(weights).fillna(default).to_numpy(dtype=np.float64)
+        if callable(weights):
+            codes, uniques = pd.factorize(groups, sort=False)
+            lut = np.array([float(weights(g)) for g in uniques], dtype=np.float64)
+            w = lut[codes] if len(uniques) else np.zeros(0, dtype=np.float64)
+        else:
+            w = pd.Series(groups).map(weights).fillna(default).to_numpy(dtype=np.float64)
         ids_str = pc.cast(b.column(id_col), pa.string())
         u = hex_prefix16(
             sha256_array(ids_str).to_numpy(zero_copy_only=False)

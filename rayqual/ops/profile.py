@@ -14,7 +14,8 @@ cross-engine string formatting):
   numeric   — the value as float64
   string    — the UTF-8 length (profile of sizes, not lexicographic)
   timestamp — epoch microseconds as float64
-Columns that are entirely NULL profile to min/max NULL.
+Columns that are entirely NULL profile to min/max NULL; NaN payloads
+(non-null NaN doubles) are excluded from min/max like nulls.
 """
 
 from __future__ import annotations
@@ -34,9 +35,12 @@ def _col_values(b: pa.Table, col: str, kind: str) -> tuple[np.ndarray, np.ndarra
     if kind == "string":
         v = pc.utf8_length(c).cast(pa.float64())
     elif kind == "timestamp":
-        # normalize to µs first: a timestamp[ns]/[s] column would
-        # otherwise profile in its native unit, not the documented one
-        v = pc.cast(pc.cast(pc.cast(c, pa.timestamp("us")), pa.int64()), pa.float64())
+        # normalize to µs first (safe=False: ns values truncate toward
+        # µs like DuckDB's epoch_us, instead of raising on non-aligned)
+        v = pc.cast(
+            pc.cast(pc.cast(c, pa.timestamp("us"), safe=False), pa.int64()),
+            pa.float64(),
+        )
     else:
         v = pc.cast(c, pa.float64())
     vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -54,13 +58,17 @@ def profile_table(ds, spec: dict[str, str]):
     cols = list(spec.items())
 
     def partials(b: pa.Table) -> pa.Table:
-        names, n_rows, n_null, mn, mx = [], [], [], [], []
+        names, n_rows, n_null, n_vals, mn, mx = [], [], [], [], [], []
         for col, kind in cols:
             vals, null = _col_values(b, col, kind)
-            ok = vals[~null]
+            # NaN payloads (non-null NaN doubles) are excluded from
+            # min/max like nulls (SQL-comparable behavior); they still
+            # count in n_rows and not in n_null
+            ok = vals[~null & ~np.isnan(vals)]
             names.append(col)
             n_rows.append(len(vals))
             n_null.append(int(null.sum()))
+            n_vals.append(len(ok))
             mn.append(float(ok.min()) if len(ok) else np.inf)
             mx.append(float(ok.max()) if len(ok) else -np.inf)
         return pa.table(
@@ -68,6 +76,7 @@ def profile_table(ds, spec: dict[str, str]):
                 "col_name": pa.array(names, pa.string()),
                 "n_rows": pa.array(np.array(n_rows, dtype=np.int64)),
                 "n_null": pa.array(np.array(n_null, dtype=np.int64)),
+                "_n_vals": pa.array(np.array(n_vals, dtype=np.int64)),
                 "min_v": pa.array(np.array(mn, dtype=np.float64)),
                 "max_v": pa.array(np.array(mx, dtype=np.float64)),
             }
@@ -79,6 +88,7 @@ def profile_table(ds, spec: dict[str, str]):
         .aggregate(
             Sum("n_rows", alias_name="n_rows"),
             Sum("n_null", alias_name="n_null"),
+            Sum("_n_vals", alias_name="_n_vals"),
             Min("min_v", alias_name="min_v"),
             Max("max_v", alias_name="max_v"),
         )
@@ -87,15 +97,16 @@ def profile_table(ds, spec: dict[str, str]):
     def finish(b: pa.Table) -> pa.Table:
         mn = b.column("min_v").to_numpy(zero_copy_only=False).astype(np.float64)
         mx = b.column("max_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        # explicit emptiness count, NOT an isfinite test: legitimate
+        # ±inf values must survive; only value-free columns go NULL
+        empty = b.column("_n_vals").to_numpy(zero_copy_only=False) == 0
         return pa.table(
             {
                 "col_name": b.column("col_name"),
                 "n_rows": b.column("n_rows").cast(pa.int64()),
                 "n_null": b.column("n_null").cast(pa.int64()),
-                # all-NULL columns carry the ±inf sentinels -> real
-                # Arrow NULLs (validity mask), not NaN payloads
-                "min_v": pa.array(mn, mask=~np.isfinite(mn)),
-                "max_v": pa.array(mx, mask=~np.isfinite(mx)),
+                "min_v": pa.array(mn, mask=empty),
+                "max_v": pa.array(mx, mask=empty),
             }
         )
 

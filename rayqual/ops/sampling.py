@@ -2,42 +2,37 @@
 Efraimidis–Spirakis (2006): each row gets key = u^(1/w) with u uniform
 in (0,1); the k largest keys per group are EXACTLY a weighted sample
 without replacement. Picking u deterministically from the row id's
-sha256 (48 bits) makes the sample a pure function of the data —
-engine-independent (the SQL oracle reproduces the identical sample),
-partitioning-invariant, reproducible across clusters.
+sha256 (48 bits, via the shared engine-independent hex-prefix hash)
+makes the sample a pure function of the data — engine-independent
+(the SQL oracle reproduces the identical sample), partitioning-
+invariant, reproducible across clusters.
 
-Scale shape: the per-batch prune keeps at most k rows per group per
-batch (same contract as window.grouped_topk), so the only exchange
-carries O(k × groups × batches) pruned rows; the float key order is
-compared via the IEEE bit trick (positive doubles viewed as int64 sort
-identically), letting the integer lexsort kernels do the ranking.
-Rows with non-positive weight are excluded (their key is undefined).
+Scale shape: the key is appended per batch (zero shuffle), then the
+ranking is exactly :func:`rayqual.ops.window.grouped_topk` — per-batch
+k-capped prune bounding the exchange, bucketed final merge. The float
+key rides the integer lexsort kernels via the IEEE bit trick (positive
+doubles viewed as int64 sort identically). Rows with non-positive
+weight are excluded (their key is undefined).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from rayqual.functions.hashing import bucket_hash, sha256_array
+from rayqual.functions.hashing import hex_prefix_int, sha256_array
+from rayqual.ops.window import grouped_topk
 
 _U48 = float(1 << 48)
-_HEX_LUT16 = np.full(256, 255, dtype=np.int64)
-for _i, _c in enumerate(b"0123456789abcdef"):
-    _HEX_LUT16[_c] = _i
 
 
-def _u48_from_sha(ids: pa.Array) -> np.ndarray:
-    """Uniform (0,1) from the first 12 hex chars of sha256(str(id))."""
+def _es_key_i64(ids: pa.Array, w: np.ndarray) -> np.ndarray:
+    """Efraimidis–Spirakis key u^(1/w) as an order-isomorphic int64."""
     hexes = sha256_array(pc.cast(ids, pa.string())).to_numpy(zero_copy_only=False)
-    h12 = hexes.astype("S12").view(np.uint8).reshape(len(hexes), 12)
-    v = _HEX_LUT16[h12]
-    out = np.zeros(len(hexes), dtype=np.int64)
-    for c in range(12):
-        out = out * 16 + v[:, c]
-    return out.astype(np.float64) / _U48
+    u = hex_prefix_int(hexes, 12).astype(np.float64) / _U48
+    key = np.power(u, 1.0 / w)  # in (0,1): positive -> bit-order == value-order
+    return key.view(np.int64)
 
 
 def weighted_sample_per_group(
@@ -55,61 +50,33 @@ def weighted_sample_per_group(
 
     _stw()
 
-    def keyed_prune(b: pa.Table) -> pa.Table:
+    def keyed(b: pa.Table) -> pa.Table:
         w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = w > 0
-        b = b.filter(pa.array(ok))
-        if len(b) == 0:
-            return pa.table(
-                {group_col: pa.array([], pa.string()),
-                 id_col: pa.array([], pa.int64()),
-                 "_key": pa.array([], pa.int64()),
-                 "_bucket": pa.array([], pa.int64())}
-            )
-        w = w[ok]
-        u = _u48_from_sha(b.column(id_col))
-        key = np.power(u, 1.0 / w)  # in (0,1): positive -> bit-order == value-order
-        key_i = key.view(np.int64)
-        groups = b.column(group_col).to_numpy(zero_copy_only=False)
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        codes = pd.factorize(groups)[0].astype(np.int64)
-        idx = np.lexsort((ids, -key_i, codes))
-        sc = codes[idx]
-        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
-        seg_len = np.diff(np.append(starts, len(sc)))
-        rank = np.arange(len(sc)) - np.repeat(starts, seg_len)
-        keep = idx[rank < k]
-        kb = (bucket_hash(groups[keep]) % np.uint64(n_buckets)).astype(np.int64)
+        b = b.filter(pa.array(w > 0))
+        key_i = _es_key_i64(b.column(id_col), w[w > 0])
         return pa.table(
             {
-                group_col: pa.array(groups[keep]),
-                id_col: pa.array(ids[keep]),
-                "_key": pa.array(key_i[keep]),
-                "_bucket": pa.array(kb),
+                group_col: b.column(group_col),
+                id_col: b.column(id_col),
+                "_key": pa.array(key_i),
             }
         )
 
-    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes = pd.factorize(g[group_col].to_numpy())[0].astype(np.int64)
-        ids = g[id_col].to_numpy()
-        key_i = g["_key"].to_numpy(dtype=np.int64)
-        idx = np.lexsort((ids, -key_i, codes))
-        sc = codes[idx]
-        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
-        seg_len = np.diff(np.append(starts, len(sc)))
-        rank = np.arange(len(sc)) - np.repeat(starts, seg_len)
-        keep = rank < k
-        sel = idx[keep]
-        return pd.DataFrame(
-            {
-                group_col: g[group_col].to_numpy()[sel],
-                id_col: ids[sel],
-                "rk": (rank[keep] + 1).astype(np.int64),
-            }
-        )
-
-    return (
-        ds.map_batches(keyed_prune, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(final_bucket, batch_format="pandas")
+    keyed_ds = ds.select_columns([group_col, id_col, weight_col]).map_batches(
+        keyed, batch_format="pyarrow"
     )
+    top = grouped_topk(
+        keyed_ds,
+        key=group_col,
+        order="_key",
+        k=k,
+        tiebreak=id_col,
+        descending=True,
+        n_buckets=n_buckets,
+        rank_col="rk",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select([group_col, id_col, "rk"])
+
+    return top.map_batches(strip, batch_format="pyarrow")

@@ -225,7 +225,10 @@ def grouped_approx_distinct(ds, key_col: str, value_col: str, p: int = 12,
         ok = pd.notna(vals) & pd.notna(keys)
         keys, vals = keys[ok], vals[ok]
         if len(vals) == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
+            # preserve the real key dtype (a hardcoded string schema
+            # would break block unification for non-string keys)
+            empty_keys = b.column(key_col).slice(0, 0)
+            return pa.table({key_col: empty_keys,
                              "_ri": pa.array([], pa.int64()),
                              "_rank": pa.array([], pa.int64())})
         idx, ranks = _hll_rows(vals, p)

@@ -305,7 +305,9 @@ def approx_distinct_py(values, p: int = 14) -> float:
         if rank > regs[idx]:
             regs[idx] = rank
     regs_np = np.asarray(regs, dtype=np.uint8)
-    alpha = 0.7213 / (1 + 1.079 / m)
+    from rayqual.ops.sketch import _alpha  # SPEC constant, incl. small-m cases
+
+    alpha = _alpha(m)
     est = alpha * m * m / np.sum(np.power(2.0, -regs_np.astype(np.float64)))
     if est <= 2.5 * m:
         zeros = int(np.count_nonzero(regs_np == 0))
@@ -490,7 +492,9 @@ def grouped_approx_distinct_py(keys, values, p: int = 12) -> list[tuple]:
         pow_sum = float(hist @ pow2)
         n_obs = len(regs)
         zeros = m - n_obs
-        alpha = 0.7213 / (1 + 1.079 / m)
+        from rayqual.ops.sketch import _alpha  # SPEC constant, incl. small-m cases
+
+        alpha = _alpha(m)
         est = alpha * m * m / (pow_sum + zeros)
         if est <= 2.5 * m and zeros:
             est = m * np.log(m / zeros)

@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     try:
@@ -69,7 +70,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"[{args.query}: {len(df)} rows]")
         return 0
     finally:
-        ray.shutdown()
+        # only tear down a session this invocation created — a host
+        # process's live session must survive the call
+        if owns_session:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ def test_kmeans_matches_oracle_and_partitioning(ray_session):
 
     outs = []
     for parts in (1, 3, 7):
-        a, mu, counts = kmeans(_ds(ray, df, parts), "vec_id", "embedding", k=4, n_iter=3)
+        a, mu, counts = kmeans(_ds(ray, df, parts), "vec_id", "embedding", k=4, n_iter=3, with_counts=True)
         got = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
         outs.append((got, mu, counts))
         assert (got["cluster"].to_numpy() == exp_assign).all()
@@ -58,7 +58,7 @@ def test_kmeans_blob_purity(ray_session):
     from rayqual.ops.cluster import kmeans
 
     df = _emb_df(n=400, k_blobs=4)
-    a, _, counts = kmeans(_ds(ray, df), "vec_id", "embedding", k=4, n_iter=5)
+    a, _, counts = kmeans(_ds(ray, df), "vec_id", "embedding", k=4, n_iter=5, with_counts=True)
     got = a.to_pandas().merge(df[["vec_id", "blob"]], on="vec_id")
     # with well-separated blobs every cluster maps 1:1 onto a blob
     purity = (
