@@ -524,6 +524,49 @@ def q_chunk_docs(sf_dir: str, chunk_chars: int = 100):
     return chunk_documents(ds, text_col="text", id_col="doc_id", chunk_chars=chunk_chars)
 
 
+def q_shared_chunks_docs(sf_dir: str, chunk_chars: int = 100):
+    """Cross-document duplicated SPANS (the chunk-level exact-dedup
+    signal behind suffix-array-style span dedup): chunk every doc into
+    fixed 100-char windows, hash each chunk, report chunk hashes
+    appearing in ≥2 distinct docs with their doc counts. Only
+    (sha256, doc_id) rows enter the exchange — chunk text never
+    shuffles. Composition: ops/chunk.py chunking + the dedup shuffle
+    shape; pre-collapsed per (hash, doc) so a doc repeating its own
+    boilerplate counts once."""
+    from ray.data.aggregate import Count
+
+    from rayqual.functions.hashing import sha256_array
+    from rayqual.ops.chunk import chunk_documents
+
+    chunks = chunk_documents(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        text_col="text", id_col="doc_id", chunk_chars=chunk_chars,
+    )
+
+    def hashed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"chunk_sha": sha256_array(b.column("chunk")),
+             "doc_id": b.column("doc_id")}
+        )
+
+    per_doc = (
+        chunks.map_batches(hashed, batch_format="pyarrow")
+        .groupby(["chunk_sha", "doc_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    agg = per_doc.groupby("chunk_sha").aggregate(Count(alias_name="n_docs"))
+
+    def shared_only(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").cast(pa.int64())
+        t = pa.table({"chunk_sha": b.column("chunk_sha"), "n_docs": n})
+        return t.filter(pc.greater_equal(n, pa.scalar(2, pa.int64())))
+
+    return _typed(
+        agg.map_batches(shared_only, batch_format="pyarrow"),
+        {"chunk_sha": "object", "n_docs": "int64"},
+    )
+
+
 def q_events_range_count_1h(sf_dir: str):
     """Distributed range join (§2.6): for each event, how many events
     of the same user land in the following hour — time-bucketed
@@ -2056,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q_profile_events,
         "orphan_lineitems": q_orphan_lineitems,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "shared_chunks_docs": q_shared_chunks_docs,
         "distinct_users_by_type": q_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2595,6 +2639,18 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "shared_chunks_docs": """
+            SELECT chunk_sha, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (
+              SELECT doc_id,
+                     sha256(substring(text, gs * 100 + 1, 100)) AS chunk_sha
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, (length(text) - 1) // 100))
+                           AS gs
+                FROM documents WHERE length(text) > 0))
+            GROUP BY chunk_sha HAVING count(DISTINCT doc_id) >= 2
         """,
         "weighted_sample_docs": """
             WITH kdf AS (

@@ -123,7 +123,7 @@ def run_queries(sf_dir: str) -> dict:
         "embed_decontam_embeddings", "global_rank_docs", "rollup_docs",
         "funnel_events", "profile_events", "orphan_lineitems",
         "distinct_users_by_type", "approx_distinct_users_by_type",
-        "weighted_sample_docs",
+        "weighted_sample_docs", "shared_chunks_docs",
     ]
     qs = entrymod.queries()
     out = {}

@@ -53,6 +53,7 @@ SCALE_SENSITIVE = [
     "orphan_lineitems",
     "distinct_users_by_type",
     "weighted_sample_docs",
+    "shared_chunks_docs",
 ]
 
 
