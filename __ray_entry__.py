@@ -524,6 +524,30 @@ def q_chunk_docs(sf_dir: str, chunk_chars: int = 100):
     return chunk_documents(ds, text_col="text", id_col="doc_id", chunk_chars=chunk_chars)
 
 
+def q_approx_len_quantiles_by_source(sf_dir: str):
+    """Per-source DDSketch quantiles of doc length
+    (ops/sketch.py:grouped_approx_quantiles): each batch reduces to
+    (source, log-bucket, count) rows, one integer Sum-merge groupby —
+    the scale path for when even the grouped exact-quantile count
+    exchange is too wide. Deterministic (integer histogram), so the
+    committed fixture (independent naive dd_quantiles_py per group) is
+    an exact oracle."""
+    from rayqual.ops.sketch import grouped_approx_quantiles
+
+    out = grouped_approx_quantiles(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        "source",
+        "n_chars",
+        qs=(0.5, 0.95, 0.99),
+    )
+    return (
+        _typed(out, {"source": "object", "q5": "float64", "q95": "float64",
+                     "q99": "float64"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def q_shared_chunks_docs(sf_dir: str, chunk_chars: int = 100):
     """Cross-document duplicated SPANS (the chunk-level exact-dedup
     signal behind suffix-array-style span dedup): chunk every doc into
@@ -2100,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_lineitems": q_orphan_lineitems,
         "weighted_sample_docs": q_weighted_sample_docs,
         "shared_chunks_docs": q_shared_chunks_docs,
+        "approx_len_quantiles_by_source": q_approx_len_quantiles_by_source,
         "distinct_users_by_type": q_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2639,6 +2664,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embed_neardup_docs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/lsh_embed_neardup_docs_sf001_expected.parquet')
+        """,
+        "approx_len_quantiles_by_source": f"""
+            SELECT source, q5, q95, q99
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/approx_len_quantiles_by_source_sf001_expected.parquet')
         """,
         "shared_chunks_docs": """
             SELECT chunk_sha, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -124,6 +124,7 @@ def run_queries(sf_dir: str) -> dict:
         "funnel_events", "profile_events", "orphan_lineitems",
         "distinct_users_by_type", "approx_distinct_users_by_type",
         "weighted_sample_docs", "shared_chunks_docs",
+        "approx_len_quantiles_by_source",
     ]
     qs = entrymod.queries()
     out = {}

@@ -132,7 +132,10 @@ def dd_quantiles_from_counts(
         if b[i] == _DD_ZERO_BUCKET:
             out.append(0.0)
         else:
-            out.append(float(2.0 * gamma ** b[i] / (gamma + 1.0)))
+            # int(): CPython float**int and numpy float64**int64 take
+            # different pow paths that disagree at the last ulp; the
+            # midpoint SPEC is the python-float pow
+            out.append(float(2.0 * gamma ** int(b[i]) / (gamma + 1.0)))
     return out
 
 
@@ -287,4 +290,90 @@ def grouped_approx_distinct(ds, key_col: str, value_col: str, p: int = 12,
         merged.map_batches(bucketed, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(estimate_bucket, batch_format="pandas")
+    )
+
+
+def grouped_approx_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs=(0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+    n_buckets: int = 32,
+):
+    """Per-key DDSketch quantiles — the approximate counterpart of
+    ops/quantiles.grouped_exact_quantiles for when even the grouped
+    (key, value) count exchange is too wide: each batch reduces to one
+    (key, log-bucket, count) row per observed bucket (vectorized
+    lexsort + reduceat), ONE ``groupby((key, bucket)).Sum`` merges the
+    histograms (integer counts — order-independent, exactly
+    reproducible), and estimates extract per hash bucket of keys.
+    Relative error ≤ alpha for positive values; x ≤ 0 reports 0.0.
+
+    Returns Dataset(key_col, q_<q> float64 per requested quantile)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = np.log(gamma)
+    qcols = [f"q{str(q).replace('0.', '')}" for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = pd.notna(keys) & ~np.isnan(vals)
+        keys, vals = keys[ok], vals[ok]
+        if len(vals) == 0:
+            return pa.table({key_col: b.column(key_col).slice(0, 0),
+                             "_b": pa.array([], pa.int64()),
+                             "_c": pa.array([], pa.int64())})
+        codes, uniques = pd.factorize(keys, sort=False)
+        bucket = np.full(len(vals), _DD_ZERO_BUCKET, dtype=np.int64)
+        pos = vals > 0
+        bucket[pos] = np.ceil(np.log(vals[pos]) / log_gamma).astype(np.int64)
+        order = np.lexsort((bucket, codes))
+        sc, sb = codes[order], bucket[order]
+        new = np.concatenate([[True], (sc[1:] != sc[:-1]) | (sb[1:] != sb[:-1])])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(sc)))
+        return pa.table(
+            {
+                key_col: pa.array(uniques[sc[starts]]),
+                "_b": pa.array(sb[starts]),
+                "_c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "_b"])
+        .aggregate(Sum("_c", alias_name="_c"))
+    )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key_col).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in g.groupby(key_col, sort=False):
+            ests = dd_quantiles_from_counts(
+                grp["_b"].to_numpy(dtype=np.int64),
+                grp["_c"].to_numpy(dtype=np.int64),
+                qs,
+                alpha,
+            )
+            rows.append((k, *ests))
+        return pd.DataFrame(rows, columns=[key_col, *qcols])
+
+    return (
+        merged.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(extract, batch_format="pandas")
     )

@@ -263,3 +263,35 @@ def test_grouped_approx_distinct_accuracy_and_invariance(ray_session):
     assert abs(outs[0]["big"] - exact_big) / exact_big < 0.05
     # small-range (linear counting) regime: near-exact
     assert abs(outs[0]["small"] - exact_small) / exact_small < 0.05
+
+
+def test_grouped_approx_quantiles_bound_and_invariance(ray_session):
+    import ray
+
+    from rayqual.ops.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 2000),
+            "v": np.exp(rng.normal(5, 1.5, 2000)),  # long-tailed positives
+        }
+    )
+    outs = []
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        out = (
+            grouped_approx_quantiles(ds, "k", "v", qs=(0.5, 0.99), alpha=0.01)
+            .to_pandas()
+            .set_index("k")
+            .sort_index()
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # merge-order invariant
+    for k, grp in df.groupby("k"):
+        vals = np.sort(grp["v"].to_numpy())
+        for qc, q in (("q5", 0.5), ("q99", 0.99)):
+            true = vals[int(np.floor(q * (len(vals) - 1)))]
+            assert abs(outs[0].loc[k, qc] - true) <= 0.0101 * true  # DDSketch bound

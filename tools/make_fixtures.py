@@ -152,6 +152,22 @@ def main():
     write_fixture("ivf_topk_embeddings", exp,
                   pa.schema([("query_id", pa.int64()), ("id", pa.int64())]))
 
+    # --- grouped DDSketch quantiles ---
+    rows = []
+    for src, grp in docs.groupby("source"):
+        q5, q95, q99 = oo.dd_quantiles_py(
+            grp["n_chars"].to_numpy(dtype="float64"), (0.5, 0.95, 0.99)
+        )
+        rows.append((src, q5, q95, q99))
+    exp = pd.DataFrame(sorted(rows), columns=["source", "q5", "q95", "q99"]).astype(
+        {"q5": "float64", "q95": "float64", "q99": "float64"}
+    )
+    check_equal("approx_len_quantiles_by_source",
+                m.q_approx_len_quantiles_by_source(SF), exp)
+    write_fixture("approx_len_quantiles_by_source", exp,
+                  pa.schema([("source", pa.string()), ("q5", pa.float64()),
+                             ("q95", pa.float64()), ("q99", pa.float64())]))
+
     # --- grouped HLL approx distinct ---
     ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
     rows = oo.grouped_approx_distinct_py(
