@@ -50,7 +50,12 @@ def weighted_epoch_mix(
         if callable(weights):
             codes, uniques = pd.factorize(groups, sort=False)
             lut = np.array([float(weights(g)) for g in uniques], dtype=np.float64)
-            w = lut[codes] if len(uniques) else np.zeros(0, dtype=np.float64)
+            # null groups factorize to code -1: they get `default`,
+            # exactly like the dict path's .map().fillna(default)
+            w = np.full(len(groups), float(default), dtype=np.float64)
+            valid = codes >= 0
+            if len(uniques):
+                w[valid] = lut[codes[valid]]
         else:
             w = pd.Series(groups).map(weights).fillna(default).to_numpy(dtype=np.float64)
         ids_str = pc.cast(b.column(id_col), pa.string())

@@ -62,8 +62,10 @@ def profile_table(ds, spec: dict[str, str]):
         for col, kind in cols:
             vals, null = _col_values(b, col, kind)
             # NaN payloads (non-null NaN doubles) are excluded from
-            # min/max like nulls (SQL-comparable behavior); they still
-            # count in n_rows and not in n_null
+            # min/max BY DESIGN (they still count in n_rows, not in
+            # n_null). NOTE this deliberately diverges from DuckDB /
+            # Postgres, where NaN sorts above +inf so MAX returns NaN —
+            # an oracle over a NaN-bearing column must filter NaN too
             ok = vals[~null & ~np.isnan(vals)]
             names.append(col)
             n_rows.append(len(vals))

@@ -45,10 +45,23 @@ def weighted_sample_per_group(
 ):
     """Dataset → Dataset(group_col, id_col, rk): the k-row weighted
     sample (without replacement) of each group, rk = 1..k by
-    descending Efraimidis–Spirakis key, ties broken by id."""
+    descending Efraimidis–Spirakis key, ties broken by id.
+
+    ``id_col`` must be INTEGER (grouped_topk's tiebreak rides the
+    int64 lexsort kernels; float ids would silently truncate the tie
+    order and string ids would crash downstream with a cast error)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
+
+    sch = ds.schema()  # ray.data Schema: parallel names/types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"weighted_sample_per_group: id_col {id_col!r} must be an integer "
+            f"column (got {id_type}); map string/float ids to a dense int64 "
+            "key first"
+        )
 
     def keyed(b: pa.Table) -> pa.Table:
         w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)

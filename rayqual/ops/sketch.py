@@ -98,7 +98,14 @@ _DD_ZERO_BUCKET = np.iinfo(np.int64).min
 
 def dd_bucket_counts(values: np.ndarray, alpha: float = 0.01) -> tuple[np.ndarray, np.ndarray]:
     """(buckets, counts) of one value array — the per-batch partial.
-    NaNs are dropped; x <= 0 folds into the zero sentinel bucket."""
+    NaNs are dropped; x <= 0 folds into the zero sentinel bucket.
+
+    The bucket map is DEFINED as numpy's vectorized log (per-value,
+    position-independent); a scalar-libm reimplementation (the naive
+    oracle) can disagree by one bucket only for values whose log sits
+    within 1 ulp of an integer boundary — make_fixtures cross-checks
+    the two and REFUSES to write a fixture on any disagreement, so the
+    hazard is detected at generation, never silent."""
     v = np.asarray(values, dtype=np.float64)
     v = v[~np.isnan(v)]
     gamma = (1.0 + alpha) / (1.0 - alpha)
@@ -167,6 +174,15 @@ def approx_quantiles(ds, column: str, qs=(0.5, 0.95, 0.99), alpha: float = 0.01)
     buckets = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
     counts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
     return dd_quantiles_from_counts(buckets, counts, qs, alpha)
+
+
+def _key_buckets(b: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
+    """Append the hash bucket of ``key_col`` (shared by the grouped
+    sketch ops so their shuffle layouts can never diverge)."""
+    kb = bucket_hash(b.column(key_col).to_numpy(zero_copy_only=False)) % np.uint64(
+        n_buckets
+    )
+    return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
 
 
 def _hll_rows(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -257,10 +273,7 @@ def grouped_approx_distinct(ds, key_col: str, value_col: str, p: int = 12,
     )
 
     def bucketed(b: pa.Table) -> pa.Table:
-        kb = bucket_hash(b.column(key_col).to_numpy(zero_copy_only=False)) % np.uint64(
-            n_buckets
-        )
-        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+        return _key_buckets(b, key_col, n_buckets)
 
     pow2 = np.power(2.0, -np.arange(65, dtype=np.float64))
 
@@ -355,10 +368,7 @@ def grouped_approx_quantiles(
     )
 
     def bucketed(b: pa.Table) -> pa.Table:
-        kb = bucket_hash(b.column(key_col).to_numpy(zero_copy_only=False)) % np.uint64(
-            n_buckets
-        )
-        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+        return _key_buckets(b, key_col, n_buckets)
 
     def extract(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
