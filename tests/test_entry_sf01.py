@@ -1,8 +1,13 @@
-"""sf0.1 conformance for the join / dedup / window queries — the scale
-factor where the round-1 asof packing overflow hid (sf0.001/sf0.01 key
-domains were too small to trigger it; ADVICE r1). Runs the same
-driver-style compare as test_entry.py but against the bench-default
-scale factor."""
+"""sf0.1 conformance: EVERY SQL-oracle query re-checked at the
+bench-default scale factor — the scale where the round-1 asof packing
+overflow hid (sf0.001/sf0.01 key domains were too small to trigger it;
+ADVICE r1), where bucketed per-group scans exercise multi-bucket
+multi-block paths, and where sha-hash membership meets the larger id
+domain. Fixture-backed queries are excluded (their committed expected
+outputs encode sf0.01); they are covered at sf0.01 by test_entry.py.
+
+The list is DERIVED from oracle_sql() so every new SQL-oracle query is
+covered here automatically."""
 
 import os
 
@@ -14,47 +19,11 @@ from tests.test_entry import compare, to_pandas
 
 SF01 = "/root/testdata/sf0.1"
 
-# queries whose behavior depends on key domain size / duplicate density
-SCALE_SENSITIVE = [
-    "asof_latest_order",
-    "orders_per_nation",
-    "dup_exact_docs",
-    "dup_partitioned_docs",
-    "dup_prefix40_docs",
-    "incremental_dedup_docs",
-    "events_window_5min",
-    "sessionize_events",
-    "sample_docs",
-    "event_users_not_customers",
-    "validation_report_events",
-    "revenue_by_priority",
-    "revenue_by_priority_skew",
-    "events_range_count_1h",
-    "topk_tokens_docs",
-    "tfidf_top_terms_docs",
-    "vocab_df_docs",
-    # bucketed per-group scans: cumsum offsets / rank caps only exercise
-    # multi-bucket, multi-block paths at this scale
-    "cap_per_source_docs",
-    "pack_sequences_docs",
-    "token_budget_sample_docs",
-    "dominant_prefix_by_source",
-    "source_drift_docs",
-    "len_percentile_docs",
-    "snapshot_delta_docs",
-    # sha-hash membership at the larger id domain
-    "split_assign_docs",
-    "epoch_mix_docs",
-    "embed_decontam_embeddings",
-    "global_rank_docs",
-    "rollup_docs",
-    "funnel_events",
-    "profile_events",
-    "orphan_lineitems",
-    "distinct_users_by_type",
-    "weighted_sample_docs",
-    "shared_chunks_docs",
-]
+SQL_ORACLE_QUERIES = sorted(
+    name
+    for name, sql in entrymod.oracle_sql().items()
+    if "tests/fixtures" not in sql
+)
 
 
 @pytest.fixture(scope="module")
@@ -62,12 +31,13 @@ def con01():
     if not os.path.isdir(SF01):  # pragma: no cover
         pytest.skip("sf0.1 testdata not present")
     con = duckdb.connect()
-    for t in ["events", "orders", "customer", "nation", "documents", "lineitem", "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
     return con
 
 
-@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+@pytest.mark.parametrize("name", SQL_ORACLE_QUERIES)
 def test_query_matches_oracle_sf01(ray_session, con01, name):
     got = to_pandas(entrymod.queries()[name](SF01))
     exp = con01.execute(entrymod.oracle_sql()[name]).df()
