@@ -672,7 +672,7 @@ def q_tfidf_top_terms_docs(sf_dir: str):
 
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     out = tfidf_top_terms(ds, text_col="text", id_col="doc_id", k=3)
-    return _typed(out, {"doc_id": "int64", "rank": "int64", "token": "string"})
+    return _typed(out, {"doc_id": "int64", "rank": "int64", "token": "object"})
 
 
 def q_sensitive_check_docs(sf_dir: str):
@@ -2491,9 +2491,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_order_total": """
             SELECT o_orderkey,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ) AS running_cents
+                   ) AS BIGINT) AS running_cents
             FROM orders
         """,
         "urgent_lineitem_by_flag": """

@@ -1,0 +1,21 @@
+"""CI wiring for tools/driver_sim.py — the driver-protocol simulator.
+
+Runs the FULL queries() sweep at sf0.001 inside the shared pytest Ray
+session with the dtype-sensitive comparison (stricter than the value
+compare most tests use). This is the regression guard for the round-3
+`running_order_total` class of failure: values equal, dtype different
+(DuckDB HUGEINT → float64 vs Ray int64), invisible to np.allclose.
+"""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_driver_sim_full_sweep_sf0001(ray_session):
+    sys.path.insert(0, str(REPO / "tools"))
+    import driver_sim
+
+    rc = driver_sim.main(["--sf", "/root/testdata/sf0.001"])
+    assert rc == 0, "driver_sim found mismatches — see stdout for FAILS"

@@ -1,0 +1,216 @@
+"""Driver-protocol simulator — catches what pytest can't.
+
+Replicates the round driver's correctness sweep faithfully enough to
+predict its verdict BEFORE it runs:
+
+* ONE long-lived Ray session (``ray.init(address="local")``) for the
+  whole sweep — worker-closure staleness, lazy-lineage re-execution and
+  cross-query session state only show up in this regime, never in
+  per-test fresh sessions.
+* Every ``queries()`` entry is executed in dict order (the driver's
+  order) against the same ``sf_dir`` and compared with its
+  ``oracle_sql()`` run through DuckDB over the same parquet views
+  (fixture-path oracles included — they are plain ``read_parquet``
+  SQL).
+* The comparison is DTYPE-SENSITIVE: results are canonicalized (sort
+  columns by name, datetime→int64, sort rows by all columns) and
+  hashed per column INCLUDING the dtype string. This is deliberately
+  stricter than a value-tolerant compare — round 3's only driver
+  failure (``running_order_total``) was values-equal / dtype-different
+  (DuckDB windowed SUM(BIGINT) returns HUGEINT → pandas float64, the
+  Ray side int64), invisible to ``np.allclose``-style checks.
+
+Float columns are hashed after rounding to 9 decimals (engine sum
+order legitimately differs in the last ulp); int/string/bool columns
+must match bit-exactly AND dtype-exactly.
+
+Usage:
+    python tools/driver_sim.py [--sf /root/testdata/sf0.01]
+        [--num-cpus 32] [--only name1,name2] [--skip-slow]
+
+Exit 0 iff every checked query matches rows+schema+dtypes+hash.
+Run via pytest: tests/test_driver_sim.py wires this at sf0.001.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()  # ray.data.Dataset
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def dtype_hash(df: pd.DataFrame) -> str:
+    """Per-column hash covering name, dtype and values (floats rounded
+    to 9 decimals; everything else exact)."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        h.update(c.encode())
+        h.update(str(col.dtype).encode())
+        if pd.api.types.is_float_dtype(col):
+            v = np.round(col.to_numpy(dtype=np.float64), 9)
+            v[np.isnan(v)] = 0.0  # canonical NaN
+            h.update(v.tobytes())
+            h.update(col.isna().to_numpy().tobytes())
+        else:
+            h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return h.hexdigest()[:16]
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame) -> dict:
+    out = {
+        "rows_match": len(got) == len(exp),
+        "schema_match": sorted(got.columns) == sorted(exp.columns),
+        "dtype_match": None,
+        "hash_match": None,
+        "detail": "",
+    }
+    if not (out["rows_match"] and out["schema_match"]):
+        out["detail"] = f"rows {len(got)} vs {len(exp)}; cols {sorted(got.columns)} vs {sorted(exp.columns)}"
+        return out
+    dt_bad = [
+        c for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)
+    ]
+    out["dtype_match"] = not dt_bad
+    out["hash_match"] = dtype_hash(got) == dtype_hash(exp)
+    if dt_bad:
+        out["detail"] = "dtype diff: " + ", ".join(
+            f"{c}: ray={got[c].dtype} oracle={exp[c].dtype}" for c in dt_bad
+        )
+    elif not out["hash_match"]:
+        bad_cols = []
+        for c in got.columns:
+            g, x = got[c], exp[c]
+            if pd.api.types.is_float_dtype(g):
+                eq = np.allclose(
+                    g.to_numpy(float), x.to_numpy(float), atol=1e-9, equal_nan=True
+                )
+            else:
+                eq = (g.fillna("N").astype(str) == x.fillna("N").astype(str)).all()
+            if not eq:
+                bad_cols.append(c)
+        out["detail"] = f"value diff in columns: {bad_cols or 'ulp-level float'}"
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--fixture-sf",
+        default="/root/testdata/sf0.01",
+        help="sf dir for fixture-backed oracles (committed fixtures are "
+        "generated at sf0.01 by tools/make_fixtures.py; when sweeping at "
+        "sf0.001 for speed, fixture queries still run here)",
+    )
+    ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--only", default="", help="comma-separated query subset")
+    ap.add_argument("--limit", type=int, default=0, help="check only the first N queries (driver-cap simulation)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+
+    sys.path.insert(0, str(REPO))
+    import __ray_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    names = list(queries)
+    if args.only:
+        want = set(args.only.split(","))
+        names = [n for n in names if n in want]
+    if args.limit:
+        names = names[: args.limit]
+
+    fails, t_all = [], time.time()
+    for name in names:
+        t0 = time.time()
+        sf_dir = (
+            args.fixture_sf
+            if name in oracles and "tests/fixtures/" in oracles[name]
+            else args.sf
+        )
+        try:
+            got = canonicalize(to_pandas(queries[name](sf_dir)))
+        except Exception as ex:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            status = "rows-only" if len(got.columns) else "EMPTY-SCHEMA"
+            if status == "EMPTY-SCHEMA":
+                fails.append(name)
+            print(f"{name}: {status} ({len(got)} rows, {time.time()-t0:.2f}s)")
+            continue
+        try:
+            exp = canonicalize(run_oracle(oracles[name], sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name}: ORACLE-ERROR {type(ex).__name__}: {ex}")
+            continue
+        r = compare(got, exp)
+        ok = r["rows_match"] and r["schema_match"] and r["dtype_match"] and r["hash_match"]
+        if not ok:
+            fails.append(name)
+        flags = " ".join(k for k, v in r.items() if v is False)
+        print(
+            f"{name}: {'MATCH' if ok else 'MISMATCH [' + flags + '] ' + r['detail']}"
+            f" ({len(got)} rows, {time.time()-t0:.2f}s)"
+        )
+    print(f"\n{len(names)-len(fails)}/{len(names)} green in {time.time()-t_all:.1f}s")
+    print("FAILS:", fails)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
