@@ -98,14 +98,24 @@ def bloom_semijoin(
     bits = build_bloom(key_ds, key_on, n_bits=n_bits, n_hashes=n_hashes)
 
     # exact verify set: distinct keys, pre-shrunk by a groupby — refuse
-    # rather than silently materialize an oversized driver array
-    distinct = key_ds.groupby(key_on).aggregate(Count(alias_name="__c")).drop_columns(["__c"])
-    keys_df = distinct.to_pandas()
-    if len(keys_df) > max_exact_keys:
+    # rather than silently materialize an oversized driver array.
+    # GUARD BEFORE COLLECT: materialize to the (spillable) object store,
+    # count there, and only then pull into driver heap — an oversized
+    # key side must hit the refusal, never a driver OOM (same fix class
+    # as decontam's guard-before-collect).
+    distinct = (
+        key_ds.groupby(key_on)
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .materialize()
+    )
+    n_distinct = distinct.count()
+    if n_distinct > max_exact_keys:
         raise ValueError(
-            f"bloom_semijoin: {len(keys_df)} distinct keys exceed max_exact_keys="
+            f"bloom_semijoin: {n_distinct} distinct keys exceed max_exact_keys="
             f"{max_exact_keys}; chain the bloom survivors into shuffle_hash_join instead"
         )
+    keys_df = distinct.to_pandas()
     exact = np.sort(keys_df[key_on].to_numpy())
     ref = ray.put((bits, exact))
 

@@ -172,21 +172,48 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
     """IVF approximate top-k — the second scale path next to
     :func:`lsh_topk` (SURVEY brief: "an IVF or LSH-bucketed variant").
 
-    Centroids come from a seeded mini k-means over a driver-side sample
-    (``ds.limit(train_sample)``), broadcast once with the query matrix.
-    Each batch scores ONLY its vectors assigned to one of the query's
-    ``nprobe`` nearest centroids — compute drops by ~nprobe/n_centroids
-    vs brute force — then the per-batch winners reduce exactly like the
-    exact path. Deterministic; recall depends on nprobe."""
+    Centroids come from a seeded mini k-means over a UNIFORM sample:
+    each batch keeps its ``train_sample`` smallest hash(id) rows, a
+    small distributed sort takes the global bottom-``train_sample``
+    (bottom-k by a deterministic hash == a uniform sample — no count
+    pass, no dependence on block order). A plain ``ds.limit()`` prefix
+    would train on whatever region of the space the first blocks hold;
+    on sorted/clustered corpora (the common case at scale) that biases
+    every centroid into one region and recall degrades silently.
+    Each batch then scores ONLY its vectors assigned to one of the
+    query's ``nprobe`` nearest centroids — compute drops by
+    ~nprobe/n_centroids vs brute force — then the per-batch winners
+    reduce exactly like the exact path. Deterministic; recall depends
+    on nprobe."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
     import ray
 
+    from rayqual.functions.hashing import bucket_hash
+
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids if query_ids is not None else np.arange(len(qm)))
 
-    sample_rows = ds.limit(train_sample).to_pandas()
+    def _train_prune(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        # int64 bit-view: uint64 keys > 2^63 demote the Ray sort to
+        # pickled-object blocks (the round-2 minhash regression)
+        h = bucket_hash(ids).view(np.int64)
+        if train_sample < len(ids):
+            sel = np.argpartition(h, train_sample - 1)[:train_sample]
+        else:
+            sel = np.arange(len(ids))
+        return pa.table(
+            {"__h": pa.array(h[sel]), vec_col: b.column(vec_col).take(pa.array(sel))}
+        )
+
+    sample_rows = (
+        ds.map_batches(_train_prune, batch_format="pyarrow")
+        .sort("__h")
+        .limit(train_sample)
+        .to_pandas()
+    )
     sm = _normalize(np.stack(sample_rows[vec_col].to_numpy()).astype(np.float64))
     cents = _kmeans_lite(sm, n_centroids)
     # per query: the nprobe nearest centroids

@@ -251,9 +251,16 @@ def ivf_topk_py(ids: np.ndarray, vecs: np.ndarray, queries: np.ndarray, qids: li
                 k: int = 10, n_centroids: int = 16, nprobe: int = 4,
                 train_sample: int = 2048, kmeans_seed: int = 13) -> list:
     """Naive IVF top-k replicating the spec'd seeded mini-kmeans
-    (sample = first train_sample rows in file order) + nprobe lists."""
+    (training sample = the train_sample rows with the smallest
+    splitmix64(id) viewed as int64, ascending — the uniform
+    bottom-k-by-hash sample, NOT a file-order prefix) + nprobe lists."""
     vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-    sm = vn[:train_sample]
+    h_signed = [
+        h - (1 << 64) if h >= (1 << 63) else h
+        for h in (_splitmix64_py(int(i)) for i in ids)
+    ]
+    order = sorted(range(len(ids)), key=lambda r: h_signed[r])[:train_sample]
+    sm = vn[np.asarray(order, dtype=np.int64)]
     rng = np.random.default_rng(kmeans_seed)
     cents = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)].copy()
     for _ in range(8):

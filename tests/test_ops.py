@@ -370,6 +370,76 @@ def test_ivf_topk_recall(ray_session):
     assert 10 in set(approx.loc[approx["query_id"] == 0, "id"])
 
 
+def test_ivf_topk_clustered_input_not_prefix_biased(ray_session):
+    """Input SORTED BY CLUSTER: a file-order prefix training sample sees
+    only the first cluster's region of the space, so prefix-trained
+    centroids collapse there and recall on queries from the LAST
+    cluster dies. The shipped sampler (bottom-k by hash(id)) must see
+    the whole keyspace and hold recall >= 0.8 where prefix training
+    demonstrably fails the bar."""
+    from rayqual.ops.similarity import (
+        _kmeans_lite,
+        _normalize,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, per, n_clusters = 16, 100, 8
+    centers = _normalize(rng.standard_normal((n_clusters, dim)) * 4.0)
+    rows = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.15 for c in range(n_clusters)]
+    )  # cluster-sorted on purpose
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(8)
+    # queries from the LAST cluster — unseen by any prefix sample
+    q_rows = [700, 720, 770]
+    qs = rows[q_rows]
+    train_n = per  # sample budget = one cluster's worth of rows
+    exact = brute_force_topk(ds, qs, k=5, query_ids=q_rows).to_pandas()
+
+    def recall(approx):
+        hits = total = 0
+        for qi in q_rows:
+            e = set(exact.loc[exact["query_id"] == qi, "id"])
+            a = set(approx.loc[approx["query_id"] == qi, "id"])
+            hits += len(e & a)
+            total += len(e)
+        return hits / total
+
+    got = ivf_topk(
+        ds, qs, k=5, query_ids=q_rows, n_centroids=8, nprobe=1, train_sample=train_n
+    ).to_pandas()
+    assert recall(got) >= 0.8, recall(got)
+
+    # counterfactual: centroids trained on the file-order PREFIX (the
+    # pre-fix behavior) miss the last cluster's region entirely
+    vn = _normalize(rows.astype(np.float64))
+    prefix_cents = _kmeans_lite(vn[:train_n], 8)
+    assign = np.argmax(vn @ prefix_cents.T, axis=1)
+    probe = np.argmax(qs @ prefix_cents.T, axis=1)
+    hits = total = 0
+    for i, qi in enumerate(q_rows):
+        cand = np.flatnonzero(assign == probe[i])
+        cand = cand[cand != qi]
+        sims = vn[cand] @ _normalize(qs[i : i + 1].astype(np.float64))[0]
+        top = set(
+            int(c) for c in cand[np.argsort(-sims)[:5]]
+        )
+        e = set(exact.loc[exact["query_id"] == qi, "id"])
+        hits += len(e & top)
+        total += len(e)
+    assert hits / total < 0.8, (
+        "prefix training unexpectedly survived the clustered layout; "
+        "the counterfactual lost its teeth"
+    )
+
+
 def test_sharded_export(ray_session, tmp_path):
     """Sharded export: lossless, deterministic across runs, shards
     statistically balanced, hive layout readable per shard."""

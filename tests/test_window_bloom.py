@@ -215,8 +215,22 @@ def test_bloom_build_has_no_false_negatives(ray_session):
     assert hit.all(), "a member key missed the bloom filter"
 
 
-def test_bloom_semijoin_refuses_oversized_key_set(ray_session):
+def test_bloom_semijoin_refuses_oversized_key_set(ray_session, monkeypatch):
+    """The refusal must fire BEFORE any driver-heap materialization:
+    at 100 TB an oversized key side has to hit the ValueError, never a
+    driver OOM inside to_pandas (guard-before-collect)."""
+    import ray.data
+
     from rayqual.ops.bloom import bloom_semijoin
+
+    calls = []
+    orig = ray.data.Dataset.to_pandas
+
+    def counting_to_pandas(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", counting_to_pandas)
 
     keys = pd.DataFrame({"key": np.arange(100, dtype=np.int64)})
     big = pd.DataFrame({"id": np.arange(10, dtype=np.int64)})
@@ -226,7 +240,23 @@ def test_bloom_semijoin_refuses_oversized_key_set(ray_session):
             ray_session.data.from_pandas(keys),
             big_on="id",
             key_on="key",
-            max_exact_keys=50,
+            max_exact_keys=10,
+        )
+    assert calls == [], "to_pandas ran before the max_exact_keys guard"
+
+
+def test_incremental_dedup_inherits_guard(ray_session):
+    """incremental_dedup routes through bloom_semijoin and must inherit
+    the guard-before-collect refusal."""
+    from rayqual.ops.bloom import incremental_dedup
+
+    new = pd.DataFrame({"text": [f"new-{i}" for i in range(20)]})
+    old = pd.DataFrame({"text": [f"old-{i}" for i in range(40)]})
+    with pytest.raises(ValueError, match="max_exact_keys"):
+        incremental_dedup(
+            ray_session.data.from_pandas(new),
+            ray_session.data.from_pandas(old),
+            max_exact_keys=10,
         )
 
 
