@@ -960,6 +960,83 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_lag_events(sf_dir: str):
+    """Per-user previous event timestamp (SQL lag() window) — session
+    gap features. ops/window.py grouped_shift: users hash-bucketed, one
+    lexsort + boundary-masked slice per bucket; the exchange carries
+    (user_id, ts_us, event_id) only. Sentinel -1 keeps the output int64
+    (a NULL int64 would arrive in pandas as float64 and diverge from
+    the oracle dtype — the running_order_total lesson)."""
+    import ray.data
+
+    from rayqual.ops.window import grouped_shift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    out = grouped_shift(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="ts_us",
+        periods=1,
+        out_col="prev_ts_us",
+        fill_value=-1,
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "prev_ts_us"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_lead_events(sf_dir: str):
+    """Per-user NEXT event id (SQL lead() window; value column distinct
+    from the ordering columns). Same bucketed grouped_shift shape as
+    q_lag_events with periods=-1."""
+    import ray.data
+
+    from rayqual.ops.window import grouped_shift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    out = grouped_shift(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="event_id",
+        periods=-1,
+        out_col="next_event_id",
+        fill_value=-1,
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "next_event_id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_urgent_lineitem_by_flag(sf_dir: str):
     """Semi-join via broadcast bloom filter: lineitems of URGENT orders,
     aggregated by return flag. The fact table is never shuffled — a
@@ -2099,6 +2176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3's single red row, fixed this round (oracle dtype) ---
         "running_order_total": q_running_order_total,
         # --- new in round 4 ---
+        "lag_events": q_lag_events,
+        "lead_events": q_lead_events,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2507,6 +2586,20 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ) AS BIGINT) AS running_cents
             FROM orders
+        """,
+        "lag_events": """
+            SELECT event_id,
+                   COALESCE(CAST(epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT), -1)
+                     AS prev_ts_us
+            FROM events
+        """,
+        "lead_events": """
+            SELECT event_id,
+                   COALESCE(lead(event_id) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), -1)
+                     AS next_event_id
+            FROM events
         """,
         "urgent_lineitem_by_flag": """
             SELECT l_returnflag,

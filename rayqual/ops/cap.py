@@ -29,15 +29,18 @@ import pyarrow as pa
 from rayqual.functions.hashing import bucket_hash
 
 
-def _cap_kernel(df: pd.DataFrame, key: str, order_col: str, k: int) -> pd.DataFrame:
-    """Keep the k smallest order_col per key. Vectorized: factorize the
-    key (C hash table), lexsort (order within key), segment-relative
-    rank via a repeat of segment starts."""
+def _cap_kernel(
+    df: pd.DataFrame, key: str, order_col: str, k: int, tiebreak: str | None
+) -> pd.DataFrame:
+    """Keep the k smallest (order_col[, tiebreak]) per key. Vectorized:
+    factorize the key (C hash table), lexsort (order within key),
+    segment-relative rank via a repeat of segment starts."""
     if len(df) == 0:
         return df
     codes, _ = pd.factorize(df[key].to_numpy(), sort=False)
     order = df[order_col].to_numpy()
-    perm = np.lexsort((order, codes))
+    keys = (order, codes) if tiebreak is None else (df[tiebreak].to_numpy(), order, codes)
+    perm = np.lexsort(keys)
     sc = codes[perm]
     starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
     seg_len = np.diff(np.append(starts, len(sc)))
@@ -46,22 +49,30 @@ def _cap_kernel(df: pd.DataFrame, key: str, order_col: str, k: int) -> pd.DataFr
     return df.iloc[np.sort(keep)]
 
 
-def cap_per_group(ds, key: str, order_col: str, k: int, n_buckets: int = 32):
+def cap_per_group(
+    ds, key: str, order_col: str, k: int, n_buckets: int = 32, tiebreak: str | None = None
+):
     """Dataset → Dataset with at most ``k`` rows per ``key`` (smallest
-    ``order_col`` values kept). Exact and deterministic for any
-    partitioning — stage 1 only prunes rows that can never win."""
+    ``order_col`` values kept). Exact, and deterministic for any
+    partitioning PROVIDED the sort is total per key: either
+    ``order_col`` is unique within each key (the doc_id case) or a
+    ``tiebreak`` column making (order_col, tiebreak) unique is given —
+    with ties at the k boundary and no tiebreak, which tied rows
+    survive the per-batch prune depends on batch layout (the
+    grouped_topk reasoning, which is why IT requires a tiebreak).
+    Stage 1 only prunes rows that can never win."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
 
     def partial(b: pa.Table) -> pa.Table:
-        df = _cap_kernel(b.to_pandas(), key, order_col, k)
+        df = _cap_kernel(b.to_pandas(), key, order_col, k, tiebreak)
         kb = bucket_hash(df[key].to_numpy()) % np.uint64(n_buckets)
         df = df.assign(_bucket=kb.astype(np.int64))
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return _cap_kernel(g, key, order_col, k).drop(columns=["_bucket"])
+        return _cap_kernel(g, key, order_col, k, tiebreak).drop(columns=["_bucket"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

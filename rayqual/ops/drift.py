@@ -40,6 +40,19 @@ def _drift_kernel(g: pd.DataFrame, key: str, value_col: str) -> pd.DataFrame:
     starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
     n_old = np.add.reduceat(co, starts)
     n_new = np.add.reduceat(cn, starts)
+    # int64 overflow guard (exact, in Python ints): every product term
+    # co*n_new <= n_old*n_new and the per-key sum drift_num <=
+    # 2*n_old*n_new, so one bound covers both the multiplies and the
+    # reduceat. numpy int64 wraps SILENTLY past 2^63 — at ~3e9 rows per
+    # key per snapshot the TVD would corrupt without this.
+    if len(starts):
+        worst = 2 * int(n_old.max()) * int(n_new.max())
+        if worst >= np.iinfo(np.int64).max:
+            raise OverflowError(
+                f"categorical_drift: 2*n_old*n_new = {worst} exceeds int64; "
+                "per-key snapshot totals are too large for the exact integer "
+                "path — pre-aggregate values into coarser categories"
+            )
     seg_len = np.diff(np.append(starts, len(sc)))
     num = np.abs(co * np.repeat(n_new, seg_len) - cn * np.repeat(n_old, seg_len))
     drift = np.add.reduceat(num, starts)

@@ -91,10 +91,20 @@ def mg_topk_tokens(
 
     Pass 2 (verify): the top ~2k candidate tokens are broadcast and
     counted EXACTLY in one more scan (batch pre-combine → tiny
-    groupby). Completeness is CHECKED, not assumed: any non-candidate
-    token's true count is ≤ D, so if the k-th exact candidate count
-    is > D the result provably equals the exact top-k; otherwise this
-    raises with the measured D (increase m). Returns the same
+    groupby). Completeness is CHECKED, not assumed, against BOTH ways
+    a true top-k token could evade the recount:
+
+    * never survived the sketch — true count ≤ D;
+    * survived the sketch but fell below the 2k recount-cohort cutoff
+      — sketch count ≤ c_cut (the smallest sketch count inside the
+      cohort), so true count ≤ c_cut + D.
+
+    Hence if the k-th exact cohort count is > c_cut + D (or > D when
+    every survivor was recounted) the result provably equals the
+    exact top-k; otherwise this raises with the measured bound
+    (increase m). D == 0 means no compress ever fired, the sketch IS
+    exact, and the deterministic (cnt desc, token asc) cohort order
+    makes the result exact without the margin. Returns the same
     (token, cnt) frame as :func:`topk_tokens`.
     """
     from rayqual import ship_to_workers as _stw
@@ -144,7 +154,13 @@ def mg_topk_tokens(
     # the cohort is broadcast once and probed with Arrow is_in (C++
     # hash membership — no per-row Python)
     order = np.lexsort((toks, -cnts))
-    cohort = toks[order[: max(2 * k, k + 8)]]
+    cohort_size = max(2 * k, k + 8)
+    cohort = toks[order[:cohort_size]]
+    # smallest sketch count inside the cohort: a surviving token left
+    # OUT of the recount has sketch count <= this, so true count
+    # <= c_cut + D — the second evasion channel the completeness
+    # check must close (not just the never-sketched <= D one)
+    c_cut = int(cnts[order[cohort_size - 1]]) if len(toks) > cohort_size else 0
     cohort_ref = ray.put(pa.array(cohort, pa.string()))
 
     def recount(b: pa.Table) -> pa.Table:
@@ -160,10 +176,15 @@ def mg_topk_tokens(
     )
     out = _local_topk(exact, k).reset_index(drop=True)
     kth = int(out["cnt"].iloc[-1]) if len(out) >= k else 0
-    if kth <= total_decr:
+    # with D == 0 the sketch is exact (no compress ever fired) and the
+    # (cnt desc, token asc) cohort order already matches the top-k
+    # tie-break, so the result is exact with no margin needed
+    bound = c_cut + total_decr
+    if total_decr > 0 and kth <= bound:
         raise ValueError(
-            f"mg_topk_tokens: completeness not provable (k-th count {kth} <= "
-            f"total MG decrement {total_decr}); increase m (currently {m})"
+            f"mg_topk_tokens: completeness not provable (k-th exact count "
+            f"{kth} <= cohort-cutoff sketch count {c_cut} + total MG "
+            f"decrement {total_decr}); increase m (currently {m})"
         )
     out["cnt"] = out["cnt"].astype("int64")
     return out

@@ -84,11 +84,35 @@ def shuffle_hash_join(
 
     def bucketed(key_col: str, cols: list[str], role: int):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # SQL join semantics: NULL matches nothing. Without this,
+            # null int keys become NaN (strings None) in the per-bucket
+            # pandas merge, and pandas matches NaN/None keys as EQUAL —
+            # inner-joining null to null (skew_hash_join's cold path
+            # deliberately routes null fact keys here). Right-side null
+            # keys always drop; left-side ones drop for inner but are
+            # PRESERVED for how="left" (they emit null right columns —
+            # with the right side's nulls gone, the pandas merge has
+            # nothing to NaN-match them against).
+            if role == 1 or how == "inner":
+                b = b.filter(pc.is_valid(b.column(key_col)))
             key = b.column(key_col)
             if isinstance(key, pa.ChunkedArray):
                 key = key.combine_chunks()
-            arr = key.to_numpy(zero_copy_only=False)
-            bucket = (bucket_hash(arr) % np.uint64(n_buckets)).astype(np.int64)
+            if key.null_count:
+                # hash only the valid slots in the key's NATIVE dtype —
+                # to_numpy on an int64-with-nulls column upcasts the
+                # whole array to float64, and hash(5.0) != hash(5)
+                # would silently bucket the two sides apart; null rows
+                # take bucket 0 (they match nothing, any bucket works)
+                vmask = pc.is_valid(key).to_numpy(zero_copy_only=False)
+                bucket = np.zeros(len(b), dtype=np.int64)
+                vkeys = key.drop_null().to_numpy(zero_copy_only=False)
+                bucket[vmask] = (bucket_hash(vkeys) % np.uint64(n_buckets)).astype(np.int64)
+            else:
+                arr = key.to_numpy(zero_copy_only=False)
+                bucket = (bucket_hash(arr) % np.uint64(n_buckets)).astype(np.int64)
             data = {"__bucket": pa.array(bucket), "__key": key.cast(key_type),
                     "__role": pa.array(np.full(len(b), role, dtype=np.int8))}
             for name, typ in out_fields[3:]:

@@ -79,10 +79,13 @@ def grouped_topk(
     extra = [c for c in (extra_cols or []) if c not in (key, order, tiebreak)]
     cols = [key, order, tiebreak] + extra
 
-    def _select(tbl: pa.Table, cap: int, with_rank: bool) -> pa.Table:
-        kv = tbl.column(key).to_numpy(zero_copy_only=False)
-        ov = tbl.column(order).to_numpy(zero_copy_only=False).astype(np.int64)
-        tv = tbl.column(tiebreak).to_numpy(zero_copy_only=False).astype(np.int64)
+    def _topk_core(
+        kv: np.ndarray, ov: np.ndarray, tv: np.ndarray, cap: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Numpy-only top-k selection — shared by the Arrow per-batch
+        prune and the pandas per-bucket final so neither converts
+        formats just to reuse it. Returns (row indices, 0-based
+        ranks)."""
         # exact per-table key codes (no hash-collision run corruption)
         codes = pd.factorize(kv)[0].astype(np.int64)
         o_sort = -ov if descending else ov
@@ -91,21 +94,32 @@ def grouped_topk(
         starts = _segment_starts(codes[idx])
         rank = _rank_within_runs(len(idx), starts)
         keep = rank < cap
-        sel = tbl.take(pa.array(idx[keep]))
-        if with_rank:
-            sel = sel.append_column(rank_col, pa.array(rank[keep] + 1, type=pa.int64()))
-        return sel
+        return idx[keep], rank[keep]
 
     def prune_batch(b: pa.Table) -> pa.Table:
         b = b.select(cols)
-        out = _select(b, k, with_rank=False)
+        sel, _ = _topk_core(
+            b.column(key).to_numpy(zero_copy_only=False),
+            b.column(order).to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column(tiebreak).to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+        out = b.take(pa.array(sel))
         kv = out.column(key).to_numpy(zero_copy_only=False)
         bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
         return out.append_column("__bucket", pa.array(bucket))
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tbl = pa.Table.from_pandas(g.drop(columns="__bucket"), preserve_index=False)
-        return _select(tbl, k, with_rank=True).to_pandas()
+        # one pandas->numpy extraction per bucket; no Arrow round-trip
+        sel, rank = _topk_core(
+            g[key].to_numpy(),
+            g[order].to_numpy(np.int64),
+            g[tiebreak].to_numpy(np.int64),
+            k,
+        )
+        out = g.iloc[sel][cols].reset_index(drop=True)
+        out[rank_col] = rank + 1
+        return out
 
     return (
         ds.map_batches(prune_batch, batch_format="pyarrow")
@@ -161,4 +175,84 @@ def grouped_running_sum(
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def grouped_shift(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "shifted",
+    fill_value: int | None = None,
+    n_buckets: int = 32,
+):
+    """Per-``key`` lag/lead of ``value_col`` in ``order_cols`` order —
+    SQL ``lag(value) OVER (PARTITION BY key ORDER BY ...)`` for
+    ``periods > 0``, ``lead`` for ``periods < 0``. The most common
+    remaining window shape (session gap features, delta encoding).
+
+    Same bucketed shape as :func:`grouped_running_sum`: keys are
+    hash-bucketed, one lexsort per bucket orders (key, order_cols...),
+    and the shift is a single slice per bucket with a per-key boundary
+    mask — no per-key dispatch, no global sort. All of ``order_cols``
+    and ``value_col`` must be int64-castable; (key, *order_cols) must
+    be unique for a deterministic result.
+
+    Rows without a lag/lead partner (the first/last ``|periods|`` rows
+    of each key) get ``fill_value`` if given, else NULL — note a NULL
+    int64 column arrives in pandas as float64, so callers that need
+    dtype-stable output (the driver's hash compares dtypes) should
+    pass a sentinel ``fill_value``.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    if periods == 0:
+        raise ValueError("grouped_shift: periods must be non-zero (positive=lag, negative=lead)")
+    # value_col may coincide with an order column (lag of the ordering
+    # timestamp is the common session-gap case) — select each once
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        kv = g[key].to_numpy()
+        sort_keys = tuple(g[c].to_numpy(np.int64) for c in reversed(order_cols))
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(sort_keys + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        v = g[value_col].to_numpy(np.int64)
+        n = len(v)
+        p = periods
+        shifted = np.empty(n, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        sorted_codes = codes[idx]
+        if n:
+            if p > 0:  # lag: partner is p rows earlier, same key
+                shifted[p:] = v[:-p] if p < n else 0
+                valid[p:] = sorted_codes[p:] == sorted_codes[:-p] if p < n else False
+            else:  # lead: partner is |p| rows later, same key
+                q = -p
+                shifted[:-q] = v[q:] if q < n else 0
+                valid[:-q] = sorted_codes[:-q] == sorted_codes[q:] if q < n else False
+        if fill_value is not None:
+            out = np.where(valid, shifted, np.int64(fill_value))
+            g[out_col] = out
+        else:
+            col = pd.array(shifted, dtype="int64")
+            g[out_col] = pd.Series(col).mask(~valid)
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(shift_bucket, batch_format="pandas")
     )

@@ -104,3 +104,31 @@ def test_categorical_drift_partition_invariant(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_drift_kernel_overflow_guard():
+    """Past ~3e9 rows per key per snapshot the int64 products in the
+    TVD numerator would wrap SILENTLY; the kernel must refuse instead
+    (no Ray needed — the kernel is pure numpy/pandas)."""
+    import pandas as pd
+    import pytest
+
+    from rayqual.ops.drift import _drift_kernel
+
+    big = 4_000_000_000  # per-side totals whose product exceeds 2^63/2
+    g = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "v": ["x", "y"],
+            "c_old": [big, 1],
+            "c_new": [1, big],
+        }
+    )
+    with pytest.raises(OverflowError, match="exceeds int64"):
+        _drift_kernel(g, "k", "v")
+    # well inside the bound: still exact
+    small = pd.DataFrame(
+        {"k": ["a", "a"], "v": ["x", "y"], "c_old": [3, 1], "c_new": [1, 3]}
+    )
+    out = _drift_kernel(small, "k", "v")
+    assert out["drift_num"].tolist() == [abs(3 * 4 - 1 * 4) + abs(1 * 4 - 3 * 4)]

@@ -277,3 +277,35 @@ def test_rollup_counts_three_levels(ray_session):
         gf[["a", "b", "n_rows", "v"]].astype({"n_rows": "int64", "v": "int64"}),
         fine.sort_values(["a", "b"]).reset_index(drop=True).astype({"n_rows": "int64", "v": "int64"}),
     )
+
+
+def test_cap_per_group_tiebreak_partition_invariant(ray_session):
+    """Ties at the k boundary: without a tiebreak the surviving rows
+    depend on batch layout; with one the result is identical for every
+    partitioning."""
+    import ray.data
+
+    from rayqual.ops.cap import cap_per_group
+
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(20), 30),
+            "o": np.zeros(n, dtype=np.int64),  # ALL rows tie on order
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    results = []
+    for parts in (1, 4, 9):
+        ds = ray_session.data.from_pandas(df).repartition(parts)
+        got = (
+            cap_per_group(ds, "k", "o", k=3, n_buckets=8, tiebreak="id")
+            .to_pandas()
+            .sort_values(["k", "id"])
+            .reset_index(drop=True)
+        )
+        results.append(got)
+    assert results[0].equals(results[1]) and results[1].equals(results[2])
+    # the deterministic winners are the 3 smallest ids per key
+    exp = df.sort_values(["k", "o", "id"]).groupby("k").head(3)
+    assert sorted(results[0]["id"]) == sorted(exp["id"])

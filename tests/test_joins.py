@@ -199,3 +199,55 @@ def test_shuffle_hash_join_matches_pandas(ray_session):
         pd.testing.assert_series_equal(
             got["rv"].astype("Float64"), exp["rv"].astype("Float64"), check_names=False
         )
+
+
+def test_shuffle_hash_join_null_keys_sql_semantics(ray_session):
+    """SQL join semantics for NULL keys: NULL matches NOTHING. pandas'
+    per-bucket merge would otherwise match NaN/None keys as equal —
+    inner join must drop null-key rows from both sides; left join must
+    preserve null-key LEFT rows with null right columns but never pair
+    them with null-key right rows."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from rayqual.ops.joins import shuffle_hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, None, 5], pa.int64()),
+            "lv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None, 5, 5], pa.int64()),
+            "rv": pa.array([100, 200, 300, 400], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    for how, sql_join in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        got = (
+            shuffle_hash_join(
+                ray.data.from_arrow(left).repartition(2),
+                ray.data.from_arrow(right).repartition(2),
+                "k", "k", ["lv"], ["rv"], n_buckets=4, how=how,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(f"SELECT l.k, l.lv, r.rv FROM l {sql_join} r USING (k)")
+            .df()
+            .sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), (how, got, exp)
+        assert got["lv"].tolist() == exp["lv"].tolist(), how
+        g_rv, e_rv = got["rv"].astype("Float64"), exp["rv"].astype("Float64")
+        assert (g_rv.isna() == e_rv.isna()).all(), how
+        assert (g_rv.dropna().to_numpy() == e_rv.dropna().to_numpy()).all(), how
+    con.close()

@@ -679,3 +679,45 @@ def test_mg_topk_matches_exact_and_bound_check_fires(ray_session):
 
     with pytest.raises(ValueError, match="completeness not provable"):
         mg_topk_tokens(ds, "text", k=5, m=4)
+
+
+def test_mg_topk_cohort_cutoff_channel_not_just_decrement(ray_session):
+    """The completeness check must close BOTH evasion channels. A token
+    that SURVIVED the sketch but fell below the 2k recount cohort can
+    have true count up to (cohort-cutoff sketch count + D) — when top
+    counts are near-tied that exceeds the k-th exact count even though
+    the k-th count is far above D alone. The old `kth > D` check
+    silently accepted this; the fixed check must raise, and the raise
+    message must show kth > D (proving this case is the new channel,
+    not the old one)."""
+    import re
+
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from rayqual.ops.heavyhitters import mg_topk_tokens
+
+    rng = np.random.default_rng(23)
+    # 40 near-tied heavy tokens (counts ~100 each, > 2k cohort of 10)
+    # plus a wide tail that forces MG compression (D > 0) at small m
+    heavy = [f"mid{i:02d}" for i in range(40)]
+    docs = []
+    for w in heavy:
+        docs.extend([w] * 100)
+    tail = [f"tail{i}" for i in range(2000)]
+    docs.extend(rng.choice(tail, size=4000).tolist())
+    rng.shuffle(docs)
+    texts = [" ".join(docs[i : i + 50]) for i in range(0, len(docs), 50)]
+    ds = ray.data.from_items([{"text": s} for s in texts]).repartition(8)
+
+    with pytest.raises(ValueError, match="cohort-cutoff") as ei:
+        mg_topk_tokens(ds, "text", k=5, m=64)
+    nums = re.search(
+        r"count (\d+) <= cohort-cutoff sketch count (\d+) \+ total MG decrement (\d+)",
+        str(ei.value),
+    )
+    assert nums, str(ei.value)
+    kth, c_cut, d = map(int, nums.groups())
+    assert kth > d, "case degenerated into the old (<= D) channel — rebuild the corpus"
+    assert kth <= c_cut + d

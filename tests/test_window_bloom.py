@@ -125,6 +125,56 @@ def test_grouped_running_sum_multi_order_cols(ray_session):
     pd.testing.assert_frame_equal(got[["tid", "running"]], exp[["tid", "running"]])
 
 
+def test_grouped_shift_lag_lead_matches_pandas(ray_session):
+    """grouped_shift == pandas groupby().shift() for lag AND lead,
+    invariant to partitioning, with both the sentinel fill and the
+    NULL fill path."""
+    from rayqual.ops.window import grouped_shift
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    for periods in (1, -1, 3):
+        exp = df.sort_values(["k", "o"]).copy()
+        exp["s"] = exp.groupby("k")["v"].shift(periods)
+        exp_map = dict(zip(exp["o"], exp["s"].fillna(-999).astype(np.int64)))
+        for parts in (1, 7):
+            ds = ray_session.data.from_pandas(df).repartition(parts)
+            got = grouped_shift(
+                ds, key="k", order_cols=["o"], value_col="v",
+                periods=periods, out_col="s", fill_value=-999, n_buckets=8,
+            ).to_pandas()
+            assert len(got) == n
+            assert got["s"].dtype == np.int64
+            assert all(exp_map[o] == s for o, s in zip(got["o"], got["s"]))
+    # NULL fill path: first row per key is NaN/<NA>
+    ds = ray_session.data.from_pandas(df)
+    got = grouped_shift(
+        ds, key="k", order_cols=["o"], value_col="v", periods=1, out_col="s",
+    ).to_pandas()
+    exp = df.sort_values(["k", "o"]).copy()
+    exp["s"] = exp.groupby("k")["v"].shift(1)
+    merged = got.merge(exp[["o", "s"]], on="o", suffixes=("_got", "_exp"))
+    nulls_match = merged["s_got"].isna() == merged["s_exp"].isna()
+    assert nulls_match.all()
+    both = merged.dropna(subset=["s_got"])
+    assert (both["s_got"].astype(np.int64) == both["s_exp"].astype(np.int64)).all()
+
+
+def test_grouped_shift_rejects_zero_periods(ray_session):
+    from rayqual.ops.window import grouped_shift
+
+    ds = ray_session.data.from_pandas(pd.DataFrame({"k": [1], "o": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="periods"):
+        grouped_shift(ds, key="k", order_cols=["o"], value_col="v", periods=0)
+
+
 def test_bloom_semijoin_exact(ray_session):
     from rayqual.ops.bloom import bloom_semijoin
 
