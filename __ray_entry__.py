@@ -1541,6 +1541,29 @@ def q_ngram_jaccard_docs(sf_dir: str):
     return pa.table({"doc_id": pa.array(losers, pa.int64())})
 
 
+def q_simhash_dedup_distributed_docs(sf_dir: str):
+    """SimHash dedup with NOTHING on the driver: band buckets, verified
+    pairs and cluster labels all stay Datasets; losers from
+    hash-bucketed min-label propagation (ops/cc.py). Equals
+    simhash_dedup_docs by construction — the oracle is the SAME
+    committed fixture."""
+    from rayqual.ops.neardup import simhash_dedup_losers_distributed
+
+    out = simhash_dedup_losers_distributed(_docs(sf_dir), "doc_id", "text", max_hamming=3)
+    return _typed(out, {"id": "int64"}).rename(columns={"id": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_jaccard_distributed_docs(sf_dir: str):
+    """Exact-Jaccard dedup with distributed cluster resolution (the
+    verified pair dataset feeds connected components instead of a
+    driver union-find; the candidate list remains the documented
+    driver-bounded stage). Same fixture oracle as ngram_jaccard_docs."""
+    from rayqual.ops.neardup import ngram_jaccard_losers_distributed
+
+    out = ngram_jaccard_losers_distributed(_docs(sf_dir), "doc_id", "text", threshold=0.7)
+    return _typed(out, {"id": "int64"}).rename(columns={"id": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lsh_embed_neardup_docs(sf_dir: str, threshold: float = 0.95):
     """Random-hyperplane LSH near-dup over embeddings (the scale path
     for embed_neardup_pairs): bucketed, seeded, no driver collect.
@@ -2178,6 +2201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4 ---
         "lag_events": q_lag_events,
         "lead_events": q_lead_events,
+        "simhash_dedup_distributed_docs": q_simhash_dedup_distributed_docs,
+        "ngram_jaccard_distributed_docs": q_ngram_jaccard_distributed_docs,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2759,6 +2784,14 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/simhash_dedup_docs_sf001_expected.parquet')
         """,
         "ngram_jaccard_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/ngram_jaccard_docs_sf001_expected.parquet')
+        """,
+        "simhash_dedup_distributed_docs": f"""
+            SELECT doc_id
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/simhash_dedup_docs_sf001_expected.parquet')
+        """,
+        "ngram_jaccard_distributed_docs": f"""
             SELECT doc_id
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/ngram_jaccard_docs_sf001_expected.parquet')
         """,

@@ -525,13 +525,15 @@ def minhash_dedup_losers_distributed(
     return component_losers(good_pairs, max_rounds=cc_rounds)
 
 
-def simhash_dedup_losers(
+def _simhash_pairs_ds(
     ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3,
     max_bucket: int = 500, strict: bool = False,
-) -> list:
-    """SimHash near-dup: 4×16-bit band LSH guarantees every pair with
-    hamming distance ≤ 3 shares at least one band (pigeonhole); full
-    64-bit hamming verified inside the bucket."""
+):
+    """Verified simhash near-dup pairs as a DATASET (never the driver):
+    4×16-bit band LSH guarantees every pair with hamming distance ≤ 3
+    shares at least one band (pigeonhole); full 64-bit hamming verified
+    inside the bucket. Shared by the driver (union-find) and
+    distributed (connected-components) loser paths."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
@@ -578,14 +580,46 @@ def simhash_dedup_losers(
         ok = dist <= max_hamming
         return pd.DataFrame({"id_a": ids[a_idx[ok]], "id_b": ids[b_idx[ok]]})
 
-    pairs = (
+    return (
         _prune_singleton_buckets(ds.map_batches(sigs, batch_format="pyarrow"))
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def simhash_dedup_losers(
+    ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3,
+    max_bucket: int = 500, strict: bool = False,
+) -> list:
+    """Driver-result simhash near-dup losers (see
+    :func:`_simhash_pairs_ds`): the verified pair list — bounded by the
+    duplicate rate, not the corpus — is collected and union-found on
+    the driver. For corpora where even the pair list is unbounded use
+    :func:`simhash_dedup_losers_distributed`."""
+    pairs = _simhash_pairs_ds(
+        ds, id_col, text_col, shingle_size, max_hamming, max_bucket, strict
+    ).to_pandas()
     uniq = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     return sorted(_union_find_losers(sorted(uniq), set()))
+
+
+def simhash_dedup_losers_distributed(
+    ds, id_col: str, text_col: str, shingle_size: int = 8, max_hamming: int = 3,
+    max_bucket: int = 500, strict: bool = False, cc_rounds: int = 10,
+):
+    """Fully distributed simhash dedup — NOTHING touches the driver:
+    band buckets, verified pairs and cluster labels all stay Datasets;
+    losers come from hash-bucketed min-label propagation
+    (:func:`rayqual.ops.cc.component_losers`, O(component diameter)
+    rounds). Duplicate edges across bands are harmless to the label
+    propagation. Returns a Dataset of one ``id`` column (every
+    component member except its minimum)."""
+    from rayqual.ops.cc import component_losers
+
+    pairs_ds = _simhash_pairs_ds(
+        ds, id_col, text_col, shingle_size, max_hamming, max_bucket, strict
+    )
+    return component_losers(pairs_ds, max_rounds=cc_rounds)
 
 
 def ngram_jaccard_losers(
@@ -621,6 +655,48 @@ def ngram_jaccard_losers(
     good = _pair_key_verify(ds, id_col, cand, payload, verify).to_pandas()
     pairs = sorted(zip(good["id_a"], good["id_b"]))
     return sorted(_union_find_losers(pairs, set()))
+
+
+def ngram_jaccard_losers_distributed(
+    ds, id_col: str, text_col: str, shingle_size: int = 12, threshold: float = 0.7,
+    cc_rounds: int = 10, **minhash_kw
+):
+    """:func:`ngram_jaccard_losers` with the clustering distributed:
+    the VERIFIED pair dataset feeds hash-bucketed min-label propagation
+    (:func:`rayqual.ops.cc.component_losers`) instead of a driver
+    union-find, so cluster resolution scales with the exchange, not the
+    driver. Remaining driver bound (documented): the CANDIDATE pair
+    list from the MinHash propose stage still transits the driver to
+    index the verify cohorts — bounded by the duplicate rate; a corpus
+    whose candidate list alone overflows the driver should use
+    :func:`minhash_dedup_losers_distributed` (approximate-threshold,
+    zero driver contact). Returns a Dataset of one ``id`` column."""
+    from rayqual.functions.textstats import shingle_hashes, string_bytes
+    from rayqual.ops.cc import component_losers
+
+    cand = minhash_propose_pairs(ds, id_col, text_col, shingle_size=shingle_size, **minhash_kw)
+    if len(cand) == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+
+    def payload(sub: pa.Table) -> list:
+        sets = []
+        sb = string_bytes(sub.column(text_col))
+        for i in range(sb.n_docs):
+            b = sb.data[sb.starts[i]: sb.ends[i]]
+            sets.append(np.unique(shingle_hashes(b, shingle_size)))
+        return sets
+
+    def verify(sa, sb_):
+        if len(sa) == 0 or len(sb_) == 0:
+            return None
+        inter = len(np.intersect1d(sa, sb_, assume_unique=True))
+        j = inter / (len(sa) + len(sb_) - inter)
+        return j if j >= threshold else None
+
+    good = _pair_key_verify(ds, id_col, cand, payload, verify)
+    return component_losers(good, max_rounds=cc_rounds)
 
 
 def embedding_neardup_pairs(

@@ -130,6 +130,44 @@ def test_ngram_jaccard_dedup(ray_session):
     assert losers == [1, 4]
 
 
+def test_simhash_and_jaccard_distributed_match_driver(ray_session):
+    """The distributed (connected-components) loser paths must equal
+    the driver (union-find) paths — simhash pairs never touch the
+    driver at all; jaccard's verified pairs cluster distributedly."""
+    from rayqual.ops.neardup import (
+        ngram_jaccard_losers,
+        ngram_jaccard_losers_distributed,
+        simhash_dedup_losers,
+        simhash_dedup_losers_distributed,
+    )
+
+    texts = [BASE, BASE.replace("qty", "qtz"), FAR1, FAR2, BASE, NEAR]
+    ds = make_docs_ds(ray_session, texts)
+
+    drv = simhash_dedup_losers(ds, "doc_id", "text", max_hamming=6)
+    dist = sorted(
+        simhash_dedup_losers_distributed(ds, "doc_id", "text", max_hamming=6)
+        .to_pandas()["id"]
+    )
+    assert dist == drv
+
+    drv_j = ngram_jaccard_losers(ds, "doc_id", "text", threshold=0.6)
+    dist_j = sorted(
+        ngram_jaccard_losers_distributed(ds, "doc_id", "text", threshold=0.6)
+        .to_pandas()["id"]
+    )
+    assert dist_j == drv_j
+
+    # no-candidate corpus: distributed path returns an empty Dataset
+    # with the id column in its schema (to_pandas drops the schema of
+    # an empty Dataset — the documented Ray gotcha — so check the
+    # Dataset API)
+    ds2 = make_docs_ds(ray_session, [FAR1, FAR2])
+    empty_ds = ngram_jaccard_losers_distributed(ds2, "doc_id", "text")
+    assert empty_ds.count() == 0
+    assert empty_ds.schema().names == ["id"]
+
+
 def _emb_table(n=60, dim=16, seed=3):
     rng = np.random.default_rng(seed)
     base = rng.standard_normal((n, dim))
