@@ -960,6 +960,54 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_asof_latest_order_bucketed(sf_dir: str):
+    """The as-of join's SCALE path (ops/joins.py asof_bucketed_join):
+    both sides hash-bucketed on the customer key — the right side is a
+    DATASET, never a driver frame — each bucket resolves every probe
+    with the same packed-searchsorted kernel the broadcast path uses.
+    Same oracle as asof_latest_order."""
+    import ray.data
+
+    from rayqual.ops.joins import asof_bucketed_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+            }
+        )
+
+    def prep_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    out = asof_bucketed_join(
+        _events(sf_dir).map_batches(prep_events, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        key="user_id",
+        left_ts_us="ts_us",
+        right_ts_us="odate_us",
+        right_val="o_orderkey",
+        out_col="latest_orderkey",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "latest_orderkey"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_lag_events(sf_dir: str):
     """Per-user previous event timestamp (SQL lag() window) — session
     gap features. ops/window.py grouped_shift: users hash-bucketed, one
@@ -2203,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_events": q_lead_events,
         "simhash_dedup_distributed_docs": q_simhash_dedup_distributed_docs,
         "ngram_jaccard_distributed_docs": q_ngram_jaccard_distributed_docs,
+        "asof_latest_order_bucketed": q_asof_latest_order_bucketed,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2711,6 +2760,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         "asof_latest_order": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT e.event_id,
+                   (SELECT o_orderkey FROM j WHERE j.event_id = e.event_id AND rn = 1)
+                     AS latest_orderkey
+            FROM events e
+        """,
+        "asof_latest_order_bucketed": """
             WITH j AS (
               SELECT e.event_id, o.o_orderkey,
                      row_number() OVER (

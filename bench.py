@@ -125,6 +125,10 @@ def run_queries(sf_dir: str) -> dict:
         "distinct_users_by_type", "approx_distinct_users_by_type",
         "weighted_sample_docs", "shared_chunks_docs",
         "approx_len_quantiles_by_source",
+        # round 4
+        "lag_events", "lead_events", "asof_latest_order_bucketed",
+        "simhash_dedup_distributed_docs", "ngram_jaccard_distributed_docs",
+        "running_order_total",
     ]
     qs = entrymod.queries()
     out = {}

@@ -108,15 +108,23 @@ def exact_dedup_losers(
             }
         )
 
-    def join_losers(g: pd.DataFrame) -> pd.DataFrame:
+    # losers come back as ARROW string tables (not pandas object
+    # columns): empty object columns defeat Ray's block size estimator
+    # ("cannot call vectorize on size 0 inputs" noise per empty bucket)
+    # and object blocks are heavier in the exchange than Arrow strings
+    _EMPTY_KEYS = pa.table({"key": pa.array([], pa.string())})
+
+    def join_losers(g: pd.DataFrame) -> pa.Table:
         w = g[g["kmin"].notna()]
         if len(w) == 0:
-            return pd.DataFrame({"key": pd.Series([], dtype="object")})
+            return _EMPTY_KEYS
         kmin_of = pd.Series(w["kmin"].to_numpy(), index=w["h"].to_numpy())
         rows = g[g["key"].notna()]
         km = rows["h"].map(kmin_of)
-        losers = rows.loc[km.notna() & (rows["key"] != km), ["key"]]
-        return losers if len(losers) else pd.DataFrame({"key": pd.Series([], dtype="object")})
+        losers = rows.loc[km.notna() & (rows["key"] != km), "key"]
+        if not len(losers):
+            return _EMPTY_KEYS
+        return pa.table({"key": pa.array(losers.to_numpy(), pa.string())})
 
     return (
         groups.map_batches(winners_bucketed, batch_format="pyarrow")

@@ -385,6 +385,133 @@ def range_count_join(
     )
 
 
+def asof_bucketed_join(
+    left,
+    right,
+    key: str,
+    left_ts_us: str,
+    right_ts_us: str,
+    right_val: str,
+    out_col: str,
+    n_buckets: int = 64,
+):
+    """As-of join for a LARGE right side (the scale path
+    :func:`asof_broadcast_join`'s docstring promises): both sides are
+    hash-bucketed on the key and each bucket resolves every probe with
+    the same packed-searchsorted kernel the broadcast path uses —
+    python dispatch per bucket, never per key.
+
+    Semantics match :func:`asof_broadcast_join`: each left row gets the
+    ``right_val`` of the latest right row with the same key and
+    timestamp ≤ the left timestamp (ties → highest value; no such row →
+    null). Keys, timestamps and values are int64. Output: every left
+    column + ``out_col``.
+
+    Partitioning assumption (custom-operator rule): one key-hash bucket
+    of left+right rows fits a worker — size ``n_buckets`` to the
+    cluster; a single key's full history always lands in one bucket, so
+    a key whose history alone exceeds worker memory needs a coarser
+    history upstream (as-of joins cannot salt the build side)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def _types(ds_) -> dict:
+        s = ds_.schema()
+        out = {}
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(np.dtype(typ))
+            out[name] = typ
+        return out
+
+    lt = _types(left)
+    left_cols = [c for c in lt]
+    out_fields = (
+        [("__bucket", pa.int64()), ("__role", pa.int8()),
+         ("__k", pa.int64()), ("__t", pa.int64()), ("__v", pa.int64())]
+        + [(c, lt[c]) for c in left_cols]
+    )
+    union_schema = pa.schema(out_fields)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(left_ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (bucket_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+        data = {
+            "__bucket": pa.array(bucket),
+            "__role": pa.array(np.zeros(len(b), dtype=np.int8)),
+            "__k": pa.array(k),
+            "__t": pa.array(t),
+            "__v": pa.nulls(len(b), pa.int64()),
+        }
+        for c in left_cols:
+            data[c] = b.column(c).cast(lt[c])
+        return pa.table(data).cast(union_schema)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(right_ts_us).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(right_val).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (bucket_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+        data = {
+            "__bucket": pa.array(bucket),
+            "__role": pa.array(np.ones(len(b), dtype=np.int8)),
+            "__k": pa.array(k),
+            "__t": pa.array(t),
+            "__v": pa.array(v),
+        }
+        for c, typ in out_fields[5:]:
+            data[c] = pa.nulls(len(b), typ)
+        return pa.table(data).cast(union_schema)
+
+    out_schema = pa.schema([(c, lt[c]) for c in left_cols] + [(out_col, pa.int64())])
+
+    def probe_bucket(g: pd.DataFrame) -> pa.Table:
+        # output is a TYPED Arrow table: the union block carries nulls in
+        # the left columns (right-role rows), so pandas promoted them to
+        # float64/object — cast each back to its original dtype here
+        role = g["__role"].to_numpy()
+        lf = g.loc[role == 0]
+        cols = {c: pa.Array.from_pandas(lf[c], type=lt[c]) for c in left_cols}
+        rk = g.loc[role == 1, "__k"].to_numpy(np.int64)
+        if len(lf) == 0 or len(rk) == 0:
+            cols[out_col] = pa.nulls(len(lf), pa.int64())
+            return pa.table(cols).cast(out_schema)
+        lk = lf["__k"].to_numpy(np.int64)
+        ltv = lf["__t"].to_numpy(np.int64)
+        rt = g.loc[role == 1, "__t"].to_numpy(np.int64)
+        rv = g.loc[role == 1, "__v"].to_numpy(np.int64)
+        # same packed kernel as the broadcast path: sort right by
+        # (key-rank, ts, val), pack rank*span + (ts - tmin + 1)
+        uk = np.unique(np.concatenate([rk, lk]))
+        tmin = int(min(rt.min(), ltv.min()))
+        span = int(max(rt.max(), ltv.max())) - tmin + 2
+        if len(uk) * span >= (1 << 63):
+            raise ValueError(
+                "asof_bucketed_join: bucket key x ts-span domain exceeds int64 "
+                "packing — raise n_buckets or coarsen timestamps"
+            )
+        order = np.lexsort((rv, rt, rk))
+        rk_s, rt_s, rv_s = rk[order], rt[order], rv[order]
+        rrank = np.searchsorted(uk, rk_s).astype(np.int64)
+        packed_r = rrank * span + (rt_s - tmin + 1)
+        lrank = np.searchsorted(uk, lk).astype(np.int64)
+        packed_l = lrank * span + (ltv - tmin + 1)
+        idx = np.searchsorted(packed_r, packed_l, side="right") - 1
+        idx_c = np.maximum(idx, 0)
+        valid = (idx >= 0) & (rrank[idx_c] == lrank)
+        cols[out_col] = pa.array(rv_s[idx_c], pa.int64(), mask=~valid)
+        return pa.table(cols).cast(out_schema)
+
+    return (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .union(right.map_batches(tag_right, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
+    )
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str, take: list[str]):
     """Left join ``ds`` with a small pandas frame (broadcast).
     ``take``: right-side columns to append; misses become nulls."""

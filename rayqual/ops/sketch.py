@@ -380,7 +380,11 @@ def grouped_approx_quantiles(
                 alpha,
             )
             rows.append((k, *ests))
-        return pd.DataFrame(rows, columns=[key_col, *qcols])
+        out = pd.DataFrame(rows, columns=[key_col, *qcols])
+        # pin float64 on the quantile columns even when rows is empty —
+        # an all-object empty block has a different PandasBlockSchema
+        # than its non-empty siblings (executor schema-mismatch noise)
+        return out.astype({c: "float64" for c in qcols})
 
     return (
         merged.map_batches(bucketed, batch_format="pyarrow")

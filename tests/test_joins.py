@@ -251,3 +251,72 @@ def test_shuffle_hash_join_null_keys_sql_semantics(ray_session):
         assert (g_rv.isna() == e_rv.isna()).all(), how
         assert (g_rv.dropna().to_numpy() == e_rv.dropna().to_numpy()).all(), how
     con.close()
+
+
+def test_asof_bucketed_join_matches_broadcast_and_pandas(ray_session):
+    """The bucketed as-of scale path must equal the broadcast path and
+    pandas merge_asof (backward, ties -> highest value), across
+    partitionings, including keys with no history and empty buckets."""
+    import ray.data
+
+    from rayqual.ops.joins import asof_broadcast_join, asof_bucketed_join
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 500, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n_l).astype(np.int64),  # keys 0..39
+            "t": rng.integers(0, 10_000, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(5, 30, n_r).astype(np.int64),  # 0-4,30-39 missing
+            "t": rng.integers(0, 10_000, n_r).astype(np.int64),
+            "v": rng.integers(0, 1_000, n_r).astype(np.int64),
+        }
+    )
+    # force (k, t) ties so the highest-v tiebreak is exercised
+    right.loc[1, ["k", "t"]] = right.loc[0, ["k", "t"]]
+
+    bc = (
+        asof_broadcast_join(
+            ray_session.data.from_pandas(left), right,
+            "k", "k", "t", "t", "v", "asof_v",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    for parts in (2, 7):
+        got = (
+            asof_bucketed_join(
+                ray_session.data.from_pandas(left).repartition(parts),
+                ray_session.data.from_pandas(right).repartition(3),
+                key="k", left_ts_us="t", right_ts_us="t", right_val="v",
+                out_col="asof_v", n_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert len(got) == n_l
+        g, b = got["asof_v"], bc["asof_v"]
+        assert (g.isna() == b.isna()).all()
+        assert (
+            g.dropna().astype(np.int64).to_numpy()
+            == b.dropna().astype(np.int64).to_numpy()
+        ).all()
+
+    # independent pandas oracle (merge_asof can't do the value tiebreak
+    # directly: pre-reduce right to max v per (k, t))
+    r_red = right.groupby(["k", "t"], as_index=False)["v"].max().sort_values("t")
+    exp = pd.merge_asof(
+        left.sort_values("t"), r_red, on="t", by="k", direction="backward"
+    ).sort_values("lid").reset_index(drop=True)
+    assert (bc["asof_v"].isna() == exp["v"].isna()).all()
+    assert (
+        bc["asof_v"].dropna().astype(np.int64).to_numpy()
+        == exp["v"].dropna().astype(np.int64).to_numpy()
+    ).all()
