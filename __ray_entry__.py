@@ -1008,6 +1008,92 @@ def q_asof_latest_order_bucketed(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_ntile_docs(sf_dir: str):
+    """Global equi-depth binning — SQL NTILE(10) OVER (ORDER BY
+    n_chars, doc_id) — via ops/rank.py global_ntile: the TeraSort-rank
+    range shuffle of (packed key, doc_id) plus a stateless rank→tile
+    map; no global sort, total row count from parquet metadata."""
+    from rayqual.ops.rank import global_ntile
+
+    docs = _docs(sf_dir)
+    total = docs.count()  # metadata count on a fresh read — no scan
+
+    def keyed(b: pa.Table) -> pa.Table:
+        # same injective (n_chars, doc_id) packing as global_rank_docs
+        sk = pc.add(
+            pc.multiply(b.column("n_chars"), pa.scalar(1 << 33, pa.int64())),
+            b.column("doc_id"),
+        )
+        return pa.table({"sort_key": sk, "doc_id": b.column("doc_id")})
+
+    ds = docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    out = global_ntile(ds, "sort_key", n_tiles=10, total=total, carry_cols=("doc_id",))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "tile"])
+
+    return _typed(
+        out.map_batches(strip, batch_format="pyarrow"),
+        {"doc_id": "int64", "tile": "int64"},
+    )
+
+
+def q_zscore_len_by_source(sf_dir: str):
+    """Per-source z-score normalization of doc length
+    (ops/normalize.py grouped_zscore): one streaming groupby reduces
+    the corpus to (source, n, sum, sum_sq) — exact int64 with an
+    overflow guard — and the broadcast (mean, std) table is applied
+    statelessly per batch; the input is never materialized."""
+    from rayqual.ops.normalize import grouped_zscore
+
+    out = grouped_zscore(
+        _docs(sf_dir), key="source", value_col="n_chars",
+        carry_cols=("doc_id",), out_col="z",
+    )
+    return _typed(
+        out, {"doc_id": "int64", "source": "object",
+              "n_chars": "int64", "z": "float64"},
+    )
+
+
+def q_reassemble_docs(sf_dir: str):
+    """Round-trip: chunk_documents then ops/chunk.py
+    reassemble_chunks (hash-bucketed ids, one lexsort + vectorized
+    string groupby-join per bucket) must reproduce every non-empty
+    document byte-for-byte — the oracle is the documents table
+    itself."""
+    from rayqual.ops.chunk import chunk_documents, reassemble_chunks
+
+    chunks = chunk_documents(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        text_col="text", id_col="doc_id", chunk_chars=100,
+    )
+    out = reassemble_chunks(
+        chunks, id_col="doc_id", order_col="chunk_id",
+        chunk_col="chunk", out_col="text",
+    )
+    return _typed(out, {"doc_id": "int64", "text": "object"})
+
+
+def q_winsorized_len_by_source(sf_dir: str):
+    """Outlier-robust per-source mean length: exact p5/p95
+    quantile_disc bounds AND the clipped mean from ONE
+    groupby((source, n_chars)).count histogram — no second pass over
+    rows (ops/normalize.py winsorized_mean_by_group)."""
+    from rayqual.ops.normalize import winsorized_mean_by_group
+
+    out = winsorized_mean_by_group(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        key="source", value_col="n_chars", q_lo=0.05, q_hi=0.95,
+    )
+    return _typed(
+        out, {"source": "object", "p5": "int64",
+              "p95": "int64", "wmean": "float64"},
+    )
+
+
 def q_lag_events(sf_dir: str):
     """Per-user previous event timestamp (SQL lag() window) — session
     gap features. ops/window.py grouped_shift: users hash-bucketed, one
@@ -2252,6 +2338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_distributed_docs": q_simhash_dedup_distributed_docs,
         "ngram_jaccard_distributed_docs": q_ngram_jaccard_distributed_docs,
         "asof_latest_order_bucketed": q_asof_latest_order_bucketed,
+        "ntile_docs": q_ntile_docs,
+        "zscore_len_by_source": q_zscore_len_by_source,
+        "reassemble_docs": q_reassemble_docs,
+        "winsorized_len_by_source": q_winsorized_len_by_source,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2643,6 +2733,32 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS p75,
                    quantile_disc(n_chars, 0.95) AS p95
             FROM documents GROUP BY source
+        """,
+        "ntile_docs": """
+            SELECT doc_id,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                     AS tile
+            FROM documents
+        """,
+        "zscore_len_by_source": """
+            SELECT doc_id, source, n_chars,
+                   (n_chars - avg(n_chars) OVER (PARTITION BY source))
+                     / stddev_samp(n_chars) OVER (PARTITION BY source) AS z
+            FROM documents
+        """,
+        "reassemble_docs": """
+            SELECT doc_id, text FROM documents WHERE length(text) > 0
+        """,
+        "winsorized_len_by_source": """
+            WITH q AS (
+              SELECT source,
+                     CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS p5,
+                     CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+              FROM documents GROUP BY source)
+            SELECT d.source, q.p5, q.p95,
+                   avg(least(greatest(d.n_chars, q.p5), q.p95)) AS wmean
+            FROM documents d JOIN q USING (source)
+            GROUP BY d.source, q.p5, q.p95
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "top_docs_per_source": """

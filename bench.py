@@ -82,7 +82,11 @@ def run_flagship(num_cpus: int) -> dict:
     else:
         concurrency = max(2, num_cpus - 2)
     t0 = time.time()
-    ds = ray.data.read_parquet(CORPUS_DIR)
+    # block count pinned to num_cpus*8: the default (one-to-two blocks
+    # per file -> 256) makes every post-scoring pass dispatch 256 tiny
+    # tasks — measured 11.8 s of tail at 8 CPUs shrinking to 5.1 s at
+    # 64 blocks, with finer counts only re-adding dispatch overhead
+    ds = ray.data.read_parquet(CORPUS_DIR, override_num_blocks=num_cpus * 8)
     vd, kept, metrics = run_quality_gate(
         ds,
         cfg,
@@ -129,6 +133,8 @@ def run_queries(sf_dir: str) -> dict:
         "lag_events", "lead_events", "asof_latest_order_bucketed",
         "simhash_dedup_distributed_docs", "ngram_jaccard_distributed_docs",
         "running_order_total",
+        "ntile_docs", "zscore_len_by_source", "reassemble_docs",
+        "winsorized_len_by_source",
     ]
     qs = entrymod.queries()
     out = {}

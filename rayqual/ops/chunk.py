@@ -58,3 +58,59 @@ def chunk_documents(ds, text_col: str, id_col: str, chunk_chars: int):
         return chunk_table(b, text_col, id_col, chunk_chars)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def reassemble_chunks(
+    ds,
+    id_col: str,
+    order_col: str,
+    chunk_col: str,
+    out_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Inverse of :func:`chunk_documents`: (id, order, chunk) rows →
+    one (id, out_col) row per id with chunks concatenated in order —
+    chunk-level storage back to full documents.
+
+    Shape: ids are hash-bucketed (every chunk of a doc lands in one
+    bucket — the unavoidable content shuffle, since reassembly must
+    co-locate a doc's bytes); each bucket does ONE lexsort over
+    (order, id) and one vectorized string groupby-join. Partitioning
+    assumption: one bucket of reassembled docs fits a worker — size
+    ``n_buckets`` to the cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(id_col).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((g[order_col].to_numpy(), ids))
+        frame = pd.DataFrame(
+            {id_col: ids[order], chunk_col: g[chunk_col].to_numpy()[order]}
+        )
+        # within-group row order is stable under pandas groupby, so the
+        # lexsort above fixes chunk order inside each doc
+        joined = frame.groupby(id_col, sort=True)[chunk_col].agg("".join)
+        return pa.table(
+            {
+                id_col: pa.array(joined.index.to_numpy()),
+                out_col: pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,175 @@
+"""Per-group numeric normalization: z-score and winsorized mean.
+
+Feature-scaling primitives a training-data pipeline needs before
+numeric columns feed a model or a quality threshold.
+
+``grouped_zscore`` is two passes with a tiny exchange: (1) one
+streaming ``groupby(key)`` over per-batch-augmented columns reduces the
+dataset to (key, n, sum, sum_sq) — Ray pre-combines per block, so the
+shuffle carries keys, not rows; (2) the per-key (mean, std) table
+(broadcast once via ``ray.put``) is applied in a stateless
+``map_batches``. The input is never materialized: at 100 TB the second
+pass re-reads from source rather than pinning the corpus.
+
+``winsorized_mean_by_group`` needs per-group exact quantiles AND the
+clipped mean; both fall out of the SAME ``groupby((key, value)).count``
+histogram (the ops/quantiles.py idiom), so the only exchange is the
+(keys x distinct values) histogram regardless of corpus size.
+
+Exactness: sums are int64 with an explicit Python-int overflow guard
+(raise, never wrap) — the ops/drift.py contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+from rayqual.ops.quantiles import _quantiles_kernel
+
+_GUARD = 1 << 62
+
+
+def grouped_zscore(
+    ds,
+    key: str,
+    value_col: str,
+    carry_cols: tuple[str, ...] = (),
+    out_col: str = "zscore",
+):
+    """Dataset → Dataset(*carry_cols, key, value_col, out_col) where
+    out_col = (v - mean_key) / stddev_samp_key (ddof=1), null when the
+    group has one row or zero variance (SQL x/NULL, x/0.0 → NULL).
+
+    ``value_col`` must be integral (exact int64 sums; guarded against
+    overflow). Keys with n*max(v)^2 >= 2^62 raise rather than wrap.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    def aug(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key: b.column(key),
+                value_col: pa.array(v),
+                "_v2": pa.array(v * v),
+                "_absv": pa.array(np.abs(v)),
+            }
+        )
+
+    stats = (
+        ds.select_columns([key, value_col])
+        .map_batches(aug, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum(value_col, alias_name="s"),
+            Sum("_v2", alias_name="ss"),
+            Max("_absv", alias_name="vmax"),
+        )
+        .to_pandas()
+    )
+    means: dict = {}
+    stds: dict = {}
+    for _, r in stats.iterrows():
+        n, s, vmax = int(r["n"]), int(r["s"]), int(r["vmax"])
+        # Python-int bound from unwrappable aggregates (Count, Max):
+        # n*vmax^2 >= every per-block partial and the total of _v2 (and
+        # |s| <= n*vmax), so the int64 Sums are exact iff this holds
+        if n * vmax * vmax >= _GUARD:
+            raise OverflowError(
+                f"grouped_zscore: key {r[key]!r} sums exceed exact int64 range"
+            )
+        k = r[key]
+        means[k] = s / n
+        if n < 2:
+            stds[k] = None
+            continue
+        var = (float(int(r["ss"])) - (s * s) / n) / (n - 1)
+        std = float(np.sqrt(max(var, 0.0)))
+        stds[k] = std if std > 0.0 else None
+    ref = ray.put((means, stds))
+
+    def apply(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mmap, smap = _ray.get(ref)
+        kv = pd.Series(b.column(key).to_numpy(zero_copy_only=False))
+        mu = kv.map(mmap).to_numpy(dtype=np.float64)
+        sd = kv.map(smap).to_numpy(dtype=np.float64)  # None -> NaN
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (v - mu) / sd
+        cols = {c: b.column(c) for c in b.column_names if c in carry_cols}
+        cols[key] = b.column(key)
+        cols[value_col] = b.column(value_col)
+        cols[out_col] = pa.array(z, pa.float64(), mask=np.isnan(z))
+        return pa.table(cols)
+
+    return ds.select_columns([*carry_cols, key, value_col]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+def winsorized_mean_by_group(
+    ds,
+    key: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    n_buckets: int = 32,
+    out_col: str = "wmean",
+):
+    """Dataset → one row per key: (key, p{lo}, p{hi}, out_col) where
+    p{lo}/p{hi} are exact quantile_disc bounds and out_col is the mean
+    of ``value_col`` clipped to [p_lo, p_hi] — outlier-robust group
+    statistics from ONE histogram shuffle (no second pass over rows).
+
+    Requires a groupable integral value domain (the
+    grouped_exact_quantiles contract)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    lo_col, hi_col = f"p{int(q_lo * 100)}", f"p{int(q_hi * 100)}"
+    hist = ds.groupby([key, value_col]).aggregate(Count(alias_name="_cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        qd = _quantiles_kernel(g, key, value_col, "_cnt", (q_lo, q_hi))
+        m = g.merge(qd, on=key)
+        v = m[value_col].to_numpy(dtype=np.int64)
+        c = m["_cnt"].to_numpy(dtype=np.int64)
+        n_total = int(c.sum())
+        vmax = int(np.abs(v).max()) if len(v) else 0
+        if n_total * vmax >= _GUARD:  # Python-int guard: no silent wrap
+            raise OverflowError(
+                "winsorized_mean_by_group: clipped weighted sum exceeds int64"
+            )
+        clipped = np.clip(v, m[lo_col].to_numpy(), m[hi_col].to_numpy())
+        agg = (
+            pd.DataFrame({key: m[key], "_w": clipped * c, "_c": c})
+            .groupby(key, sort=False, as_index=False)
+            .sum()
+        )
+        out = qd.merge(agg, on=key)
+        out[out_col] = out["_w"] / out["_c"]
+        return out[[key, lo_col, hi_col, out_col]]
+
+    return (
+        hist.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(extract, batch_format="pandas")
+    )

@@ -93,3 +93,45 @@ def global_rank(
         return pd.DataFrame(out)
 
     return routed.groupby("_part").map_groups(rank_part, batch_format="pandas")
+
+
+def global_ntile(
+    ds,
+    key_col: str,
+    n_tiles: int,
+    total: int,
+    carry_cols: tuple[str, ...] = (),
+    tile_col: str = "tile",
+    n_partitions: int = 32,
+):
+    """Equi-depth binning — SQL ``NTILE(n) OVER (ORDER BY key_col)`` —
+    as a cheap map over :func:`global_rank` (one range shuffle, no
+    global sort). ``total`` is the row count (parquet metadata or a
+    prior count; passing it avoids a second lineage execution).
+
+    SQL NTILE semantics: the first ``total % n`` tiles get
+    ``total // n + 1`` rows, the rest ``total // n``. Keys must be
+    unique (pack a tiebreak into the key as ``global_rank`` requires).
+    """
+    ranked = global_rank(
+        ds, key_col, carry_cols=carry_cols, n_partitions=n_partitions
+    )
+    q, rem = divmod(int(total), int(n_tiles))
+    big = q + 1
+    boundary = rem * big
+
+    def to_tile(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        if q == 0:  # fewer rows than tiles: one row per tile
+            tile = r
+        else:
+            tile = np.where(
+                r <= boundary,
+                (r - 1) // big,
+                rem + (r - 1 - boundary) // q,
+            ) + 1
+        cols = {c: b.column(c) for c in b.column_names if c != "rank"}
+        cols[tile_col] = pa.array(tile.astype(np.int64))
+        return pa.table(cols)
+
+    return ranked.map_batches(to_tile, batch_format="pyarrow")

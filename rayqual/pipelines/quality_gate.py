@@ -202,7 +202,13 @@ def metrics_rollup(verdicts_ds):
     names = set(verdicts_ds.schema().names)
     partials = verdicts_ds.map_batches(partial, batch_format="pyarrow")
     sum_cols = ["n_files"] + [c for c in agg_cols if c in names]
-    out = partials.groupby("repo").aggregate(
+    # coalesce the tiny per-block partials before the groupby: Ray's
+    # sort-aggregate pays per-input-block overhead (measured 7 s over
+    # 256 twenty-row blocks at 960 k inputs — more than the whole rest
+    # of the chain); 8 blocks keeps the reduce distributed while the
+    # partial volume (repos x input blocks rows) stays far below a
+    # block's memory even at 10^6 input blocks
+    out = partials.repartition(8).groupby("repo").aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )
     return out

@@ -1,0 +1,151 @@
+"""ops/normalize.py (grouped z-score, winsorized mean), ops/rank.py
+global_ntile, and ops/chunk.py reassemble_chunks."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_frame(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": np.array([f"s{i % 7}" for i in range(n)]),
+            "n_chars": rng.integers(0, 500, n).astype(np.int64),
+        }
+    )
+
+
+def test_grouped_zscore_matches_pandas(ray_session):
+    from rayqual.ops.normalize import grouped_zscore
+
+    df = _docs_frame()
+    # a singleton group (std undefined) and a zero-variance group
+    df.loc[len(df)] = [10_000, "lone", 42]
+    df = pd.concat(
+        [df, pd.DataFrame({"doc_id": [10_001, 10_002], "source": ["flat", "flat"],
+                           "n_chars": [7, 7]})],
+        ignore_index=True,
+    ).astype({"doc_id": np.int64, "n_chars": np.int64})
+
+    for parts in (1, 5):
+        got = (
+            grouped_zscore(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="source", value_col="n_chars",
+                carry_cols=("doc_id",), out_col="z",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        mu = df.groupby("source")["n_chars"].transform("mean")
+        sd = df.groupby("source")["n_chars"].transform("std")  # ddof=1
+        exp = (df["n_chars"] - mu) / sd.replace(0.0, np.nan)
+        exp = exp.to_numpy()
+        g = got["z"].to_numpy(dtype=np.float64)
+        assert len(got) == len(df)
+        assert (np.isnan(g) == np.isnan(exp)).all()
+        np.testing.assert_allclose(g[~np.isnan(g)], exp[~np.isnan(exp)], rtol=1e-12)
+
+
+def test_grouped_zscore_overflow_guard(ray_session):
+    from rayqual.ops.normalize import grouped_zscore
+
+    big = int(np.sqrt(1 << 62)) + 10  # one value whose square passes 2^62
+    df = pd.DataFrame(
+        {"source": ["a", "a"], "n_chars": np.array([big, 1], dtype=np.int64)}
+    )
+    with pytest.raises(OverflowError):
+        grouped_zscore(
+            ray_session.data.from_pandas(df), key="source", value_col="n_chars"
+        ).materialize()
+
+
+def test_winsorized_mean_matches_naive(ray_session):
+    from rayqual.ops.normalize import winsorized_mean_by_group
+
+    df = _docs_frame(600, seed=11)
+    for parts in (1, 4):
+        got = (
+            winsorized_mean_by_group(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="source", value_col="n_chars", q_lo=0.05, q_hi=0.95,
+            )
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for s, g in df.groupby("source"):
+            v = np.sort(g["n_chars"].to_numpy())
+            n = len(v)
+            lo = v[max(int(np.ceil(0.05 * n)) - 1, 0)]  # quantile_disc
+            hi = v[max(int(np.ceil(0.95 * n)) - 1, 0)]
+            rows.append((s, lo, hi, np.clip(v, lo, hi).mean()))
+        exp = pd.DataFrame(rows, columns=["source", "p5", "p95", "wmean"])
+        assert (got["source"] == exp["source"]).all()
+        assert (got["p5"].to_numpy() == exp["p5"].to_numpy()).all()
+        assert (got["p95"].to_numpy() == exp["p95"].to_numpy()).all()
+        np.testing.assert_allclose(got["wmean"], exp["wmean"], rtol=1e-12)
+
+
+def test_global_ntile_sql_semantics(ray_session):
+    """NTILE sizes: first total%n tiles get one extra row; key order
+    respected; total < n_tiles degenerates to one row per tile."""
+    from rayqual.ops.rank import global_ntile
+
+    n = 103  # 103 = 10*10 + 3 -> tiles 1-3 have 11 rows, 4-10 have 10
+    rng = np.random.default_rng(5)
+    keys = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "rid": np.arange(n, dtype=np.int64)})
+    got = (
+        global_ntile(
+            ray_session.data.from_pandas(df).repartition(4),
+            "k", n_tiles=10, total=n, carry_cols=("rid",),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    sizes = got["tile"].value_counts().sort_index()
+    assert list(sizes[:3]) == [11, 11, 11] and list(sizes[3:]) == [10] * 7
+    assert (np.diff(got["tile"].to_numpy()) >= 0).all()  # monotone in key
+
+    small = pd.DataFrame({"k": np.array([5, 1, 9], dtype=np.int64)})
+    got2 = (
+        global_ntile(ray_session.data.from_pandas(small), "k", n_tiles=10, total=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got2["tile"]) == [1, 2, 3]
+
+
+def test_reassemble_chunks_roundtrip(ray_session):
+    from rayqual.ops.chunk import chunk_documents, reassemble_chunks
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(m)))
+        for m in rng.integers(0, 350, 120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    for parts in (1, 6):
+        chunks = chunk_documents(
+            ray_session.data.from_pandas(df).repartition(parts),
+            text_col="text", id_col="doc_id", chunk_chars=64,
+        )
+        got = (
+            reassemble_chunks(chunks, id_col="doc_id", order_col="chunk_id",
+                              chunk_col="chunk", out_col="text", n_buckets=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = df[df["text"].str.len() > 0].reset_index(drop=True)
+        assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+        assert (got["text"] == exp["text"]).all()
