@@ -960,6 +960,48 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_rolling_order_avg(sf_dir: str):
+    """Per-customer 5-order rolling average of order value (SQL
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW window) —
+    ops/window.py grouped_rolling_mean: one lexsort + ONE prefix sum
+    per customer hash bucket, each row's window is two prefix lookups.
+    Exact int64 cents inside the sum, float64 division at the end, so
+    the result is partitioning-independent and engine-comparable."""
+    import ray.data
+
+    from rayqual.ops.window import grouped_rolling_mean
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+                "cents": cents,
+            }
+        )
+
+    out = grouped_rolling_mean(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["odate_us", "o_orderkey"],
+        value_col="cents",
+        window=5,
+        out_col="roll_cents",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "roll_cents"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_asof_latest_order_bucketed(sf_dir: str):
     """The as-of join's SCALE path (ops/joins.py asof_bucketed_join):
     both sides hash-bucketed on the customer key — the right side is a
@@ -2342,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_len_by_source": q_zscore_len_by_source,
         "reassemble_docs": q_reassemble_docs,
         "winsorized_len_by_source": q_winsorized_len_by_source,
+        "rolling_order_avg": q_rolling_order_avg,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2775,6 +2818,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ) AS BIGINT) AS running_cents
+            FROM orders
+        """,
+        "rolling_order_avg": """
+            SELECT o_orderkey,
+                   avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS roll_cents
             FROM orders
         """,
         "lag_events": """

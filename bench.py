@@ -134,7 +134,7 @@ def run_queries(sf_dir: str) -> dict:
         "simhash_dedup_distributed_docs", "ngram_jaccard_distributed_docs",
         "running_order_total",
         "ntile_docs", "zscore_len_by_source", "reassemble_docs",
-        "winsorized_len_by_source",
+        "winsorized_len_by_source", "rolling_order_avg",
     ]
     qs = entrymod.queries()
     out = {}

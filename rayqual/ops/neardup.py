@@ -173,11 +173,27 @@ def _sig_matrix(batch: pa.Table) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
 
 
-def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200, strict: bool = False) -> pd.DataFrame:
+def minhash_propose_from_sigs(
+    sig_ds,
+    bands: int = 8,
+    max_bucket: int = 200,
+    strict: bool = False,
+    max_propose_pairs: int = 5_000_000,
+) -> pd.DataFrame:
     """LSH propose stage over a signature dataset: unique candidate
     (id_a < id_b) pairs. The band shuffle ships ONLY (bkey, id) — 16
     bytes per (doc, band) row, 32× less than attaching the 64×u64
-    signature (the round-1 shape)."""
+    signature (the round-1 shape).
+
+    The pair list is COUNTED before it is collected (guard-before-
+    collect): template-heavy corpora — the web norm — can fill band
+    buckets to the ``max_bucket`` cap and emit C(k,2) pairs per bucket
+    (measured: 65 M candidates from a 960 k-doc synthetic code corpus),
+    which would OOM the driver before any downstream refusal fires.
+    Above ``max_propose_pairs`` this raises with the two remediations:
+    ``strict=True`` (star pairing, k-1 edges per bucket, connectivity
+    preserved) or :func:`minhash_dedup_losers_distributed` (the pair
+    list never touches the driver)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
@@ -199,19 +215,38 @@ def minhash_propose_from_sigs(sig_ds, bands: int = 8, max_bucket: int = 200, str
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        if len(g) > max_bucket:
-            return _oversized_pairs(g["id"].to_numpy(), max_bucket, strict, "minhash")
         ids = g["id"].to_numpy()
+        if strict:
+            # linear pair budget: EVERY bucket emits k-1 star edges
+            # (same connectivity through verify + union-find; the
+            # _oversized_pairs docstring documents the mixed-bucket
+            # caveat) — the total candidate volume is O(n·bands)
+            return pd.DataFrame(
+                {"id_a": np.full(len(ids) - 1, ids[0]), "id_b": ids[1:]}
+            )
+        if len(g) > max_bucket:
+            return _oversized_pairs(ids, max_bucket, strict, "minhash")
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     keys = sig_ds.map_batches(keys_only, batch_format="pyarrow")
-    pairs = (
+    pairs_ds = (
         _prune_singleton_buckets(keys)
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
-        .to_pandas()  # pair LIST only — small by the dup-rate assumption
+        .materialize()  # once: count for the guard, then collect
     )
+    n_pairs = pairs_ds.count()
+    if n_pairs > max_propose_pairs:
+        raise ValueError(
+            f"minhash propose: {n_pairs} candidate pairs exceed "
+            f"max_propose_pairs={max_propose_pairs} — a template-heavy "
+            "corpus is quadratically filling LSH buckets. Use "
+            "strict=True (star pairing: k-1 edges per bucket, same "
+            "connectivity) or minhash_dedup_losers_distributed (pair "
+            "list never reaches the driver)."
+        )
+    pairs = pairs_ds.to_pandas()
     return pairs.drop_duplicates(ignore_index=True)
 
 
@@ -224,10 +259,11 @@ def minhash_propose_pairs(
     shingle_size: int = 12,
     max_bucket: int = 200,
     strict: bool = False,
+    max_propose_pairs: int = 5_000_000,
 ) -> pd.DataFrame:
     """Text-input convenience wrapper: signature scan + propose."""
     sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
-    return minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict)
+    return minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict, max_propose_pairs)
 
 
 def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn):
@@ -311,6 +347,7 @@ def minhash_candidate_pairs(
     max_bucket: int = 200,
     strict: bool = False,
     driver_verify_threshold: int = 250_000,
+    max_propose_pairs: int = 5_000_000,
 ):
     """Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard ≥
     threshold). est_jaccard = fraction of agreeing minhashes over the
@@ -326,7 +363,7 @@ def minhash_candidate_pairs(
     import ray.data
 
     sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
-    cand = minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict)
+    cand = minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict, max_propose_pairs)
     empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
     if len(cand) == 0:
@@ -596,9 +633,17 @@ def simhash_dedup_losers(
     duplicate rate, not the corpus — is collected and union-found on
     the driver. For corpora where even the pair list is unbounded use
     :func:`simhash_dedup_losers_distributed`."""
-    pairs = _simhash_pairs_ds(
+    pairs_ds = _simhash_pairs_ds(
         ds, id_col, text_col, shingle_size, max_hamming, max_bucket, strict
-    ).to_pandas()
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs > 5_000_000:  # guard-before-collect (minhash propose rule)
+        raise ValueError(
+            f"simhash: {n_pairs} verified pairs exceed the driver bound — "
+            "use simhash_dedup_losers_distributed (clusters resolve via "
+            "distributed connected components, nothing reaches the driver)."
+        )
+    pairs = pairs_ds.to_pandas()
     uniq = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     return sorted(_union_find_losers(sorted(uniq), set()))
 

@@ -256,3 +256,74 @@ def grouped_shift(
         .groupby("__bucket")
         .map_groups(shift_bucket, batch_format="pandas")
     )
+
+
+def grouped_rolling_mean(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "roll_mean",
+    n_buckets: int = 32,
+):
+    """Per-``key`` rolling mean of the last ``window`` rows — SQL
+    ``avg(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. Same bucketed shape as
+    :func:`grouped_running_sum`: one lexsort + ONE prefix-sum per
+    bucket; each row's window sum is two prefix lookups (no per-key or
+    per-window loop), its start clamped to the key's segment start.
+
+    ``value_col`` must be int64-castable; the prefix sum is exact int64
+    with a Python-int overflow refusal (the ops/drift.py contract). The
+    mean is float64 = exact-int window sum / count — bit-equal to an
+    engine that sums exactly, independent of partitioning.
+    (key, *order_cols) must be unique for a deterministic result.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    if window < 1:
+        raise ValueError("grouped_rolling_mean: window must be >= 1")
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        kv = g[key].to_numpy()
+        sort_keys = tuple(g[c].to_numpy(np.int64) for c in reversed(order_cols))
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(sort_keys + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        v = g[value_col].to_numpy(np.int64)
+        n = len(v)
+        if n == 0:
+            g[out_col] = np.array([], dtype=np.float64)
+            return g
+        vmax = int(np.abs(v).max())
+        if n * vmax >= (1 << 62):  # unwrappable Python-int bound
+            raise OverflowError(
+                "grouped_rolling_mean: bucket prefix sum exceeds exact int64 "
+                "range — raise n_buckets or rescale value_col"
+            )
+        starts = _segment_starts(codes[idx])
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        pos = np.arange(n, dtype=np.int64)
+        w_start = np.maximum(seg_start, pos - (window - 1))
+        cum = np.concatenate([[0], np.cumsum(v)])
+        wsum = cum[pos + 1] - cum[w_start]
+        cnt = pos + 1 - w_start
+        g[out_col] = wsum.astype(np.float64) / cnt
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+    )

@@ -149,3 +149,53 @@ def test_reassemble_chunks_roundtrip(ray_session):
         exp = df[df["text"].str.len() > 0].reset_index(drop=True)
         assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
         assert (got["text"] == exp["text"]).all()
+
+
+def test_grouped_rolling_mean_matches_pandas(ray_session):
+    from rayqual.ops.window import grouped_rolling_mean
+
+    rng = np.random.default_rng(13)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),  # unique order
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    for parts in (1, 6):
+        got = (
+            grouped_rolling_mean(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="k", order_cols=["o"], value_col="v", window=5,
+                out_col="rm", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["k", "o"])
+            .groupby("k")["v"]
+            .rolling(5, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(got["rm"].to_numpy(), exp.to_numpy())
+
+
+def test_grouped_rolling_mean_overflow_guard(ray_session):
+    import pytest
+
+    from rayqual.ops.window import grouped_rolling_mean
+
+    big = (1 << 62) // 2
+    df = pd.DataFrame(
+        {"k": np.zeros(4, dtype=np.int64), "o": np.arange(4, dtype=np.int64),
+         "v": np.full(4, big, dtype=np.int64)}
+    )
+    with pytest.raises(OverflowError):
+        grouped_rolling_mean(
+            ray_session.data.from_pandas(df), key="k", order_cols=["o"],
+            value_col="v", window=2,
+        ).materialize()

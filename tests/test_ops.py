@@ -759,3 +759,24 @@ def test_mg_topk_cohort_cutoff_channel_not_just_decrement(ray_session):
     kth, c_cut, d = map(int, nums.groups())
     assert kth > d, "case degenerated into the old (<= D) channel — rebuild the corpus"
     assert kth <= c_cut + d
+
+
+def test_minhash_propose_pair_guard(ray_session):
+    """Guard-before-collect: a template corpus whose buckets emit more
+    candidate pairs than max_propose_pairs must refuse BEFORE the pair
+    list is collected; star pairing (strict=True) stays under the same
+    bound on the same input."""
+    import pytest
+
+    from rayqual.ops.neardup import minhash_propose_pairs
+
+    texts = [BASE] * 30 + [FAR1, FAR2]  # one 30-clone bucket: 435 pairs
+    ds = make_docs_ds(ray_session, texts)
+    with pytest.raises(ValueError, match="max_propose_pairs"):
+        minhash_propose_pairs(ds, "doc_id", "text", max_propose_pairs=100)
+    # star volume pre-dedup is (k-1) x bands = 232 < the all-pairs 3480
+    star = minhash_propose_pairs(
+        ds, "doc_id", "text", strict=True, max_propose_pairs=300
+    )
+    assert 0 < len(star) <= 29  # deduped: one edge per clone
+    assert set(star["id_a"]) == {0}  # every clone links to the min id
