@@ -960,6 +960,47 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_len_percent_rank_by_source(sf_dir: str):
+    """Per-source percent_rank of (n_chars, doc_id) — the WITHIN-GROUP
+    sibling of the global len_percentile_docs: ops/window.py
+    grouped_percent_rank, one lexsort + segment arithmetic per source
+    hash bucket, (source, n_chars, doc_id) is all that moves."""
+    from rayqual.ops.window import grouped_percent_rank
+
+    out = grouped_percent_rank(
+        _docs(sf_dir).select_columns(["source", "n_chars", "doc_id"]),
+        key="source",
+        order_cols=["n_chars", "doc_id"],
+        out_col="pr",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "pr"])
+
+    return _typed(
+        out.map_batches(strip, batch_format="pyarrow"),
+        {"doc_id": "int64", "pr": "float64"},
+    )
+
+
+def q_lang_counts_by_source_pivot(sf_dir: str):
+    """Wide (pivot) aggregation: per-source counts across the DECLARED
+    language domain (ops/pivot.py pivot_counts — SQL PIVOT ... IN).
+    One pre-combined groupby((source, lang)).count exchange; widening
+    is per source-hash bucket, schema fixed by the declared domain."""
+    from rayqual.ops.pivot import pivot_counts
+
+    out = pivot_counts(
+        _docs(sf_dir).select_columns(["source", "lang"]),
+        key="source", value_col="lang",
+        domain=("de", "en", "es", "fr", "zh"),
+    )
+    return _typed(
+        out, {"source": "object", "de": "int64", "en": "int64",
+              "es": "int64", "fr": "int64", "zh": "int64"},
+    )
+
+
 def q_rolling_order_avg(sf_dir: str):
     """Per-customer 5-order rolling average of order value (SQL
     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW window) —
@@ -2385,6 +2426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reassemble_docs": q_reassemble_docs,
         "winsorized_len_by_source": q_winsorized_len_by_source,
         "rolling_order_avg": q_rolling_order_avg,
+        "len_percent_rank_by_source": q_len_percent_rank_by_source,
+        "lang_counts_by_source_pivot": q_lang_counts_by_source_pivot,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2827,6 +2870,21 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    ) AS roll_cents
             FROM orders
+        """,
+        "len_percent_rank_by_source": """
+            SELECT doc_id,
+                   percent_rank() OVER (
+                     PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+            FROM documents
+        """,
+        "lang_counts_by_source_pivot": """
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+                   CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+                   CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+                   CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+            FROM documents GROUP BY source
         """,
         "lag_events": """
             SELECT event_id,

@@ -135,6 +135,7 @@ def run_queries(sf_dir: str) -> dict:
         "running_order_total",
         "ntile_docs", "zscore_len_by_source", "reassemble_docs",
         "winsorized_len_by_source", "rolling_order_avg",
+        "len_percent_rank_by_source", "lang_counts_by_source_pivot",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1,0 +1,70 @@
+"""Pivot (wide) aggregation: counts per (row key × declared column
+domain) — SQL ``PIVOT ... IN (...)`` / ``count(*) FILTER (WHERE ...)``.
+
+The column domain is DECLARED by the caller (exactly as SQL's ``IN``
+list requires): a data-dependent output schema is a scale hazard — a
+stray value would widen every block — and blocks schema-stable
+streaming. Values outside the domain are counted into an optional
+overflow column or dropped (``other_col=None``).
+
+Shape: the only exchange is ``groupby((key, value)).count`` — Ray
+pre-combines per block, so the shuffle carries at most
+keys × |observed domain| rows; widening to columns happens per hash
+bucket of keys, one vectorized pivot per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayqual.functions.hashing import bucket_hash
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    value_col: str,
+    domain: tuple[str, ...],
+    other_col: str | None = None,
+    n_buckets: int = 32,
+):
+    """Dataset → one row per key: (key, *domain count columns
+    [, other_col]) as int64 counts (absent combinations are 0)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([key, value_col]).aggregate(Count(alias_name="_cnt"))
+    dom = list(domain)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].astype(str)
+        in_dom = vals.isin(dom)
+        wide = (
+            g[in_dom]
+            .pivot_table(index=key, columns=value_col, values="_cnt",
+                         aggfunc="sum", fill_value=0)
+            .reindex(columns=dom, fill_value=0)
+        )
+        # keys whose every value fell outside the domain still get a row
+        all_keys = pd.Index(g[key].unique(), name=key)
+        wide = wide.reindex(all_keys, fill_value=0).astype(np.int64)
+        if other_col is not None:
+            other = g[~in_dom].groupby(key)["_cnt"].sum()
+            wide[other_col] = other.reindex(all_keys, fill_value=0).astype(np.int64)
+        return wide.reset_index()
+
+    return (
+        hist.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(widen, batch_format="pandas")
+    )

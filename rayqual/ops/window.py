@@ -327,3 +327,54 @@ def grouped_rolling_mean(
         .groupby("__bucket")
         .map_groups(roll_bucket, batch_format="pandas")
     )
+
+
+def grouped_percent_rank(
+    ds,
+    key: str,
+    order_cols: list[str],
+    out_col: str = "pr",
+    n_buckets: int = 32,
+):
+    """Per-``key`` SQL ``percent_rank() OVER (PARTITION BY key ORDER BY
+    order_cols...)`` = (rank-1)/(n-1), 0.0 for single-row partitions.
+    (key, *order_cols) must be unique so rank == row_number (the
+    grouped_topk tiebreak contract). Same bucketed shape as the other
+    keyed windows: one lexsort + segment arithmetic per hash bucket."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    cols = list(dict.fromkeys([key] + order_cols))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def pr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        kv = g[key].to_numpy()
+        sort_keys = tuple(g[c].to_numpy(np.int64) for c in reversed(order_cols))
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(sort_keys + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            g[out_col] = np.array([], dtype=np.float64)
+            return g
+        starts = _segment_starts(codes[idx])
+        rank = _rank_within_runs(n, starts)
+        seg_n = np.repeat(np.diff(np.append(starts, n)), np.diff(np.append(starts, n)))
+        with np.errstate(invalid="ignore"):
+            pr = rank.astype(np.float64) / np.maximum(seg_n - 1, 1)
+        pr[seg_n == 1] = 0.0
+        g[out_col] = pr
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pr_bucket, batch_format="pandas")
+    )

@@ -199,3 +199,71 @@ def test_grouped_rolling_mean_overflow_guard(ray_session):
             ray_session.data.from_pandas(df), key="k", order_cols=["o"],
             value_col="v", window=2,
         ).materialize()
+
+
+def test_grouped_percent_rank_matches_pandas(ray_session):
+    from rayqual.ops.window import grouped_percent_rank
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n).astype(np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),
+            "tb": np.arange(n, dtype=np.int64),
+        }
+    )
+    df.loc[len(df)] = [99, 1, 10_000]  # single-row partition -> pr 0.0
+    df = df.astype(np.int64)
+    for parts in (1, 5):
+        got = (
+            grouped_percent_rank(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="k", order_cols=["v", "tb"], out_col="pr", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("tb")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["k", "v", "tb"])
+        rk = s.groupby("k").cumcount()
+        nn = s.groupby("k")["v"].transform("size")
+        exp_s = np.where(nn > 1, rk / np.maximum(nn - 1, 1), 0.0)
+        exp = pd.Series(exp_s, index=s["tb"].to_numpy()).sort_index().to_numpy()
+        np.testing.assert_array_equal(got["pr"].to_numpy(), exp)
+
+
+def test_pivot_counts(ray_session):
+    from rayqual.ops.pivot import pivot_counts
+
+    rng = np.random.default_rng(19)
+    n = 400
+    langs = np.array(["en", "de", "fr", "xx"])  # xx outside the domain
+    df = pd.DataFrame(
+        {
+            "source": np.array([f"s{i % 6}" for i in range(n)]),
+            "lang": langs[rng.integers(0, 4, n)],
+        }
+    )
+    for other in (None, "other"):
+        got = (
+            pivot_counts(
+                ray_session.data.from_pandas(df).repartition(3),
+                key="source", value_col="lang",
+                domain=("de", "en", "fr"), other_col=other, n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.pivot_table(index="source", columns="lang", aggfunc="size",
+                           fill_value=0)
+            .reset_index()
+        )
+        for c in ("de", "en", "fr"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        if other:
+            assert (got["other"].to_numpy() == exp["xx"].to_numpy()).all()
+        else:
+            assert "other" not in got.columns
