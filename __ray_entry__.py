@@ -960,6 +960,66 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_keep_best_per_prefix_docs(sf_dir: str):
+    """Dedup keeping the BEST row per duplicate group (longest doc,
+    not min id) — the quality-aware twin of dup_prefix40_docs, composed
+    from grouped_topk(k=1) over the 40-char-prefix key: per-batch
+    vectorized prune caps the shuffle at one row per prefix per batch."""
+    from rayqual.ops.window import grouped_topk
+
+    def key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.utf8_slice_codeunits(b.column("text"), 0, 40),
+                "n_chars": b.column("n_chars"),
+                "doc_id": b.column("doc_id"),
+            }
+        )
+
+    out = grouped_topk(
+        _docs(sf_dir).map_batches(key, batch_format="pyarrow"),
+        key="k", order="n_chars", k=1, tiebreak="doc_id",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id"])
+
+    return _typed(
+        out.map_batches(strip, batch_format="pyarrow"), {"doc_id": "int64"}
+    )
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE(source, lang) — rollup_docs' sibling for
+    non-prefix coarser views (ops/agg.py:cube_counts): only the finest
+    groupby touches the input; all other 2^k-1 groupings re-aggregate
+    the materialized tiny finest table."""
+    from rayqual.ops.agg import cube_counts
+
+    out = cube_counts(
+        _docs(sf_dir).select_columns(["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        sum_cols=["n_chars"],
+    )
+    return _typed(
+        out,
+        {"source": "object", "lang": "object", "n_rows": "int64", "n_chars": "int64"},
+    )
+
+
+def q_mad_len_by_source(sf_dir: str):
+    """Per-source robust location/scale — median + MAD of doc length,
+    both quantile_disc-exact, from ONE (source, n_chars) histogram
+    shuffle (ops/normalize.py:grouped_mad)."""
+    from rayqual.ops.normalize import grouped_mad
+
+    out = grouped_mad(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        key="source", value_col="n_chars",
+    )
+    return _typed(out, {"source": "object", "med": "int64", "mad": "int64"})
+
+
 def q_len_percent_rank_by_source(sf_dir: str):
     """Per-source percent_rank of (n_chars, doc_id) — the WITHIN-GROUP
     sibling of the global len_percentile_docs: ops/window.py
@@ -2428,6 +2488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_order_avg": q_rolling_order_avg,
         "len_percent_rank_by_source": q_len_percent_rank_by_source,
         "lang_counts_by_source_pivot": q_lang_counts_by_source_pivot,
+        "cube_docs": q_cube_docs,
+        "mad_len_by_source": q_mad_len_by_source,
+        "keep_best_per_prefix_docs": q_keep_best_per_prefix_docs,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2870,6 +2933,29 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    ) AS roll_cents
             FROM orders
+        """,
+        "keep_best_per_prefix_docs": """
+            SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY substr(text, 1, 40)
+              ORDER BY n_chars DESC, doc_id) = 1
+        """,
+        "cube_docs": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY CUBE(source, lang)
+        """,
+        "mad_len_by_source": """
+            WITH m AS (
+              SELECT source,
+                     CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+              FROM documents GROUP BY source)
+            SELECT d.source, m.med,
+                   CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT)
+                     AS mad
+            FROM documents d JOIN m USING (source)
+            GROUP BY d.source, m.med
         """,
         "len_percent_rank_by_source": """
             SELECT doc_id,

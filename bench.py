@@ -136,6 +136,7 @@ def run_queries(sf_dir: str) -> dict:
         "ntile_docs", "zscore_len_by_source", "reassemble_docs",
         "winsorized_len_by_source", "rolling_order_avg",
         "len_percent_rank_by_source", "lang_counts_by_source_pivot",
+        "cube_docs", "mad_len_by_source", "keep_best_per_prefix_docs",
     ]
     qs = entrymod.queries()
     out = {}

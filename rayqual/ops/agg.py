@@ -176,3 +176,71 @@ def rollup_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def cube_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
+    """GROUP BY CUBE(keys): one row per key SUBSET (all 2^k groupings)
+    — :func:`rollup_counts`'s sibling for when the coarser views are
+    not prefix-shaped (per source+lang, per source, per lang, overall).
+
+    Same scale shape: only the FINEST groupby touches the input; every
+    other subset re-aggregates the materialized finest table (at most
+    keys-cardinality rows), so the wide data is read exactly once for
+    all 2^k groupings. Key columns must be strings (cast upstream)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count, Sum
+
+    sum_cols = sum_cols or []
+    k = len(keys)
+    if k > 6:
+        raise ValueError("cube_counts: 2^k groupings — more than 6 keys is a mistake")
+
+    def null_fill(present: set):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {}
+            for key in keys:
+                cols[key] = (
+                    b.column(key) if key in present
+                    else pa.nulls(len(b), type=pa.string())
+                )
+            cols["n_rows"] = b.column("n_rows")
+            for c in sum_cols:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+
+        return f
+
+    finest = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="n_rows"), *[Sum(c, alias_name=c) for c in sum_cols])
+        .materialize()
+    )
+    levels = [finest.map_batches(null_fill(set(keys)), batch_format="pyarrow")]
+    for mask in range((1 << k) - 2, 0, -1):  # every proper non-empty subset
+        subset = [key for i, key in enumerate(keys) if (mask >> i) & 1]
+        agg = finest.groupby(subset).aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            *[Sum(c, alias_name=c) for c in sum_cols],
+        )
+        levels.append(agg.map_batches(null_fill(set(subset)), batch_format="pyarrow"))
+
+    def total(b: pa.Table) -> pa.Table:
+        cols = {key: pa.nulls(1, type=pa.string()) for key in keys}
+        cols["n_rows"] = pa.array(
+            [int(np.sum(b.column("n_rows").to_numpy(zero_copy_only=False)))]
+        )
+        for c in sum_cols:
+            cols[c] = pa.array(
+                [int(np.sum(b.column(c).to_numpy(zero_copy_only=False)))]
+            )
+        return pa.table(cols)
+
+    levels.append(
+        finest.repartition(1).map_batches(total, batch_format="pyarrow", batch_size=None)
+    )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -173,3 +173,55 @@ def winsorized_mean_by_group(
         .groupby("_bucket")
         .map_groups(extract, batch_format="pandas")
     )
+
+
+def grouped_mad(
+    ds,
+    key: str,
+    value_col: str,
+    n_buckets: int = 32,
+    med_col: str = "med",
+    mad_col: str = "mad",
+):
+    """Per-key robust location/scale: median and MAD (median absolute
+    deviation, quantile_disc semantics for both) from ONE
+    ``groupby((key, value)).count`` histogram — the winsorize idiom:
+    the median falls out of the histogram, |v - med| is a derived
+    histogram over the same bucket rows, and the MAD is a second
+    quantile extraction over THAT — no second pass over the corpus."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([key, value_col]).aggregate(Count(alias_name="_cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        med = _quantiles_kernel(g, key, value_col, "_cnt", (0.5,)).rename(
+            columns={"p50": med_col}
+        )
+        m = g.merge(med, on=key)
+        dev = np.abs(
+            m[value_col].to_numpy(dtype=np.int64) - m[med_col].to_numpy(dtype=np.int64)
+        )
+        dh = (
+            pd.DataFrame({key: m[key], "_d": dev, "_cnt": m["_cnt"]})
+            .groupby([key, "_d"], sort=False, as_index=False)["_cnt"]
+            .sum()
+        )
+        mad = _quantiles_kernel(dh, key, "_d", "_cnt", (0.5,)).rename(
+            columns={"p50": mad_col}
+        )
+        return med.merge(mad, on=key)
+
+    return (
+        hist.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(extract, batch_format="pandas")
+    )

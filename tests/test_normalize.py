@@ -267,3 +267,71 @@ def test_pivot_counts(ray_session):
             assert (got["other"].to_numpy() == exp["xx"].to_numpy()).all()
         else:
             assert "other" not in got.columns
+
+
+def test_grouped_mad_matches_naive(ray_session):
+    from rayqual.ops.normalize import grouped_mad
+
+    df = _docs_frame(500, seed=23)
+    for parts in (1, 4):
+        got = (
+            grouped_mad(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="source", value_col="n_chars", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+
+        def qdisc(v, q):  # smallest value with cum count >= ceil(q*n)
+            v = np.sort(v)
+            return v[max(int(np.ceil(q * len(v))) - 1, 0)]
+
+        rows = []
+        for s, g in df.groupby("source"):
+            med = qdisc(g["n_chars"].to_numpy(), 0.5)
+            mad = qdisc(np.abs(g["n_chars"].to_numpy() - med), 0.5)
+            rows.append((s, med, mad))
+        exp = pd.DataFrame(rows, columns=["source", "med", "mad"])
+        assert (got["source"] == exp["source"]).all()
+        assert (got["med"].to_numpy() == exp["med"].to_numpy()).all()
+        assert (got["mad"].to_numpy() == exp["mad"].to_numpy()).all()
+
+
+def test_cube_counts(ray_session):
+    import duckdb
+
+    from rayqual.ops.agg import cube_counts
+
+    df = _docs_frame(300, seed=29)
+    df["lang"] = np.array(["en", "de", "fr"])[
+        np.random.default_rng(31).integers(0, 3, len(df))
+    ]
+    got = (
+        cube_counts(
+            ray_session.data.from_pandas(df).repartition(3),
+            ["source", "lang"], sum_cols=["n_chars"],
+        )
+        .to_pandas()
+        .fillna({"source": "·", "lang": "·"})
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    exp = (
+        con.execute(
+            """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(sum(n_chars) AS BIGINT) AS n_chars
+               FROM d GROUP BY CUBE(source, lang)"""
+        )
+        .df()
+        .fillna({"source": "·", "lang": "·"})
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(exp)
+    for c in ("source", "lang", "n_rows", "n_chars"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
