@@ -63,49 +63,28 @@ def exact_dedup_losers(
     row, columns = [key] (joined composite). Null hashes (null content)
     are not considered duplicates.
 
-    Shape: winners per hash come from a VECTORIZED
-    ``groupby(h).aggregate(Min, Count)`` (Ray's sort-based segmented
-    reduce — no per-group python; the round-1 ``map_groups`` paid fn
-    dispatch per distinct hash, prohibitive at 10^12 groups). The
-    winner set restricted to groups with n > 1 is joined back to the
-    projection per HASH BUCKET (``groupby(bucket).map_groups`` — python
-    dispatch per bucket, vectorized pandas inside), so no side is ever
-    broadcast or collected. Size ``n_buckets`` so a bucket fits a
-    worker (~10^5-10^6 at 10^12 rows)."""
+    Shape: ONE shuffle — the (h, key) projection hash-bucketed on the
+    hash (int64 sort keys in the exchange, never the 64-char strings);
+    every row of a hash group lands in one bucket, where one vectorized
+    lexsort yields the exact per-full-hash winner (min key) and the
+    losers. (Earlier revisions paid two exchanges: a string-sorted
+    ``groupby(h).aggregate(Min, Count)`` plus the bucket join — 2× the
+    traffic for the same answer; the round-1 per-hash ``map_groups``
+    paid fn dispatch per distinct hash, prohibitive at 10^12 groups.)
+    Size ``n_buckets`` so a bucket fits a worker (~10^5-10^6 rows at
+    10^12 input)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()  # by-value shipping for sys.path-blind Ray workers
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
 
     def project(batch: pa.Table) -> pa.Table:
         keys = _key_expr(batch, key_cols)
         t = pa.table({"h": batch.column(hash_col), "key": keys})
-        return t.filter(pc.is_valid(t.column("h")))  # null content ≠ duplicate
-
-    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
-    groups = proj.groupby("h").aggregate(Min("key", alias_name="kmin"), Count(alias_name="n"))
-
-    def winners_bucketed(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("n"), 1))
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_ids(b.column("h"), n_buckets)),
-                "h": b.column("h"),
-                "key": pa.nulls(len(b), pa.string()),
-                "kmin": b.column("kmin").cast(pa.string()),
-            }
-        )
-
-    def proj_bucketed(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_ids(b.column("h"), n_buckets)),
-                "h": b.column("h"),
-                "key": b.column("key").cast(pa.string()),
-                "kmin": pa.nulls(len(b), pa.string()),
-            }
+        t = t.filter(pc.is_valid(t.column("h")))  # null content ≠ duplicate
+        return t.append_column(
+            "bucket", pa.array(_bucket_ids(t.column("h"), n_buckets))
         )
 
     # losers come back as ARROW string tables (not pandas object
@@ -114,23 +93,26 @@ def exact_dedup_losers(
     # and object blocks are heavier in the exchange than Arrow strings
     _EMPTY_KEYS = pa.table({"key": pa.array([], pa.string())})
 
-    def join_losers(g: pd.DataFrame) -> pa.Table:
-        w = g[g["kmin"].notna()]
-        if len(w) == 0:
+    def losers_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2:
             return _EMPTY_KEYS
-        kmin_of = pd.Series(w["kmin"].to_numpy(), index=w["h"].to_numpy())
-        rows = g[g["key"].notna()]
-        km = rows["h"].map(kmin_of)
-        losers = rows.loc[km.notna() & (rows["key"] != km), "key"]
+        h = g["h"].to_numpy()
+        k = g["key"].to_numpy()
+        order = np.lexsort((k, h))
+        hs, ks = h[order], k[order]
+        new = np.concatenate([[True], hs[1:] != hs[:-1]])
+        starts = np.flatnonzero(new)
+        # winner (min key) of each full-hash run, repeated over the run
+        kmin = np.repeat(ks[starts], np.diff(np.append(starts, len(hs))))
+        losers = ks[kmin != ks]
         if not len(losers):
             return _EMPTY_KEYS
-        return pa.table({"key": pa.array(losers.to_numpy(), pa.string())})
+        return pa.table({"key": pa.array(losers, pa.string())})
 
     return (
-        groups.map_batches(winners_bucketed, batch_format="pyarrow")
-        .union(proj.map_batches(proj_bucketed, batch_format="pyarrow"))
+        ds.map_batches(project, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(join_losers, batch_format="pandas")
+        .map_groups(losers_bucket, batch_format="pandas")
     )
 
 
