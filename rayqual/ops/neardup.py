@@ -266,13 +266,17 @@ def minhash_propose_pairs(
     return minhash_propose_from_sigs(sig_ds, bands, max_bucket, strict, max_propose_pairs)
 
 
-def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn):
+def _pair_key_verify(
+    ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn, n_buckets: int = 64
+):
     """Shared distributed verify harness: each candidate pair gets a
     pair index; cohort docs emit (pair, id, payload) rows — payload is
-    computed per batch via ``payload_fn(sub_table) -> list`` — and
-    ``groupby(pair).map_groups`` runs ``verify_fn(id_a, pay_a, id_b,
-    pay_b) -> row_dict | None``. Nothing but the (small) pair list ever
-    reaches the driver; payloads travel once per pair membership."""
+    computed per batch via ``payload_fn(sub_table) -> list`` — grouped
+    by pair BUCKET (one Python dispatch per bucket, not per pair: Ray's
+    per-group map_groups overhead dwarfed the µs-scale verify), and
+    ``verify_fn(pay_a, pay_b) -> score | None`` runs per pair segment
+    inside the bucket. Nothing but the (small) pair list ever reaches
+    the driver; payloads travel once per pair membership."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
@@ -291,7 +295,8 @@ def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn)
         sub = batch.filter(pa.array(mask))
         if len(sub) == 0:
             return pa.table(
-                {"pair": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                {"pbucket": pa.array([], pa.int64()),
+                 "pair": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
                  "pay": pa.array([], pa.list_(pa.uint64()))}
             )
         sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False)
@@ -302,9 +307,11 @@ def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn)
                 out_pair.append(p)
                 out_id.append(i)
                 out_pay.append(payloads[j])
+        pairs = np.asarray(out_pair, dtype=np.int64)
         return pa.table(
             {
-                "pair": pa.array(out_pair, pa.int64()),
+                "pbucket": pa.array(pairs % n_buckets),
+                "pair": pa.array(pairs),
                 "id": pa.array(out_id, pa.int64()),
                 "pay": pa.array(out_pay, pa.list_(pa.uint64())),
             }
@@ -315,24 +322,40 @@ def _pair_key_verify(ds, id_col: str, cand: pd.DataFrame, payload_fn, verify_fn)
                              "id_b": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
 
-    def check(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["id"]).sort_values("id")
-        if len(g) < 2:
+    def check_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["pair", "id"]).sort_values(["pair", "id"])
+        pairs = g["pair"].to_numpy()
+        if len(pairs) == 0:
             return _empty()
-        score = verify_fn(
-            np.asarray(g["pay"].iloc[0], dtype=np.uint64),
-            np.asarray(g["pay"].iloc[1], dtype=np.uint64),
+        ids = g["id"].to_numpy()
+        pays = g["pay"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], pairs[1:] != pairs[:-1]]))
+        ends = np.append(starts[1:], len(pairs))
+        id_a, id_b, scores = [], [], []
+        for s, e in zip(starts, ends):  # per-pair work is µs-scale
+            if e - s < 2:
+                continue
+            score = verify_fn(
+                np.asarray(pays[s], dtype=np.uint64),
+                np.asarray(pays[s + 1], dtype=np.uint64),
+            )
+            if score is None:
+                continue
+            id_a.append(int(ids[s]))
+            id_b.append(int(ids[s + 1]))
+            scores.append(float(score))
+        if not id_a:
+            return _empty()
+        return pd.DataFrame(
+            {"id_a": np.asarray(id_a, dtype=np.int64),
+             "id_b": np.asarray(id_b, dtype=np.int64),
+             "score": np.asarray(scores, dtype=np.float64)}
         )
-        if score is None:
-            return _empty()
-        return pd.DataFrame({"id_a": [int(g["id"].iloc[0])],
-                             "id_b": [int(g["id"].iloc[1])],
-                             "score": [float(score)]})
 
     return (
         ds.map_batches(emit, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(check, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(check_bucket, batch_format="pandas")
     )
 
 
