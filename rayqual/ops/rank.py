@@ -116,22 +116,29 @@ def global_ntile(
     ranked = global_rank(
         ds, key_col, carry_cols=carry_cols, n_partitions=n_partitions
     )
-    q, rem = divmod(int(total), int(n_tiles))
-    big = q + 1
-    boundary = rem * big
 
     def to_tile(b: pa.Table) -> pa.Table:
         r = b.column("rank").to_numpy(zero_copy_only=False)
-        if q == 0:  # fewer rows than tiles: one row per tile
-            tile = r
-        else:
-            tile = np.where(
-                r <= boundary,
-                (r - 1) // big,
-                rem + (r - 1 - boundary) // q,
-            ) + 1
+        tile = ntile_of_rank(r, total, n_tiles)
         cols = {c: b.column(c) for c in b.column_names if c != "rank"}
-        cols[tile_col] = pa.array(tile.astype(np.int64))
+        cols[tile_col] = pa.array(tile)
         return pa.table(cols)
 
     return ranked.map_batches(to_tile, batch_format="pyarrow")
+
+
+def ntile_of_rank(r: np.ndarray, total: int, n_tiles: int) -> np.ndarray:
+    """SQL NTILE tile id (1-based) for 1-based ranks ``r``: the first
+    ``total % n_tiles`` tiles hold ``total // n_tiles + 1`` rows, the
+    rest one fewer. Pure kernel (property-tested)."""
+    q, rem = divmod(int(total), int(n_tiles))
+    if q == 0:  # fewer rows than tiles: one row per tile
+        return np.asarray(r, dtype=np.int64)
+    big = q + 1
+    boundary = rem * big
+    tile = np.where(
+        r <= boundary,
+        (np.asarray(r) - 1) // big,
+        rem + (np.asarray(r) - 1 - boundary) // q,
+    ) + 1
+    return tile.astype(np.int64)

@@ -94,3 +94,55 @@ def test_drift_kernel_tvd_identities(old, new):
                 sub_o[v] * n_new == sub_n[v] * n_old for v in sub_o
             )
             assert (tvd == 0.0) == same
+
+
+@given(
+    st.integers(min_value=1, max_value=5000),   # total rows
+    st.integers(min_value=1, max_value=40),     # n_tiles
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_of_rank_sql_law(total, n_tiles):
+    """NTILE invariants: monotone in rank, tiles 1..min(total, n), the
+    first total%n tiles exactly one row bigger, sizes differ by <= 1."""
+    from rayqual.ops.rank import ntile_of_rank
+
+    r = np.arange(1, total + 1, dtype=np.int64)
+    t = ntile_of_rank(r, total, n_tiles)
+    assert (np.diff(t) >= 0).all()
+    assert t[0] == 1 and t[-1] == min(total, n_tiles)
+    sizes = np.bincount(t)[1:]
+    assert sizes.max() - sizes.min() <= 1
+    q, rem = divmod(total, n_tiles)
+    if q > 0:
+        assert (sizes == q + 1).sum() == (rem if rem else 0)
+        assert (sizes[:rem] == q + 1).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),           # group
+            st.integers(min_value=-50, max_value=50),   # value
+            st.integers(min_value=1, max_value=9),      # count
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.sampled_from([0.05, 0.25, 0.5, 0.9, 0.95, 1.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_quantiles_kernel_matches_naive_weighted(rows, q):
+    """_quantiles_kernel (the winsorize/MAD/grouped-quantile core) ==
+    naive expanded quantile_disc on arbitrary weighted histograms."""
+    from rayqual.ops.quantiles import _quantiles_kernel
+
+    df = (
+        pd.DataFrame(rows, columns=["k", "v", "c"])
+        .groupby(["k", "v"], as_index=False)["c"]
+        .sum()
+    )
+    got = _quantiles_kernel(df, "k", "v", "c", (q,)).set_index("k")
+    col = f"p{int(q * 100)}"
+    for k, g in df.groupby("k"):
+        expanded = np.sort(np.repeat(g["v"].to_numpy(), g["c"].to_numpy()))
+        exp = expanded[max(int(np.ceil(q * len(expanded))) - 1, 0)]
+        assert got.loc[k, col] == exp, (k, q)
