@@ -960,6 +960,43 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_late_events(sf_dir: str):
+    """Watermark / late-data semantics in batch shape (ops/window.py
+    drop_late_events): per-user high-water mark from a pre-combined
+    groupby.max (counted before the broadcast collect), then a
+    stateless flag of rows more than 1 h behind their key's mark."""
+    import ray.data
+
+    from rayqual.ops.window import drop_late_events
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    out = drop_late_events(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", ts_col="ts_us",
+        allowed_lateness=3_600_000_000, mark_col="late",
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "late"])
+
+    return _typed(
+        out.map_batches(strip, batch_format="pyarrow"),
+        {"event_id": "int64", "late": "bool"},
+    )
+
+
 def q_keep_best_per_prefix_docs(sf_dir: str):
     """Dedup keeping the BEST row per duplicate group (longest doc,
     not min id) — the quality-aware twin of dup_prefix40_docs, composed
@@ -2491,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_docs": q_cube_docs,
         "mad_len_by_source": q_mad_len_by_source,
         "keep_best_per_prefix_docs": q_keep_best_per_prefix_docs,
+        "late_events": q_late_events,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2933,6 +2971,12 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    ) AS roll_cents
             FROM orders
+        """,
+        "late_events": """
+            SELECT event_id,
+                   epoch_us(ts) < max(epoch_us(ts)) OVER (PARTITION BY user_id)
+                     - 3600000000 AS late
+            FROM events
         """,
         "keep_best_per_prefix_docs": """
             SELECT doc_id FROM documents

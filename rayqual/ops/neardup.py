@@ -887,13 +887,20 @@ def lsh_embedding_neardup_pairs(
         a_idx, b_idx = np.triu_indices(len(g), k=1)
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
-    cand = (
+    cand_ds = (
         _prune_singleton_buckets(vec_ds.map_batches(bucketize, batch_format="pyarrow"))
         .groupby("bkey")
         .map_groups(pair_up, batch_format="pandas")
-        .to_pandas()  # pair LIST only — small by the dup-rate assumption
-        .drop_duplicates(ignore_index=True)
+        .materialize()  # count first — guard-before-collect
     )
+    n_cand = cand_ds.count()
+    if n_cand > 5_000_000:
+        raise ValueError(
+            f"embedding-LSH propose: {n_cand} candidate pairs exceed the driver "
+            "bound — raise the plane count (smaller buckets) or use strict=True "
+            "star pairing."
+        )
+    cand = cand_ds.to_pandas().drop_duplicates(ignore_index=True)
     if len(cand) == 0:
         return ray.data.from_arrow(empty)
 

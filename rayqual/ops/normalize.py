@@ -38,6 +38,7 @@ def grouped_zscore(
     value_col: str,
     carry_cols: tuple[str, ...] = (),
     out_col: str = "zscore",
+    max_keys: int = 2_000_000,
 ):
     """Dataset → Dataset(*carry_cols, key, value_col, out_col) where
     out_col = (v - mean_key) / stddev_samp_key (ddof=1), null when the
@@ -45,6 +46,10 @@ def grouped_zscore(
 
     ``value_col`` must be integral (exact int64 sums; guarded against
     overflow). Keys with n*max(v)^2 >= 2^62 raise rather than wrap.
+    The per-key stats table is broadcast, so key cardinality is COUNTED
+    before it is collected (guard-before-collect): above ``max_keys``
+    this refuses rather than OOM the driver — join the stats back with
+    a shuffle join instead for ultra-high-cardinality keys.
     """
     from rayqual import ship_to_workers as _stw
 
@@ -63,7 +68,7 @@ def grouped_zscore(
             }
         )
 
-    stats = (
+    agg = (
         ds.select_columns([key, value_col])
         .map_batches(aug, batch_format="pyarrow")
         .groupby(key)
@@ -73,8 +78,15 @@ def grouped_zscore(
             Sum("_v2", alias_name="ss"),
             Max("_absv", alias_name="vmax"),
         )
-        .to_pandas()
+        .materialize()  # count first — guard-before-collect
     )
+    n_keys = agg.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"grouped_zscore: {n_keys} distinct keys exceed max_keys={max_keys} "
+            "— the broadcast stats table would overwhelm the driver"
+        )
+    stats = agg.to_pandas()
     means: dict = {}
     stds: dict = {}
     for _, r in stats.iterrows():

@@ -378,3 +378,58 @@ def grouped_percent_rank(
         .groupby("__bucket")
         .map_groups(pr_bucket, batch_format="pandas")
     )
+
+
+def drop_late_events(
+    ds,
+    key: str,
+    ts_col: str,
+    allowed_lateness: int,
+    mark_col: str | None = None,
+    max_keys: int = 2_000_000,
+):
+    """Batch-shaped watermark semantics (the §2.6 "late data" shape):
+    a row is LATE when its timestamp is more than ``allowed_lateness``
+    behind its key's high-water mark (the key's max ``ts_col``). Two
+    passes, tiny exchange: a pre-combined ``groupby(key).max``
+    (key-count rows — counted before the broadcast collect,
+    guard-before-collect) and a stateless filter; the input streams
+    twice, it is never pinned.
+
+    ``mark_col=None`` drops late rows; a column name keeps every row
+    and appends a boolean late flag instead."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max
+
+    agg = (
+        ds.select_columns([key, ts_col])
+        .groupby(key)
+        .aggregate(Max(ts_col, alias_name="_hwm"))
+        .materialize()
+    )
+    n_keys = agg.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"drop_late_events: {n_keys} distinct keys exceed max_keys="
+            f"{max_keys} — broadcast watermark table would overwhelm the driver"
+        )
+    hw = agg.to_pandas()
+    ref = ray.put(dict(zip(hw[key].to_numpy(), hw["_hwm"].to_numpy())))
+
+    def apply(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wm = _ray.get(ref)
+        kv = pd.Series(b.column(key).to_numpy(zero_copy_only=False))
+        hwm = kv.map(wm).to_numpy(dtype=np.int64)
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        late = ts < hwm - allowed_lateness
+        if mark_col is not None:
+            return b.append_column(mark_col, pa.array(late, pa.bool_()))
+        return b.filter(pa.array(~late))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

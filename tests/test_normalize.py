@@ -335,3 +335,40 @@ def test_cube_counts(ray_session):
     assert len(got) == len(exp)
     for c in ("source", "lang", "n_rows", "n_chars"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_drop_late_events(ray_session):
+    from rayqual.ops.window import drop_late_events
+
+    rng = np.random.default_rng(37)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n).astype(np.int64),
+            "ts": rng.integers(0, 10_000, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    hwm = df.groupby("k")["ts"].transform("max")
+    exp_late = (df["ts"] < hwm - 1000).to_numpy()
+    for parts in (1, 4):
+        ds = ray_session.data.from_pandas(df).repartition(parts)
+        marked = (
+            drop_late_events(ds, key="k", ts_col="ts",
+                             allowed_lateness=1000, mark_col="late")
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert (marked["late"].to_numpy() == exp_late).all()
+        kept = drop_late_events(ds, key="k", ts_col="ts", allowed_lateness=1000)
+        assert kept.count() == int((~exp_late).sum())
+
+    # guard-before-collect fires on cardinality, not on the collect
+    import pytest
+
+    with pytest.raises(ValueError, match="max_keys"):
+        drop_late_events(
+            ray_session.data.from_pandas(df), key="rid", ts_col="ts",
+            allowed_lateness=1, max_keys=10,
+        ).materialize()
