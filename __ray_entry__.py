@@ -960,6 +960,97 @@ def q_running_order_total(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the three-table analytics composition test:
+    (1) qualifying customers (one market segment) broadcast as a sorted
+    key array (count-guarded collect — the small dimension side);
+    (2) date-filtered orders semijoined per batch (np.isin, no
+    shuffle); (3) date-filtered lineitem projected to (orderkey,
+    exact-cents revenue); (4) ONE shuffle_hash_join on the orderkey —
+    the only wide exchange; (5) pre-combined group sum and a top-10
+    sort over the already-tiny aggregate."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import shuffle_hash_join
+
+    from datetime import date
+
+    cutoff_us = (date(1995, 3, 15) - date(1970, 1, 1)).days * 86_400_000_000
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def ckeys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_mktsegment"), "BUILDING")
+        return pa.table({"c_custkey": b.column("c_custkey").filter(m)})
+
+    ck = cust.map_batches(ckeys, batch_format="pyarrow").materialize()
+    if ck.count() > 5_000_000:  # guard-before-collect
+        raise ValueError("q3: qualifying customer set exceeds the broadcast bound")
+    carr = np.sort(ck.to_pandas()["c_custkey"].to_numpy(dtype=np.int64))
+    cref = ray.put(carr)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        odate = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.less(odate, pa.scalar(cutoff_us, pa.int64()))
+        b = pa.table(
+            {"o_orderkey": b.column("o_orderkey").filter(keep),
+             "o_custkey": b.column("o_custkey").filter(keep),
+             "odate_us": odate.filter(keep)}
+        )
+        import ray as _ray
+
+        carr_ = _ray.get(cref)
+        m = np.isin(b.column("o_custkey").to_numpy(zero_copy_only=False), carr_)
+        return b.filter(pa.array(m)).drop_columns(["o_custkey"])
+
+    o_proj = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.greater(ship, pa.scalar(cutoff_us, pa.int64()))
+        b = b.filter(keep)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev_cents": rev})
+
+    joined = shuffle_hash_join(
+        line.map_batches(l_prep, batch_format="pyarrow"),
+        o_proj,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev_cents"], right_cols=["odate_us"],
+    )
+    agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents")
+    )
+    out = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    return _typed(
+        out, {"l_orderkey": "int64", "odate_us": "int64", "revenue_cents": "int64"}
+    )
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -2529,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_len_by_source": q_mad_len_by_source,
         "keep_best_per_prefix_docs": q_keep_best_per_prefix_docs,
         "late_events": q_late_events,
+        "q3_shipping_priority": q3_shipping_priority,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -2971,6 +3063,21 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    ) AS roll_cents
             FROM orders
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey
+            LIMIT 10
         """,
         "late_events": """
             SELECT event_id,

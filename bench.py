@@ -137,7 +137,7 @@ def run_queries(sf_dir: str) -> dict:
         "winsorized_len_by_source", "rolling_order_avg",
         "len_percent_rank_by_source", "lang_counts_by_source_pivot",
         "cube_docs", "mad_len_by_source", "keep_best_per_prefix_docs",
-        "late_events",
+        "late_events", "q3_shipping_priority",
     ]
     qs = entrymod.queries()
     out = {}
