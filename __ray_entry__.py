@@ -1051,6 +1051,305 @@ def q3_shipping_priority(sf_dir: str):
     )
 
 
+def q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the five-table star composition: every
+    dimension (region→nation, supplier, customer) is broadcast as a
+    small lookup, the two FACT tables meet in exactly ONE
+    shuffle_hash_join on the order key, and the local-supplier
+    predicate (customer nation == supplier nation) filters the joined
+    stream before a tiny per-nation group sum. Exact-cents revenue so
+    the result is engine-comparable."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import broadcast_join, shuffle_hash_join
+
+    from datetime import date
+
+    lo_us = (date(1996, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1997, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+
+    # dimension chain (driver-side by design: region x nation is O(10^2))
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    asia = nat.merge(
+        reg[reg["r_name"] == "ASIA"], left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name"]]
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(asia["n_nationkey"])]
+    sup["supp_nk"] = sup["s_nationkey"].astype("int64")
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(asia["n_nationkey"])]
+    cust["cust_nk"] = cust["c_nationkey"].astype("int64")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        odate = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(odate, pa.scalar(lo_us, pa.int64())),
+            pc.less(odate, pa.scalar(hi_us, pa.int64())),
+        )
+        return b.select(["o_orderkey", "o_custkey"]).filter(keep)
+
+    o_proj = broadcast_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        cust, "o_custkey", "c_custkey", ["cust_nk"],
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("cust_nk"))).select(
+            ["o_orderkey", "cust_nk"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_suppkey": b.column("l_suppkey"),
+             "rev_cents": rev}
+        )
+
+    l_proj = broadcast_join(
+        line.map_batches(l_prep, batch_format="pyarrow"),
+        sup, "l_suppkey", "s_suppkey", ["supp_nk"],
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("supp_nk"))).select(
+            ["l_orderkey", "rev_cents", "supp_nk"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = shuffle_hash_join(
+        l_proj, o_proj,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev_cents", "supp_nk"], right_cols=["cust_nk"],
+    )
+
+    nk_sorted = np.sort(asia["n_nationkey"].to_numpy(dtype=np.int64))
+    names = asia.set_index("n_nationkey")["n_name"].loc[nk_sorted].to_numpy()
+
+    def local_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("supp_nk"), b.column("cust_nk"))
+        b = b.filter(keep)
+        nk = b.column("supp_nk").to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = names[np.searchsorted(nk_sorted, nk)]
+        return pa.table(
+            {"n_name": pa.array(nm, pa.string()), "rev_cents": b.column("rev_cents")}
+        )
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    return _typed(agg, {"n_name": "object", "revenue_cents": "int64"})
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — the correlated-aggregate filter: revenue from
+    lineitems whose quantity is below 20% of the per-part average, for
+    one part brand. The per-part average is computed in one
+    pre-combined groupby over the (already brand-filtered) fact rows,
+    broadcast back (count-guarded), and applied in a SECOND streaming
+    pass — the fact table never shuffles. The threshold compare is
+    EXACT INTEGER (5 * qty_cents * n < sum_qty_cents, valid because
+    0.2 = 1/5), so no engine float-division tie can flip a row."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    pk = np.sort(
+        part.loc[part["p_brand"] == "Brand#12", "p_partkey"].to_numpy(dtype=np.int64)
+    )
+    pkref = ray.put(pk)
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = np.isin(keys, ray.get(pkref))
+        b = b.filter(pa.array(m))
+        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        pcents = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"l_partkey": b.column("l_partkey"), "qc": qc, "pcents": pcents}
+        )
+
+    def scan():
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(l_prep, batch_format="pyarrow")
+
+    stats = (
+        scan()
+        .groupby("l_partkey")
+        .aggregate(Sum("qc", alias_name="sumqc"), Count(alias_name="n"))
+        .materialize()
+    )
+    if stats.count() > 5_000_000:  # guard-before-collect: one row per part
+        raise ValueError("q17: per-part stats exceed the broadcast bound")
+    sdf = stats.to_pandas().sort_values("l_partkey")
+    spk = sdf["l_partkey"].to_numpy(dtype=np.int64)
+    ssum = sdf["sumqc"].to_numpy(dtype=np.int64)
+    sn = sdf["n"].to_numpy(dtype=np.int64)
+    sref = ray.put((spk, ssum, sn))
+
+    def below_avg(b: pa.Table) -> pa.Table:
+        spk_, ssum_, sn_ = ray.get(sref)
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(spk_, keys)
+        qc = b.column("qc").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 5 * qc * sn_[idx] < ssum_[idx]
+        return pa.table(
+            {"pcents": b.column("pcents").filter(pa.array(keep)), }
+        )
+
+    agg = (
+        scan()
+        .map_batches(below_avg, batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_rows"), Sum("pcents", alias_name="total_cents"))
+    )
+    import pandas as pd
+
+    out = pd.DataFrame([agg])
+    if out.loc[0, "n_rows"] == 0 or pd.isna(out.loc[0, "total_cents"]):
+        out.loc[0, "total_cents"] = 0
+    return _typed(out, {"n_rows": "int64", "total_cents": "int64"})
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered per-user behavior strings — SQL string_agg(event_type,
+    '>' ORDER BY ts, event_id): the order-sensitive grouped reduction
+    (ops/agg.py grouped_string_agg — one key-bucketed exchange, one
+    lexsort + vectorized join per bucket, no per-key dispatch)."""
+    from rayqual.ops.agg import grouped_string_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = grouped_string_agg(
+        ds, key="user_id", value_col="event_type",
+        order_cols=["ts_us", "event_id"], sep=">", out_col="path",
+    )
+    return _typed(out, {"user_id": "int64", "path": "object"})
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences — a
+    composition proof: tiny distinct-domain aggregate (count-guarded
+    broadcast) → dictionary-encode → ops/window.py grouped_shift (the
+    lag kernel) → pre-combined pair groupby → decode. The wide data
+    crosses the wire once, as (user, ts, event_id, int8-sized code)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    ev = _events(sf_dir)
+    dom_ds = ev.groupby("event_type").aggregate(Count(alias_name="n")).materialize()
+    if dom_ds.count() > 100_000:  # guard-before-collect: the type domain
+        raise ValueError("event_transitions: event_type domain exceeds broadcast bound")
+    domain = np.sort(dom_ds.to_pandas()["event_type"].to_numpy())
+    dref = ray.put(domain)
+
+    def encode(b: pa.Table) -> pa.Table:
+        codes = pd.Categorical(
+            b.column("event_type").to_numpy(zero_copy_only=False),
+            categories=ray.get(dref),
+        ).codes.astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "code": pa.array(codes),
+            }
+        )
+
+    from rayqual.ops.window import grouped_shift
+
+    shifted = grouped_shift(
+        ev.map_batches(encode, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts_us", "event_id"],
+        value_col="code", periods=1, fill_value=-1, out_col="prev_code",
+    )
+    pairs = (
+        shifted.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("prev_code"), 0)
+            ).select(["prev_code", "code"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["prev_code", "code"])
+        .aggregate(Count(alias_name="n_pairs"))
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        dom = ray.get(dref)
+        prev = dom[b.column("prev_code").to_numpy(zero_copy_only=False)]
+        cur = dom[b.column("code").to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "prev_type": pa.array(prev, pa.string()),
+                "event_type": pa.array(cur, pa.string()),
+                "n_pairs": b.column("n_pairs"),
+            }
+        )
+
+    out = pairs.map_batches(decode, batch_format="pyarrow")
+    return _typed(out, {"prev_type": "object", "event_type": "object", "n_pairs": "int64"})
+
+
+def q_lang_entropy_by_source(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the language mix — the
+    corpus-diversity signal (ops/agg.py grouped_entropy: one
+    pre-combined (key,value) count exchange, vectorized segmented
+    entropy per key bucket)."""
+    from rayqual.ops.agg import grouped_entropy
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["source", "lang"]), batch_format="pyarrow"
+    )
+    out = grouped_entropy(ds, key="source", value_col="lang")
+    return _typed(out, {"source": "object", "n_rows": "int64", "entropy": "float64"})
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -2621,6 +2920,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_per_prefix_docs": q_keep_best_per_prefix_docs,
         "late_events": q_late_events,
         "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_revenue": q5_local_supplier_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "user_event_paths": q_user_event_paths,
+        "event_transitions": q_event_transitions,
+        "lang_entropy_by_source": q_lang_entropy_by_source,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -3078,6 +3382,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, l_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q17_small_quantity_revenue": """
+            WITH f AS (
+              SELECT l.l_partkey,
+                     CAST(round(l.l_quantity * 100) AS BIGINT) AS qc,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pcents
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#12'),
+            s AS (
+              SELECT l_partkey, sum(qc) AS sumqc, count(*) AS n
+              FROM f GROUP BY l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(sum(f.pcents), 0) AS BIGINT) AS total_cents
+            FROM f JOIN s USING (l_partkey)
+            WHERE 5 * f.qc * s.n < s.sumqc
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        "event_transitions": """
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                     event_type
+              FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "lang_entropy_by_source": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS cnt
+              FROM documents GROUP BY source, lang),
+            t AS (
+              SELECT source, CAST(sum(cnt) AS BIGINT) AS n_rows
+              FROM c GROUP BY source)
+            SELECT c.source, t.n_rows,
+                   sum(-(CAST(c.cnt AS DOUBLE) / t.n_rows)
+                       * ln(CAST(c.cnt AS DOUBLE) / t.n_rows)) AS entropy
+            FROM c JOIN t USING (source)
+            GROUP BY c.source, t.n_rows
         """,
         "late_events": """
             SELECT event_id,

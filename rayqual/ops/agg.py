@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def salted_groupby_sum(ds, key: str, value_cols: list[str], n_salts: int = 16):
@@ -244,3 +245,127 @@ def cube_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouped_string_agg(
+    ds,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    n_buckets: int = 32,
+):
+    """Ordered per-key string concatenation — SQL ``string_agg(value,
+    sep ORDER BY order_cols...)``: the order-SENSITIVE grouped
+    reduction (session path strings, ordered tag lists) that a plain
+    combiner aggregate cannot express, because concatenation only
+    associates once rows are in order.
+
+    Shape: the (key, order_cols, value) projection is hash-bucketed on
+    the key (every row of a key lands in one bucket — the unavoidable
+    co-location shuffle for an ordered reduction, same as
+    ``reassemble_chunks``); each bucket does ONE lexsort over
+    ``order_cols`` and one vectorized pandas groupby-join — no per-key
+    dispatch. Partitioning assumption: one bucket of concatenated
+    strings fits a worker; size ``n_buckets`` to the cluster.
+
+    Semantics pinned to SQL string_agg: NULL values are dropped (keys
+    whose every value is NULL emit no row); NULL keys are dropped (SQL
+    groups them, but a float-NaN key would corrupt the hash bucketing
+    — filter upstream to keep them). (key, *order_cols) must totally
+    order rows within a key for a deterministic result.
+    """
+    import pandas as pd
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        keep = pc.and_kleene(
+            pc.is_valid(b.column(key)), pc.is_valid(b.column(value_col))
+        )
+        b = b.filter(keep)
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("__bucket", pa.array(kb.astype(np.int64)))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(tuple(g[c].to_numpy() for c in reversed(order_cols)))
+        frame = pd.DataFrame(
+            {key: g[key].to_numpy()[order], value_col: g[value_col].to_numpy()[order]}
+        )
+        # pandas groupby preserves within-group row order, so the
+        # bucket-wide lexsort above fixes value order inside each key
+        joined = frame.groupby(key, sort=True)[value_col].agg(sep.join)
+        return pd.DataFrame({key: joined.index.to_numpy(), out_col: joined.to_numpy()})
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def grouped_entropy(
+    ds,
+    key: str,
+    value_col: str,
+    out_col: str = "entropy",
+    n_buckets: int = 32,
+):
+    """Shannon entropy (nats) of the ``value_col`` distribution per
+    ``key`` — the corpus-diversity signal (language mix per domain,
+    event-type spread per user) a balance-aware sampler reads before
+    choosing mixture weights.
+
+    Shape: ``groupby((key, value)).count()`` is the only wide exchange
+    (Ray pre-combines per block, so it carries at most
+    keys x distinct-values rows — same shape as ``grouped_mode``);
+    entropy is then one vectorized segmented pass per hash bucket of
+    keys. Exact int64 counts; the float division happens once per
+    (key, value) pair, so the result is partitioning-independent up to
+    float summation order.
+
+    Returns one row per key: (key, n_rows, entropy). NULL keys/values
+    are counted like any other group by the engine groupby — filter
+    upstream for SQL parity.
+    """
+    import pandas as pd
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby([key, value_col]).aggregate(Count(alias_name="cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def entropy_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(g[key].to_numpy(), sort=True)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        k = len(uniques)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, codes, cnt)
+        p = cnt / tot[codes].astype(np.float64)
+        ent = np.zeros(k, dtype=np.float64)
+        np.add.at(ent, codes, -p * np.log(p))
+        return pd.DataFrame({key: uniques, "n_rows": tot, out_col: ent})
+
+    return (
+        counts.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(entropy_bucket, batch_format="pandas")
+    )

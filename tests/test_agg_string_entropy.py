@@ -1,0 +1,118 @@
+"""ops/agg.py grouped_string_agg (ordered per-key concat) and
+grouped_entropy (per-key Shannon entropy of a value distribution)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _events_frame(n=500, seed=7, with_nulls=False):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": rng.permutation(n).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": np.array(["view", "click", "buy", "share"])[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    if with_nulls:
+        df.loc[df.index[:5], "event_type"] = None
+    return df
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayqual.ops.agg import grouped_string_agg
+
+    df = _events_frame(with_nulls=True)
+    con = duckdb.connect()
+    con.register("e", df)
+    exp = (
+        con.execute(
+            """SELECT user_id,
+                      string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               FROM e WHERE event_type IS NOT NULL GROUP BY user_id"""
+        )
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    for parts in (1, 6):
+        got = (
+            grouped_string_agg(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="user_id", value_col="event_type",
+                order_cols=["ts", "event_id"], sep=">", out_col="path",
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+        assert (got["path"].to_numpy() == exp["path"].to_numpy()).all()
+
+
+def test_grouped_string_agg_string_key(ray_session):
+    from rayqual.ops.agg import grouped_string_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["b", "a", "b", "a", "c"],
+            "o": np.array([2, 1, 1, 2, 1], dtype=np.int64),
+            "v": ["x", "y", "z", "w", "q"],
+        }
+    )
+    got = (
+        grouped_string_agg(
+            ray_session.data.from_pandas(df), key="k", value_col="v",
+            order_cols=["o"], sep=",", out_col="agg", n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == ["a", "b", "c"]
+    assert list(got["agg"]) == ["y,w", "z,x", "q"]
+
+
+def test_grouped_entropy_matches_numpy(ray_session):
+    from rayqual.ops.agg import grouped_entropy
+
+    df = _events_frame(800, seed=13)
+    exp_rows = []
+    for k, g in df.groupby("user_id"):
+        cnt = g["event_type"].value_counts().to_numpy(dtype=np.float64)
+        p = cnt / cnt.sum()
+        exp_rows.append((k, int(cnt.sum()), float(-(p * np.log(p)).sum())))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "n_rows", "entropy"])
+    for parts in (1, 7):
+        got = (
+            grouped_entropy(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="user_id", value_col="event_type", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+        assert (got["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
+        assert np.allclose(got["entropy"].to_numpy(), exp["entropy"].to_numpy())
+
+
+def test_grouped_entropy_single_value_is_zero(ray_session):
+    from rayqual.ops.agg import grouped_entropy
+
+    df = pd.DataFrame({"k": ["a"] * 10, "v": ["only"] * 10})
+    got = grouped_entropy(
+        ray_session.data.from_pandas(df), key="k", value_col="v"
+    ).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_rows"] == 10
+    assert got.loc[0, "entropy"] == 0.0
