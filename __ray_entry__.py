@@ -1350,6 +1350,183 @@ def q_lang_entropy_by_source(sf_dir: str):
     return _typed(out, {"source": "object", "n_rows": "int64", "entropy": "float64"})
 
 
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — HAVING-on-a-fact-aggregate semi-join: ONE
+    pre-combined groupby over lineitem carries (orderkey, qty_cents)
+    only; the tiny surviving key set (sum > 250 units) is
+    guard-counted, broadcast, and applied in a single streaming pass
+    over orders; the top-100 sorts a result that is already small.
+    Exact-cents quantities so the HAVING threshold cannot float-tie."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "qc": qc})
+
+    surv = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(l_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qc", alias_name="sum_qty_cents"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("sum_qty_cents"), 25_000)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if surv.count() > 5_000_000:  # guard-before-collect: HAVING survivors
+        raise ValueError("q18: surviving order keys exceed the broadcast bound")
+    sdf = surv.to_pandas().sort_values("l_orderkey")
+    keys = sdf["l_orderkey"].to_numpy(dtype=np.int64)
+    qty = sdf["sum_qty_cents"].to_numpy(dtype=np.int64)
+    ref = ray.put((keys, qty))
+
+    def o_join(b: pa.Table) -> pa.Table:
+        keys_, qty_ = ray.get(ref)
+        if not len(keys_):
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "total_cents": pa.array([], pa.int64()),
+                 "sum_qty_cents": pa.array([], pa.int64())}
+            )
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys_, ok), len(keys_) - 1)
+        m = keys_[idx] == ok
+        tot = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "total_cents": tot,
+             "sum_qty_cents": pa.array(qty_[idx], pa.int64())}
+        ).filter(pa.array(m))
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        .map_batches(o_join, batch_format="pyarrow")
+        .sort(key=["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+    return _typed(
+        out,
+        {"o_orderkey": "int64", "total_cents": "int64", "sum_qty_cents": "int64"},
+    )
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join turned bloom probe: the
+    lineitem side reduces to distinct returned-order keys (one
+    pre-combined groupby inside ops/bloom.py bloom_semijoin), broadcast
+    as bitmap + exact key array; the orders quarter-scan streams
+    through one local probe pass and a tiny priority count closes. At
+    cluster scale an oversized key side hits the guard and chains into
+    shuffle_hash_join instead (documented in ops/bloom.py)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rayqual.ops.bloom import bloom_semijoin
+
+    from datetime import date
+
+    lo_us = (date(1995, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1995, 4, 1) - date(1970, 1, 1)).days * 86_400_000_000
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("l_returnflag"), "R")).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo_us, pa.int64())),
+            pc.less(od, pa.scalar(hi_us, pa.int64())),
+        )
+        return b.select(["o_orderkey", "o_orderpriority"]).filter(keep)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    out = (
+        bloom_semijoin(orders, keys, big_on="o_orderkey", key_on="l_orderkey")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+    )
+    return _typed(out, {"o_orderpriority": "object", "order_count": "int64"})
+
+
+def q22_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape — scalar-subquery threshold + anti-join: the
+    positive-balance average is two exact int64 aggregates broadcast as
+    a RATIONAL compare (bal_cents * n > sum_cents — no float division
+    to tie); 'never placed an URGENT order' is the bloom ANTI probe
+    over the urgent-orders key set (ops/bloom.py); a tiny per-segment
+    count/sum closes. The integer compare holds to ~9e12 customers at
+    max-cents balances."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from rayqual.ops.bloom import bloom_semijoin
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table(
+            {"c_custkey": b.column("c_custkey"),
+             "bal_cents": cents,
+             "c_mktsegment": b.column("c_mktsegment")}
+        )
+
+    def cust():
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+        ).map_batches(c_prep, batch_format="pyarrow")
+
+    stats = (
+        cust()
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("bal_cents"), 0)),
+            batch_format="pyarrow",
+        )
+        .aggregate(Sum("bal_cents", alias_name="s"), Count(alias_name="n"))
+    )
+    s, n = int(stats["s"]), int(stats["n"])
+
+    rich = cust().map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.multiply(b.column("bal_cents"), pa.scalar(n, pa.int64())),
+                       pa.scalar(s, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        bloom_semijoin(rich, okeys, big_on="c_custkey", key_on="o_custkey", anti=True)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_cust"), Sum("bal_cents", alias_name="bal_cents"))
+    )
+    return _typed(
+        out, {"c_mktsegment": "object", "n_cust": "int64", "bal_cents": "int64"}
+    )
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -2922,6 +3099,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q4_order_priority": q4_order_priority,
+        "q22_idle_customer_balance": q22_idle_customer_balance,
         "user_event_paths": q_user_event_paths,
         "event_transitions": q_event_transitions,
         "lang_entropy_by_source": q_lang_entropy_by_source,
@@ -3413,6 +3593,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(f.pcents), 0) AS BIGINT) AS total_cents
             FROM f JOIN s USING (l_partkey)
             WHERE 5 * f.qc * s.n < s.sumqc
+        """,
+        "q18_large_orders": """
+            WITH s AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+                   CAST(s.sum_qty_cents AS BIGINT) AS sum_qty_cents
+            FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey
+            ORDER BY total_cents DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q22_idle_customer_balance": """
+            WITH c AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer),
+            a AS (
+              SELECT sum(bal_cents) AS s, count(*) AS n
+              FROM c WHERE bal_cents > 0)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+            FROM c, a
+            WHERE c.bal_cents * a.n > a.s
+              AND c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
         """,
         "user_event_paths": """
             SELECT user_id,

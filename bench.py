@@ -138,6 +138,9 @@ def run_queries(sf_dir: str) -> dict:
         "len_percent_rank_by_source", "lang_counts_by_source_pivot",
         "cube_docs", "mad_len_by_source", "keep_best_per_prefix_docs",
         "late_events", "q3_shipping_priority",
+        "q5_local_supplier_revenue", "q17_small_quantity_revenue",
+        "q18_large_orders", "q4_order_priority", "q22_idle_customer_balance",
+        "user_event_paths", "event_transitions", "lang_entropy_by_source",
     ]
     qs = entrymod.queries()
     out = {}
