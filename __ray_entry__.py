@@ -1527,6 +1527,120 @@ def q22_idle_customer_balance(sf_dir: str):
     )
 
 
+def q_running_order_max(sf_dir: str):
+    """Per-customer running MAX order total (the high-water-mark window
+    — ops/window.py grouped_running_extreme): same one-exchange
+    bucketed shape as running_order_total, segmented cummax via
+    pandas' C kernel inside each bucket."""
+    import ray.data
+
+    from rayqual.ops.window import grouped_running_extreme
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+                "cents": cents,
+            }
+        )
+
+    out = grouped_running_extreme(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["odate_us", "o_orderkey"],
+        value_col="cents",
+        mode="max",
+        out_col="max_cents",
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "max_cents"]), batch_format="pyarrow"
+    )
+
+
+def q_melt_lineitem_metrics(sf_dir: str):
+    """Unpivot (wide → tall) — ops/pivot.py melt: each lineitem row
+    emits one (metric, cents) row per measure column. ZERO shuffle; the
+    4× row growth exists one batch at a time. The inverse reshape of
+    lang_counts_by_source_pivot."""
+    import ray.data
+
+    from rayqual.ops.pivot import melt
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        out = {
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+        }
+        for c in cols:
+            out[c] = pc.cast(pc.round(pc.multiply(b.column(c), 100.0)), pa.int64())
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"] + cols
+    ).map_batches(prep, batch_format="pyarrow")
+    out = melt(
+        ds, id_cols=["l_orderkey", "l_linenumber"], value_cols=cols,
+        var_col="metric", value_out="cents",
+    )
+    return out
+
+
+def q_corr_chars_tokens_by_source(sf_dir: str):
+    """Per-source Pearson correlation of doc length vs token count —
+    ops/agg.py grouped_corr: five pre-combined int64 moment sums in ONE
+    exchange, exact big-int combination on the result-sized close (the
+    n·sxx − sx² cancellation never happens in floats)."""
+    from rayqual.ops.agg import grouped_corr
+
+    def prep(b: pa.Table) -> pa.Table:
+        tok = pc.cast(pc.count_substring_regex(b.column("text"), r"\S+"), pa.int64())
+        return pa.table(
+            {"source": b.column("source"), "x": b.column("n_chars"), "y": tok}
+        )
+
+    out = grouped_corr(
+        _docs(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        key="source", x_col="x", y_col="y", out_col="r",
+    )
+    return _typed(out, {"source": "object", "r": "float64"})
+
+
+def q_ttr_docs(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity — the classic
+    low-quality-text signal: templated/spammy docs repeat tokens).
+    functions/textstats.py distinct_token_stats: token boundaries and
+    64-bit token identities computed vectorized over the raw Arrow byte
+    buffer, distinct counts from one lexsort — zero Python per row,
+    zero shuffle."""
+    from rayqual.functions.textstats import distinct_token_stats, string_bytes
+
+    def stats(b: pa.Table) -> pa.Table:
+        nt, nd = distinct_token_stats(string_bytes(b.column("text")))
+        keep = nt > 0
+        with np.errstate(invalid="ignore"):
+            ttr = nd / np.maximum(nt, 1)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "n_distinct": pa.array(nd),
+                "ttr": pa.array(ttr.astype(np.float64)),
+            }
+        ).filter(pa.array(keep))
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -3105,6 +3219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": q_user_event_paths,
         "event_transitions": q_event_transitions,
         "lang_entropy_by_source": q_lang_entropy_by_source,
+        "running_order_max": q_running_order_max,
+        "melt_lineitem_metrics": q_melt_lineitem_metrics,
+        "corr_chars_tokens_by_source": q_corr_chars_tokens_by_source,
+        "ttr_docs": q_ttr_docs,
         # --- re-confirmation window (r3-green, most complex first) ---
         "top_docs_per_source": q_top_docs_per_source,
         "sample_per_source_docs": q_sample_per_source_docs,
@@ -3648,6 +3766,50 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "running_order_max": """
+            SELECT o_orderkey,
+                   max(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS max_cents
+            FROM orders
+        """,
+        "melt_lineitem_metrics": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'l_quantity' AS metric,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS cents
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'l_discount', CAST(round(l_discount * 100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'l_tax', CAST(round(l_tax * 100) AS BIGINT)
+            FROM lineitem
+        """,
+        "corr_chars_tokens_by_source": """
+            SELECT source,
+                   corr(CAST(n_chars AS DOUBLE),
+                        CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS r
+            FROM documents GROUP BY source
+        """,
+        "ttr_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(len(list_distinct(regexp_extract_all(text, '\\S+')))
+                       AS BIGINT) AS n_distinct
+              FROM documents)
+            SELECT doc_id, n_tokens, n_distinct,
+                   CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+            FROM t WHERE n_tokens > 0
         """,
         "lang_entropy_by_source": """
             WITH c AS (

@@ -141,6 +141,8 @@ def run_queries(sf_dir: str) -> dict:
         "q5_local_supplier_revenue", "q17_small_quantity_revenue",
         "q18_large_orders", "q4_order_priority", "q22_idle_customer_balance",
         "user_event_paths", "event_transitions", "lang_entropy_by_source",
+        "running_order_max", "melt_lineitem_metrics",
+        "corr_chars_tokens_by_source", "ttr_docs",
     ]
     qs = entrymod.queries()
     out = {}

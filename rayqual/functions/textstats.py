@@ -353,3 +353,66 @@ def word_repetition_stats(b, text_col: str = "text", id_col: str = "doc_id"):
             "max_word_repeat": pc.cast(per_doc.column("_w_count_max"), pa.int64()),
         }
     )
+
+
+_RE2_WS_BYTES = (9, 10, 12, 13, 32)  # \t \n \f \r space — RE2's \s class
+
+
+def distinct_token_stats(sb: StringBytes) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, n_distinct) per document, where a token is a maximal
+    run of non-whitespace bytes under RE2's ``\\s`` class (NO vertical
+    tab — this op is specified against RE2 ``\\S+`` so a DuckDB
+    ``regexp_extract_all(text, '\\S+')`` oracle matches bit-exactly;
+    the engine-wide 6-byte whitespace set in :func:`text_stats` keeps
+    its own spec). UTF-8 multibyte units are never ASCII whitespace, so
+    byte-level splitting equals character-level splitting.
+
+    Fully vectorized over the concatenated byte buffer: token
+    boundaries come from shifted masks (document edges break tokens),
+    token identity is a 64-bit polynomial hash built in max-token-length
+    vectorized rounds (exact up to 2^-64 collisions, the
+    :func:`window_ids` caveat), and per-doc distinct counts fall out of
+    one lexsort. Cost scales with total bytes + tokens × max token
+    length — a pathological single-token document degrades speed, not
+    correctness.
+    """
+    n = sb.n_docs
+    b = sb.concat_bytes()
+    if len(b) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy()
+    doc = sb.doc_ids()
+    ws_lut = np.zeros(256, dtype=bool)
+    ws_lut[list(_RE2_WS_BYTES)] = True
+    nonws = ~ws_lut[b]
+
+    cont_prev = np.empty(len(b), dtype=bool)  # continues a run from prev pos
+    cont_prev[0] = False
+    cont_prev[1:] = nonws[:-1] & (doc[1:] == doc[:-1])
+    ts = np.flatnonzero(nonws & ~cont_prev)
+
+    cont_next = np.empty(len(b), dtype=bool)
+    cont_next[-1] = False
+    cont_next[:-1] = nonws[1:] & (doc[:-1] == doc[1:])
+    te = np.flatnonzero(nonws & ~cont_next) + 1
+
+    tdoc = doc[ts]
+    n_tokens = np.bincount(tdoc, minlength=n).astype(np.int64)
+    if len(ts) == 0:
+        return n_tokens, n_tokens.copy()
+
+    lengths = te - ts
+    h = np.full(len(ts), 1469598103934665603, dtype=np.uint64)
+    k = np.uint64(SHINGLE_K)
+    with np.errstate(over="ignore"):
+        for j in range(int(lengths.max())):
+            act = lengths > j
+            h[act] = h[act] * k + b[ts[act] + j].astype(np.uint64)
+
+    order = np.lexsort((h, tdoc))
+    td_s, h_s = tdoc[order], h[order]
+    first = np.empty(len(ts), dtype=bool)
+    first[0] = True
+    first[1:] = (td_s[1:] != td_s[:-1]) | (h_s[1:] != h_s[:-1])
+    n_distinct = np.bincount(td_s[first], minlength=n).astype(np.int64)
+    return n_tokens, n_distinct

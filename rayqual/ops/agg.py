@@ -247,6 +247,74 @@ def cube_counts(ds, keys: list[str], sum_cols: list[str] | None = None):
     return out
 
 
+def grouped_corr(ds, key: str, x_col: str, y_col: str, out_col: str = "r"):
+    """Pearson correlation of two int64 columns per ``key`` — SQL
+    ``corr(x, y) GROUP BY key``. The feature-redundancy probe a quality
+    pipeline runs before keeping two scoring signals.
+
+    Shape: five per-batch int64 product columns reduce through ONE
+    pre-combined groupby (the exchange carries one row per key per
+    block); the closing pass runs on the result-sized aggregate, where
+    the five moments combine in EXACT Python-int arithmetic (the
+    ``n·sxx − sx²`` cancellation that corrupts float co-moments at
+    scale never happens) with a single float division at the end.
+    Per-key groups of zero variance (or n=1) emit NULL, matching SQL.
+    Bound: the engine's int64 ``Sum`` of x·y must not wrap — valid
+    while n·max(x)·max(y) < 2^63 per key (raise-checked per batch is
+    impossible cross-block, so callers with |x|,|y| > ~1e6 at >1e6 rows
+    per key should rescale first; documented, same class as drift.py).
+    """
+    import pandas as pd
+
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count, Sum
+
+    def prods(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        return pa.table(
+            {
+                key: b.column(key),
+                "_x": x,
+                "_y": y,
+                "_xx": pc.multiply(x, x),
+                "_yy": pc.multiply(y, y),
+                "_xy": pc.multiply(x, y),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prods, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("_x", alias_name="_sx"),
+            Sum("_y", alias_name="_sy"),
+            Sum("_xx", alias_name="_sxx"),
+            Sum("_yy", alias_name="_syy"),
+            Sum("_xy", alias_name="_sxy"),
+            Count(alias_name="_n"),
+        )
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = np.full(len(g), np.nan)
+        for i, (sx, sy, sxx, syy, sxy, n) in enumerate(
+            zip(g["_sx"], g["_sy"], g["_sxx"], g["_syy"], g["_sxy"], g["_n"])
+        ):
+            # result-sized loop (one row per key), exact big-int moments
+            sx, sy, sxx, syy, sxy, n = map(int, (sx, sy, sxx, syy, sxy, n))
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx > 0 and dy > 0:
+                out[i] = num / (dx**0.5 * dy**0.5)
+        return pd.DataFrame({key: g[key].to_numpy(), out_col: out})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def grouped_string_agg(
     ds,
     key: str,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayqual.functions.hashing import bucket_hash
 
@@ -68,3 +69,43 @@ def pivot_counts(
         .groupby("_bucket")
         .map_groups(widen, batch_format="pandas")
     )
+
+
+def melt(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "metric",
+    value_out: str = "value",
+    value_type: pa.DataType | None = None,
+):
+    """Unpivot (wide → tall): one output row per (input row ×
+    ``value_cols`` entry) — SQL ``UNPIVOT`` / a UNION ALL of per-column
+    selects. The inverse of :func:`pivot_counts`.
+
+    Pure per-batch reshape, ZERO shuffle: each Arrow batch emits a
+    |value_cols|-fold concat of itself (id columns repeated by slice
+    reference, the metric name a dictionary-cheap constant column), so
+    the op streams at read speed and the |value_cols|× row growth never
+    materializes beyond one batch. All ``value_cols`` must share (or
+    cast to) one type — pass ``value_type`` to pin it (default: the
+    first value column's type).
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+
+    def tall(b: pa.Table) -> pa.Table:
+        vt = value_type or b.schema.field(value_cols[0]).type
+        pieces = []
+        for vc in value_cols:
+            cols = {c: b.column(c) for c in id_cols}
+            cols[var_col] = pa.array([vc] * len(b), pa.string())
+            cols[value_out] = pc.cast(b.column(vc), vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(tall, batch_format="pyarrow")

@@ -178,6 +178,62 @@ def grouped_running_sum(
     )
 
 
+def grouped_running_extreme(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    mode: str = "max",
+    out_col: str = "running",
+    n_buckets: int = 32,
+):
+    """Per-``key`` running max/min of ``value_col`` in ``order_cols``
+    order — SQL ``max(value) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``. The high-water-mark window (peak balance so
+    far, record latency to date). Emits every input row with
+    ``out_col`` appended; exact int64, never widened.
+
+    Same bucketed shape as :func:`grouped_running_sum` (one hash-bucket
+    exchange, one lexsort per bucket); the segmented cummax itself is
+    pandas' C-level ``groupby(...).cummax`` over the already-sorted
+    codes — value magnitude is unbounded (no offset arithmetic that
+    could overflow). All of ``order_cols`` and ``value_col`` must be
+    int64-castable; (key, *order_cols) must be unique per key for a
+    deterministic result.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    if mode not in ("max", "min"):
+        raise ValueError(f"grouped_running_extreme: mode must be max|min, got {mode}")
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        kv = g[key].to_numpy()
+        sort_keys = tuple(g[c].to_numpy(np.int64) for c in reversed(order_cols))
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(sort_keys + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        v = pd.Series(g[value_col].to_numpy(np.int64))
+        grp = v.groupby(codes[idx])
+        g[out_col] = (grp.cummax() if mode == "max" else grp.cummin()).to_numpy()
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 def grouped_shift(
     ds,
     key: str,

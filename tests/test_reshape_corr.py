@@ -1,0 +1,138 @@
+"""ops/window.py grouped_running_extreme, ops/pivot.py melt,
+ops/agg.py grouped_corr, functions/textstats.py distinct_token_stats."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _orders_frame(n=600, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+
+
+def test_grouped_running_extreme_matches_pandas(ray_session):
+    from rayqual.ops.window import grouped_running_extreme
+
+    df = _orders_frame()
+    exp = df.sort_values(["k", "o", "id"]).reset_index(drop=True)
+    exp["max_v"] = exp.groupby("k")["v"].cummax()
+    exp["min_v"] = exp.groupby("k")["v"].cummin()
+    for mode, col in (("max", "max_v"), ("min", "min_v")):
+        for parts in (1, 5):
+            got = (
+                grouped_running_extreme(
+                    ray_session.data.from_pandas(df).repartition(parts),
+                    key="k", order_cols=["o", "id"], value_col="v",
+                    mode=mode, out_col="run", n_buckets=4,
+                )
+                .to_pandas()
+                .sort_values(["k", "o", "id"])
+                .reset_index(drop=True)
+            )
+            assert (got["run"].to_numpy() == exp[col].to_numpy()).all(), (mode, parts)
+
+
+def test_melt_roundtrip(ray_session):
+    from rayqual.ops.pivot import melt
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(5, dtype=np.int64),
+            "a": np.arange(5, dtype=np.int64) * 10,
+            "b": np.arange(5, dtype=np.int64) * 100,
+        }
+    )
+    got = (
+        melt(ray_session.data.from_pandas(df).repartition(2),
+             id_cols=["id"], value_cols=["a", "b"],
+             var_col="m", value_out="v")
+        .to_pandas()
+        .sort_values(["id", "m"])
+        .reset_index(drop=True)
+    )
+    exp = df.melt(id_vars="id", var_name="m", value_name="v").sort_values(
+        ["id", "m"]
+    ).reset_index(drop=True)
+    assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+    assert (got["m"].to_numpy() == exp["m"].to_numpy()).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert str(got["v"].dtype) == "int64"
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from rayqual.ops.agg import grouped_corr
+
+    rng = np.random.default_rng(11)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(np.arange(6, dtype=np.int64), n // 6),
+            "x": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    df["y"] = (df["x"] * 2 + rng.integers(-500, 500, n)).astype(np.int64)
+    # degenerate groups: constant x (zero variance) and a singleton
+    df.loc[df["g"] == 5, "x"] = 7
+    df = pd.concat(
+        [df, pd.DataFrame({"g": [99], "x": [1], "y": [2]})], ignore_index=True
+    ).astype({"g": np.int64, "x": np.int64, "y": np.int64})
+
+    for parts in (1, 4):
+        got = (
+            grouped_corr(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="g", x_col="x", y_col="y", out_col="r",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for gk, grp in df.groupby("g"):
+            r_got = got.loc[got["g"] == gk, "r"].iloc[0]
+            if grp["x"].nunique() == 1 or len(grp) == 1:
+                assert np.isnan(r_got), gk
+            else:
+                r_exp = np.corrcoef(grp["x"], grp["y"])[0, 1]
+                assert abs(r_got - r_exp) < 1e-12, gk
+
+
+def test_distinct_token_stats_vs_python():
+    from rayqual.functions.textstats import distinct_token_stats, string_bytes
+
+    rng = np.random.default_rng(17)
+    vocab = ["the", "cat", "sat", "on", "a", "mat", "zebra-fish", "x"]
+    docs = []
+    for _ in range(60):
+        k = rng.integers(0, 30)
+        seps = rng.choice([" ", "\t", "\n", "  ", "\r"], size=max(k, 1))
+        words = rng.choice(vocab, size=k)
+        docs.append("".join(w + s for w, s in zip(words, seps)))
+    docs += ["", "   ", "one", None, "\x0bvtab stays", "a a a a"]
+    nt, nd = distinct_token_stats(string_bytes(pa.array(docs, pa.string())))
+    import re
+
+    for i, d in enumerate(docs):
+        toks = re.findall(r"[^\t\n\f\r ]+", d or "")
+        assert nt[i] == len(toks), (i, d)
+        assert nd[i] == len(set(toks)), (i, d)
+
+
+def test_distinct_token_stats_sliced_batch():
+    """Arrow slices share buffers with nonzero offset — the kernel must
+    respect the slice, not the parent buffer."""
+    from rayqual.functions.textstats import distinct_token_stats, string_bytes
+
+    arr = pa.array(["aa bb", "cc cc dd", "ee", "ff gg ff"])
+    sl = arr.slice(1, 2)
+    nt, nd = distinct_token_stats(string_bytes(sl))
+    assert nt.tolist() == [3, 1]
+    assert nd.tolist() == [2, 1]
