@@ -1641,6 +1641,119 @@ def q_ttr_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def q_rank_len_by_source(sf_dir: str):
+    """Tie-aware RANK + DENSE_RANK of docs by length within source
+    (ops/window.py grouped_rank) — the first keyed window here whose
+    order key legitimately TIES; rank skips past tie runs, dense_rank
+    does not. One bucketed exchange, vectorized tie masks."""
+    from rayqual.ops.window import grouped_rank
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["source", "n_chars", "doc_id"]), batch_format="pyarrow"
+    )
+    out = grouped_rank(
+        ds, key="source", order_cols=["n_chars"], carry_cols=("doc_id",),
+        rank_col="rnk", dense_col="drnk",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "rnk", "drnk"]), batch_format="pyarrow"
+    )
+
+
+def q_spend_decile_order_stats(sf_dir: str):
+    """Decile analysis — NTILE(10) over order totals (ops/rank.py
+    global_ntile: one TeraSort range shuffle, no global sort) closed by
+    a tiny per-tile count/sum. The 'how concentrated is spend'
+    composition a mixture designer runs before reweighting."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from rayqual.ops.rank import global_ntile
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    total = orders.count()  # parquet metadata, no scan
+
+    def keyed(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        sk = pc.add(
+            pc.multiply(cents, pa.scalar(1 << 33, pa.int64())), b.column("o_orderkey")
+        )
+        return pa.table({"sort_key": sk, "cents": cents})
+
+    tiled = global_ntile(
+        orders.map_batches(keyed, batch_format="pyarrow"),
+        "sort_key", n_tiles=10, total=total, carry_cols=("cents",),
+    )
+    out = (
+        tiled.map_batches(
+            lambda b: b.select(["tile", "cents"]), batch_format="pyarrow"
+        )
+        .groupby("tile")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+    return _typed(out, {"tile": "int64", "n_orders": "int64", "sum_cents": "int64"})
+
+
+def q_building_event_users(sf_dir: str):
+    """INTERSECT set op — distinct event users that are ALSO
+    BUILDING-segment customers: the user side reduces to distinct keys
+    in one pre-combined groupby, the customer side broadcasts as a
+    bloom bitmap + exact array (ops/bloom.py), so neither side's raw
+    rows ever co-shuffle. Complements event_users_not_customers
+    (EXCEPT)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rayqual.ops.bloom import bloom_semijoin
+
+    users = (
+        _events(sf_dir)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = bloom_semijoin(users, cust, big_on="user_id", key_on="c_custkey")
+    return _typed(out, {"user_id": "int64"})
+
+
+def q_value_histogram_by_type(sf_dir: str):
+    """Declared-edge histogram of the event value per type: binning is
+    a per-batch np.digitize (zero shuffle), the count is one
+    pre-combined groupby over (type, bin) — at most |types|×|bins| rows
+    cross the wire. The profile-before-filter step for numeric
+    signals."""
+    from ray.data.aggregate import Count
+
+    edges = np.array([10.0, 50.0, 100.0, 250.0], dtype=np.float64)
+
+    def binned(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "bin": pa.array(np.digitize(v, edges).astype(np.int64)),
+            }
+        )
+
+    out = (
+        _events(sf_dir)
+        .map_batches(binned, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return _typed(out, {"event_type": "object", "bin": "int64", "n": "int64"})
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -3219,6 +3332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": q_user_event_paths,
         "event_transitions": q_event_transitions,
         "lang_entropy_by_source": q_lang_entropy_by_source,
+        "rank_len_by_source": q_rank_len_by_source,
+        "spend_decile_order_stats": q_spend_decile_order_stats,
+        "building_event_users": q_building_event_users,
+        "value_histogram_by_type": q_value_histogram_by_type,
         "running_order_max": q_running_order_max,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "corr_chars_tokens_by_source": q_corr_chars_tokens_by_source,
@@ -3766,6 +3883,41 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "rank_len_by_source": """
+            SELECT doc_id,
+                   CAST(rank() OVER (
+                     PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY source ORDER BY n_chars) AS BIGINT) AS drnk
+            FROM documents
+        """,
+        "spend_decile_order_stats": """
+            WITH t AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     ntile(10) OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                o_orderkey) AS tile
+              FROM orders)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM t GROUP BY tile
+        """,
+        "building_event_users": """
+            SELECT DISTINCT user_id FROM events
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "value_histogram_by_type": """
+            SELECT event_type,
+                   CAST(CASE WHEN value < 10 THEN 0
+                             WHEN value < 50 THEN 1
+                             WHEN value < 100 THEN 2
+                             WHEN value < 250 THEN 3
+                             ELSE 4 END AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
         """,
         "running_order_max": """
             SELECT o_orderkey,

@@ -143,6 +143,8 @@ def run_queries(sf_dir: str) -> dict:
         "user_event_paths", "event_transitions", "lang_entropy_by_source",
         "running_order_max", "melt_lineitem_metrics",
         "corr_chars_tokens_by_source", "ttr_docs",
+        "rank_len_by_source", "spend_decile_order_stats",
+        "building_event_users", "value_histogram_by_type",
     ]
     qs = entrymod.queries()
     out = {}

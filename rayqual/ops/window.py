@@ -436,6 +436,76 @@ def grouped_percent_rank(
     )
 
 
+def grouped_rank(
+    ds,
+    key: str,
+    order_cols: list[str],
+    carry_cols: tuple[str, ...] = (),
+    rank_col: str = "rnk",
+    dense_col: str | None = "drnk",
+    n_buckets: int = 32,
+):
+    """Tie-aware SQL ``rank()`` and ``dense_rank() OVER (PARTITION BY
+    key ORDER BY order_cols...)`` — unlike the other keyed windows,
+    ``order_cols`` need NOT be unique: tied rows share a rank, rank
+    then skips (1,1,3,...) while dense_rank does not (1,1,2,...).
+
+    Same bucketed shape (one hash-bucket exchange, one lexsort per
+    bucket); ties resolve from one shifted-comparison mask, so the
+    kernel is a handful of vectorized passes regardless of key or tie
+    count. ``order_cols`` must be int64-castable. Emits every input
+    row with the rank column(s) appended.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    cols = list(dict.fromkeys([key] + order_cols + list(carry_cols)))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        bucket = (bucket_hash(kv) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        n = len(g)
+        if n == 0:
+            g[rank_col] = np.array([], dtype=np.int64)
+            if dense_col:
+                g[dense_col] = np.array([], dtype=np.int64)
+            return g
+        kv = g[key].to_numpy()
+        ovals = [g[c].to_numpy(np.int64) for c in order_cols]
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(tuple(reversed(ovals)) + (codes,))
+        g = g.iloc[idx].reset_index(drop=True)
+        codes_s = codes[idx]
+        starts = _segment_starts(codes_s)
+        pos = _rank_within_runs(n, starts)
+        # a new tie-run begins at each segment start or order-value change
+        tie_new = np.zeros(n, dtype=bool)
+        tie_new[0] = True
+        for ov in ovals:
+            ovs = ov[idx]
+            tie_new[1:] |= ovs[1:] != ovs[:-1]
+        tie_new[starts] = True
+        run_start = np.maximum.accumulate(np.where(tie_new, np.arange(n), -1))
+        g[rank_col] = pos[run_start] + 1
+        if dense_col:
+            c = np.cumsum(tie_new)
+            counts = np.diff(np.append(starts, n))
+            g[dense_col] = c - np.repeat(c[starts], counts) + 1
+        return g
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
 def drop_late_events(
     ds,
     key: str,

@@ -136,3 +136,45 @@ def test_distinct_token_stats_sliced_batch():
     nt, nd = distinct_token_stats(string_bytes(sl))
     assert nt.tolist() == [3, 1]
     assert nd.tolist() == [2, 1]
+
+
+def test_grouped_rank_ties_match_duckdb(ray_session):
+    import duckdb
+
+    from rayqual.ops.window import grouped_rank
+
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n).astype(np.int64),
+            "v": rng.integers(0, 9, n).astype(np.int64),  # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = (
+        con.execute(
+            """SELECT id,
+                      CAST(rank() OVER (PARTITION BY k ORDER BY v) AS BIGINT) rnk,
+                      CAST(dense_rank() OVER (PARTITION BY k ORDER BY v) AS BIGINT) drnk
+               FROM t"""
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    for parts in (1, 6):
+        got = (
+            grouped_rank(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="k", order_cols=["v"], carry_cols=("id",), n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+        assert (got["drnk"].to_numpy() == exp["drnk"].to_numpy()).all()
