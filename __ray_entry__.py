@@ -1346,8 +1346,12 @@ def q_lang_entropy_by_source(sf_dir: str):
     ds = _docs(sf_dir).map_batches(
         lambda b: b.select(["source", "lang"]), batch_format="pyarrow"
     )
-    out = grouped_entropy(ds, key="source", value_col="lang")
-    return _typed(out, {"source": "object", "n_rows": "int64", "entropy": "float64"})
+    # out_col sorts AFTER the unique key column: the driver canonical
+    # sort orders rows by alphabetically-first column, and a float that
+    # sorts first lets sub-1e-9 engine sum-order differences reorder
+    # rows (the r4 lang_entropy hash flake) — "source" < "src_entropy"
+    out = grouped_entropy(ds, key="source", value_col="lang", out_col="src_entropy")
+    return _typed(out, {"source": "object", "n_rows": "int64", "src_entropy": "float64"})
 
 
 def q18_large_orders(sf_dir: str):
@@ -1608,11 +1612,12 @@ def q_corr_chars_tokens_by_source(sf_dir: str):
             {"source": b.column("source"), "x": b.column("n_chars"), "y": tok}
         )
 
+    # "tok_corr" sorts after "source" — see q_lang_entropy_by_source
     out = grouped_corr(
         _docs(sf_dir).map_batches(prep, batch_format="pyarrow"),
-        key="source", x_col="x", y_col="y", out_col="r",
+        key="source", x_col="x", y_col="y", out_col="tok_corr",
     )
-    return _typed(out, {"source": "object", "r": "float64"})
+    return _typed(out, {"source": "object", "tok_corr": "float64"})
 
 
 def q_ttr_docs(sf_dir: str):
@@ -1752,6 +1757,90 @@ def q_value_histogram_by_type(sf_dir: str):
         .aggregate(Count(alias_name="n"))
     )
     return _typed(out, {"event_type": "object", "bin": "int64", "n": "int64"})
+
+
+def q_len_cont_quantiles_by_source(sf_dir: str):
+    """Per-source INTERPOLATED quantiles (SQL quantile_cont) of doc
+    length — ops/quantiles.py grouped_cont_quantiles: the one-exchange
+    (key,value) histogram shape of the disc path, closed by a
+    vectorized two-reduceat interpolation per bucket. Output floats are
+    named to sort AFTER the unique key (see q_lang_entropy_by_source)."""
+    from rayqual.ops.quantiles import grouped_cont_quantiles
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["source", "n_chars"]), batch_format="pyarrow"
+    )
+    out = grouped_cont_quantiles(ds, key="source", value_col="n_chars",
+                                 qs=(0.25, 0.5, 0.9))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "src_q25": b.column("p25"),
+                "src_q50": b.column("p50"),
+                "src_q90": b.column("p90"),
+            }
+        )
+
+    return _typed(
+        out.map_batches(rename, batch_format="pyarrow"),
+        {"source": "object", "src_q25": "float64", "src_q50": "float64",
+         "src_q90": "float64"},
+    )
+
+
+def q_top_tokens_by_source(sf_dir: str):
+    """Per-source top-3 tokens (GROUPED heavy hitters — the global
+    topk_tokens sibling): per-batch Arrow regex split + within-batch
+    pair pre-combine, ONE (source, token) count exchange, per-bucket
+    vectorized head-3. Ties at the boundary break on token text, so
+    the result is engine-independent."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from rayqual.functions.hashing import bucket_hash as _bh
+
+    def toks(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        pairs = pa.table(
+            {
+                "source": b.column("source").take(pc.list_parent_indices(parts)),
+                "token": pc.list_flatten(parts),
+            }
+        ).filter(pc.not_equal(pc.list_flatten(parts), ""))
+        pre = pairs.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                "source": pre.column("source"),
+                "token": pre.column("token"),
+                "n": pc.cast(pre.column("token_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(toks, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = _bh(b.column("source").to_numpy(zero_copy_only=False)) % np.uint64(32)
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n", "token"], ascending=[True, False, True])
+        return g.groupby("source", sort=False).head(3)[["source", "token", "n"]]
+
+    out = (
+        counts.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(head3, batch_format="pandas")
+    )
+    return _typed(out, {"source": "object", "token": "object", "n": "int64"})
 
 
 def q_late_events(sf_dir: str):
@@ -3332,6 +3421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": q_user_event_paths,
         "event_transitions": q_event_transitions,
         "lang_entropy_by_source": q_lang_entropy_by_source,
+        "len_cont_quantiles_by_source": q_len_cont_quantiles_by_source,
+        "top_tokens_by_source": q_top_tokens_by_source,
         "rank_len_by_source": q_rank_len_by_source,
         "spend_decile_order_stats": q_spend_decile_order_stats,
         "building_event_users": q_building_event_users,
@@ -3884,6 +3975,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
         """,
+        "len_cont_quantiles_by_source": """
+            SELECT source,
+                   quantile_cont(n_chars, 0.25) AS src_q25,
+                   quantile_cont(n_chars, 0.5)  AS src_q50,
+                   quantile_cont(n_chars, 0.9)  AS src_q90
+            FROM documents GROUP BY source
+        """,
+        "top_tokens_by_source": """
+            WITH toks AS (
+              SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM documents),
+            c AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY source, token)
+            SELECT source, token, n FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY n DESC, token) <= 3
+        """,
         "rank_len_by_source": """
             SELECT doc_id,
                    CAST(rank() OVER (
@@ -3948,7 +4057,8 @@ def oracle_sql() -> dict[str, str]:
         "corr_chars_tokens_by_source": """
             SELECT source,
                    corr(CAST(n_chars AS DOUBLE),
-                        CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS r
+                        CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
+                     AS tok_corr
             FROM documents GROUP BY source
         """,
         "ttr_docs": """
@@ -3972,7 +4082,7 @@ def oracle_sql() -> dict[str, str]:
               FROM c GROUP BY source)
             SELECT c.source, t.n_rows,
                    sum(-(CAST(c.cnt AS DOUBLE) / t.n_rows)
-                       * ln(CAST(c.cnt AS DOUBLE) / t.n_rows)) AS entropy
+                       * ln(CAST(c.cnt AS DOUBLE) / t.n_rows)) AS src_entropy
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.n_rows
         """,

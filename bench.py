@@ -145,6 +145,7 @@ def run_queries(sf_dir: str) -> dict:
         "corr_chars_tokens_by_source", "ttr_docs",
         "rank_len_by_source", "spend_decile_order_stats",
         "building_event_users", "value_histogram_by_type",
+        "len_cont_quantiles_by_source", "top_tokens_by_source",
     ]
     qs = entrymod.queries()
     out = {}

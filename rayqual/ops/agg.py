@@ -423,7 +423,15 @@ def grouped_entropy(
 
     def entropy_bucket(g: pd.DataFrame) -> pd.DataFrame:
         codes, uniques = pd.factorize(g[key].to_numpy(), sort=True)
-        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        # canonical addition order (key, value): identical count
+        # multisets produce BIT-identical entropies regardless of how
+        # blocks interleaved rows — float sums are order-sensitive in
+        # the last ulp, and a partition-dependent ulp breaks ties
+        # differently run to run
+        vcodes = pd.factorize(g[value_col].to_numpy(), sort=True)[0]
+        order = np.lexsort((vcodes, codes))
+        codes = codes[order]
+        cnt = g["cnt"].to_numpy(dtype=np.int64)[order]
         k = len(uniques)
         tot = np.zeros(k, dtype=np.int64)
         np.add.at(tot, codes, cnt)

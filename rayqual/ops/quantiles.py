@@ -53,6 +53,40 @@ def _quantiles_kernel(
     return pd.DataFrame(out)
 
 
+def _cont_quantiles_kernel(
+    df: pd.DataFrame, key: str, value_col: str, cnt_col: str, qs: tuple[float, ...]
+) -> pd.DataFrame:
+    """(key, value, count) rows → one row per key with INTERPOLATED
+    quantiles (SQL ``quantile_cont`` / numpy 'linear'): value at
+    0-based position q·(n−1), linearly interpolated between the two
+    bracketing order statistics. Same histogram layout as
+    :func:`_quantiles_kernel`; two masked reduceats per q."""
+    codes, uniques = pd.factorize(df[key].to_numpy(), sort=False)
+    vals = df[value_col].to_numpy()
+    cnts = df[cnt_col].to_numpy(dtype=np.int64)
+    perm = np.lexsort((vals, codes))
+    sc, sv, scnt = codes[perm], vals[perm], cnts[perm]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    seg_len = np.diff(np.append(starts, len(sc)))
+    cum = np.cumsum(scnt)
+    base = np.repeat(cum[starts] - scnt[starts], seg_len)
+    cumseg = cum - base
+    n_per_seg = cumseg[starts + seg_len - 1]
+    out = {key: uniques[sc[starts]]}
+    idx = np.arange(len(sc))
+    svf = sv.astype(np.float64)
+    for q in qs:
+        pos = q * (n_per_seg - 1).astype(np.float64)
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        lo_thresh = np.repeat(lo + 1, seg_len)
+        vl = svf[np.minimum.reduceat(np.where(cumseg >= lo_thresh, idx, _BIG), starts)]
+        hi_thresh = np.repeat(np.minimum(lo + 2, n_per_seg), seg_len)
+        vh = svf[np.minimum.reduceat(np.where(cumseg >= hi_thresh, idx, _BIG), starts)]
+        out[f"p{int(q * 100)}"] = vl + (vh - vl) * frac
+    return pd.DataFrame(out)
+
+
 def grouped_exact_quantiles(
     ds,
     key: str,
@@ -79,6 +113,40 @@ def grouped_exact_quantiles(
 
     def extract(g: pd.DataFrame) -> pd.DataFrame:
         return _quantiles_kernel(g, key, value_col, "_cnt", qs)
+
+    return (
+        hist.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(extract, batch_format="pandas")
+    )
+
+def grouped_cont_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_buckets: int = 32,
+):
+    """Dataset → one row per key: INTERPOLATED quantiles of
+    ``value_col`` (SQL ``quantile_cont`` semantics, float64 output).
+    Same one-exchange histogram shape as
+    :func:`grouped_exact_quantiles` — prefer that (quantile_disc) when
+    a value from the data is required."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([key, value_col]).aggregate(Count(alias_name="_cnt"))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kb = bucket_hash(b.column(key).to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return b.append_column("_bucket", pa.array(kb.astype(np.int64)))
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        return _cont_quantiles_kernel(g, key, value_col, "_cnt", qs)
 
     return (
         hist.map_batches(keyed, batch_format="pyarrow")

@@ -178,3 +178,47 @@ def test_grouped_rank_ties_match_duckdb(ray_session):
         )
         assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
         assert (got["drnk"].to_numpy() == exp["drnk"].to_numpy()).all()
+
+
+def test_grouped_cont_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayqual.ops.quantiles import grouped_cont_quantiles
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 700).astype(np.int64),
+            "v": rng.integers(0, 60, 700).astype(np.int64),
+        }
+    )
+    # singleton group: interpolation degenerates to the lone value
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [99], "v": [42]})], ignore_index=True
+    ).astype({"k": np.int64, "v": np.int64})
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = (
+        con.execute(
+            """SELECT k, quantile_cont(v, 0.25) p25, quantile_cont(v, 0.5) p50,
+                      quantile_cont(v, 0.9) p90
+               FROM t GROUP BY k"""
+        )
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con.close()
+    for parts in (1, 5):
+        got = (
+            grouped_cont_quantiles(
+                ray_session.data.from_pandas(df).repartition(parts),
+                key="k", value_col="v", qs=(0.25, 0.5, 0.9), n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+        for c in ("p25", "p50", "p90"):
+            assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(), atol=1e-12), c
