@@ -1843,6 +1843,17 @@ def q_top_tokens_by_source(sf_dir: str):
     return _typed(out, {"source": "object", "token": "object", "n": "int64"})
 
 
+def q_topk_bigrams_docs(sf_dir: str):
+    """Exact global top-20 adjacent-token bigrams (the first step of an
+    n-gram LM count pipeline) — ops/heavyhitters.py topk_bigrams:
+    Arrow-native shift-pairing inside each batch, per-batch
+    pre-combine, ONE vocabulary-sized exchange, per-block prune."""
+    from rayqual.ops.heavyhitters import topk_bigrams
+
+    out = topk_bigrams(_docs(sf_dir), text_col="text", k=20)
+    return _typed(out, {"bigram": "object", "cnt": "int64"})
+
+
 def q_late_events(sf_dir: str):
     """Watermark / late-data semantics in batch shape (ops/window.py
     drop_late_events): per-user high-water mark from a pre-combined
@@ -3421,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": q_user_event_paths,
         "event_transitions": q_event_transitions,
         "lang_entropy_by_source": q_lang_entropy_by_source,
+        "topk_bigrams_docs": q_topk_bigrams_docs,
         "len_cont_quantiles_by_source": q_len_cont_quantiles_by_source,
         "top_tokens_by_source": q_top_tokens_by_source,
         "rank_len_by_source": q_rank_len_by_source,
@@ -3974,6 +3986,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "topk_bigrams_docs": """
+            WITH l AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            b AS (
+              SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+              FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+              WHERE len(toks) >= 2)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
         """,
         "len_cont_quantiles_by_source": """
             SELECT source,

@@ -146,6 +146,7 @@ def run_queries(sf_dir: str) -> dict:
         "rank_len_by_source", "spend_decile_order_stats",
         "building_event_users", "value_histogram_by_type",
         "len_cont_quantiles_by_source", "top_tokens_by_source",
+        "topk_bigrams_docs",
     ]
     qs = entrymod.queries()
     out = {}

@@ -217,3 +217,63 @@ def topk_tokens(ds, text_col: str = "text", k: int = 20) -> pd.DataFrame:
     out = _local_topk(candidates, k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return out
+
+
+def _batch_bigram_counts(b: pa.Table, text_col: str) -> pa.Table:
+    """One row per distinct adjacent-token bigram in the batch (the
+    pre-combine). Pairing is Arrow-native: the flattened non-empty
+    token array is paired with its shift-by-one, masked to pairs whose
+    two tokens share a document."""
+    toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    par = par.filter(keep)
+    n = len(flat)
+    if n < 2:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    left, right = flat.slice(0, n - 1), flat.slice(1)
+    same = pc.equal(par.slice(0, n - 1), par.slice(1))
+    big = pc.binary_join_element_wise(left, right, " ").filter(same)
+    vc = pc.value_counts(big.combine_chunks() if isinstance(big, pa.ChunkedArray) else big)
+    return pa.table(
+        {
+            "bigram": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def topk_bigrams(ds, text_col: str = "text", k: int = 20) -> pd.DataFrame:
+    """Exact global top-k adjacent-token bigrams — the first step of a
+    classic n-gram LM count pipeline. Same shape as
+    :func:`topk_tokens`: per-batch Arrow pre-combine, ONE
+    vocabulary-sized count exchange, per-block candidate prune, tiny
+    driver merge; tokens pair only within their document."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(
+            lambda b: _batch_bigram_counts(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= k:
+            return df
+        return df.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+
+    candidates = totals.map_batches(prune, batch_format="pandas").to_pandas()
+    out = prune(candidates).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out

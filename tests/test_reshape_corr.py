@@ -222,3 +222,26 @@ def test_grouped_cont_quantiles_matches_duckdb(ray_session):
         assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
         for c in ("p25", "p50", "p90"):
             assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(), atol=1e-12), c
+
+
+def test_topk_bigrams_matches_python(ray_session):
+    from rayqual.ops.heavyhitters import topk_bigrams
+
+    rng = np.random.default_rng(41)
+    vocab = ["a", "b", "c", "dd"]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(120)
+    ] + ["", "solo", "x \t y\nz"]
+    df = pd.DataFrame({"text": docs})
+    got = topk_bigrams(
+        ray_session.data.from_pandas(df).repartition(4), text_col="text", k=5
+    )
+    from collections import Counter
+
+    c = Counter()
+    for d in docs:
+        t = d.split()
+        c.update(f"{u} {v}" for u, v in zip(t, t[1:]))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(map(tuple, got[["bigram", "cnt"]].to_numpy())) == exp
