@@ -36,6 +36,7 @@ import rayqual.gen  # noqa: E402,F401
 import rayqual.oracle  # noqa: E402,F401
 import rayqual.functions.hashing  # noqa: E402,F401
 import rayqual.functions.models  # noqa: E402,F401
+import rayqual.functions.money  # noqa: E402,F401
 import rayqual.functions.scrub  # noqa: E402,F401
 import rayqual.functions.seed_corpus  # noqa: E402,F401
 import rayqual.functions.textstats  # noqa: E402,F401
@@ -68,6 +69,7 @@ except Exception:  # pragma: no cover — ray not importable yet
 # feeds both engines (the oracle SQL interpolates the exact strings
 # the Ray kernels execute; both engines are RE2, search semantics)
 # ---------------------------------------------------------------------------
+from rayqual.functions.money import cents as _cents  # noqa: E402
 from rayqual.rules.kernels import (  # noqa: E402
     IPV4_REGEX_RE2 as _IPV4,
     REGEX1_CHARSET as _R1,
@@ -936,7 +938,7 @@ def q_running_order_total(sf_dir: str):
     )
 
     def prep(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        cents = _cents(b.column("o_totalprice"))
         return pa.table(
             {
                 "o_custkey": b.column("o_custkey"),
@@ -1022,17 +1024,11 @@ def q3_shipping_priority(sf_dir: str):
         ship = pc.cast(b.column("l_shipdate"), pa.int64())
         keep = pc.greater(ship, pa.scalar(cutoff_us, pa.int64()))
         b = b.filter(keep)
-        rev = pc.cast(
-            pc.round(
-                pc.multiply(
-                    pc.multiply(
-                        b.column("l_extendedprice"),
-                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
         )
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev_cents": rev})
 
@@ -1115,17 +1111,11 @@ def q5_local_supplier_revenue(sf_dir: str):
     )
 
     def l_prep(b: pa.Table) -> pa.Table:
-        rev = pc.cast(
-            pc.round(
-                pc.multiply(
-                    pc.multiply(
-                        b.column("l_extendedprice"),
-                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
         )
         return pa.table(
             {"l_orderkey": b.column("l_orderkey"),
@@ -1195,10 +1185,8 @@ def q17_small_quantity_revenue(sf_dir: str):
         keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
         m = np.isin(keys, ray.get(pkref))
         b = b.filter(pa.array(m))
-        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
-        pcents = pc.cast(
-            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
-        )
+        qc = _cents(b.column("l_quantity"))
+        pcents = _cents(b.column("l_extendedprice"))
         return pa.table(
             {"l_partkey": b.column("l_partkey"), "qc": qc, "pcents": pcents}
         )
@@ -1366,7 +1354,7 @@ def q18_large_orders(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def l_prep(b: pa.Table) -> pa.Table:
-        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        qc = _cents(b.column("l_quantity"))
         return pa.table({"l_orderkey": b.column("l_orderkey"), "qc": qc})
 
     surv = (
@@ -1400,7 +1388,7 @@ def q18_large_orders(sf_dir: str):
         ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.minimum(np.searchsorted(keys_, ok), len(keys_) - 1)
         m = keys_[idx] == ok
-        tot = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        tot = _cents(b.column("o_totalprice"))
         return pa.table(
             {"o_orderkey": b.column("o_orderkey"),
              "total_cents": tot,
@@ -1483,7 +1471,7 @@ def q22_idle_customer_balance(sf_dir: str):
     from rayqual.ops.bloom import bloom_semijoin
 
     def c_prep(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        cents = _cents(b.column("c_acctbal"))
         return pa.table(
             {"c_custkey": b.column("c_custkey"),
              "bal_cents": cents,
@@ -1546,7 +1534,7 @@ def q_running_order_max(sf_dir: str):
     )
 
     def prep(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        cents = _cents(b.column("o_totalprice"))
         return pa.table(
             {
                 "o_custkey": b.column("o_custkey"),
@@ -1586,7 +1574,7 @@ def q_melt_lineitem_metrics(sf_dir: str):
             "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
         }
         for c in cols:
-            out[c] = pc.cast(pc.round(pc.multiply(b.column(c), 100.0)), pa.int64())
+            out[c] = _cents(b.column(c))
         return pa.table(out)
 
     ds = ray.data.read_parquet(
@@ -1681,7 +1669,7 @@ def q_spend_decile_order_stats(sf_dir: str):
     total = orders.count()  # parquet metadata, no scan
 
     def keyed(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        cents = _cents(b.column("o_totalprice"))
         sk = pc.add(
             pc.multiply(cents, pa.scalar(1 << 33, pa.int64())), b.column("o_orderkey")
         )
@@ -2009,7 +1997,7 @@ def q_rolling_order_avg(sf_dir: str):
     )
 
     def prep(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        cents = _cents(b.column("o_totalprice"))
         return pa.table(
             {
                 "o_custkey": b.column("o_custkey"),
