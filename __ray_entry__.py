@@ -1050,16 +1050,19 @@ def q3_shipping_priority(sf_dir: str):
 def q5_local_supplier_revenue(sf_dir: str):
     """TPC-H Q5 shape — the five-table star composition: every
     dimension (region→nation, supplier, customer) is broadcast as a
-    small lookup, the two FACT tables meet in exactly ONE
-    shuffle_hash_join on the order key, and the local-supplier
-    predicate (customer nation == supplier nation) filters the joined
-    stream before a tiny per-nation group sum. Exact-cents revenue so
-    the result is engine-comparable."""
+    small lookup, the two FACT tables meet on the order key through
+    ops/joins.py auto_hash_join — the measured-count auto-plan that
+    broadcasts the date-filtered orders side when it is small (the
+    statistics-driven plan a real engine picks for Q5) and falls back
+    to the wide shuffle_hash_join past the bound — and the
+    local-supplier predicate (customer nation == supplier nation)
+    filters the joined stream before a tiny per-nation group sum.
+    Exact-cents revenue so the result is engine-comparable."""
     import pyarrow.parquet as pq
     import ray.data
     from ray.data.aggregate import Sum
 
-    from rayqual.ops.joins import broadcast_join, shuffle_hash_join
+    from rayqual.ops.joins import auto_hash_join, broadcast_join
 
     from datetime import date
 
@@ -1133,7 +1136,7 @@ def q5_local_supplier_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    joined = shuffle_hash_join(
+    joined = auto_hash_join(
         l_proj, o_proj,
         left_on="l_orderkey", right_on="o_orderkey",
         left_cols=["rev_cents", "supp_nk"], right_cols=["cust_nk"],
@@ -1348,28 +1351,26 @@ def q18_large_orders(sf_dir: str):
     only; the tiny surviving key set (sum > 250 units) is
     guard-counted, broadcast, and applied in a single streaming pass
     over orders; the top-100 sorts a result that is already small.
-    Exact-cents quantities so the HAVING threshold cannot float-tie."""
+    Exact-cents quantities so the HAVING threshold cannot float-tie.
+    The per-order sum uses ops/agg.py bucketed_grouped_sum — the order
+    key is high-cardinality, so the engine hash aggregate pays blocks²
+    tiny-object overhead (measured 4-5× slower at sf0.1)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from rayqual.ops.agg import bucketed_grouped_sum
 
     def l_prep(b: pa.Table) -> pa.Table:
         qc = _cents(b.column("l_quantity"))
         return pa.table({"l_orderkey": b.column("l_orderkey"), "qc": qc})
 
-    surv = (
+    surv = bucketed_grouped_sum(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
-        )
-        .map_batches(l_prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qc", alias_name="sum_qty_cents"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b.column("sum_qty_cents"), 25_000)),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+        ).map_batches(l_prep, batch_format="pyarrow"),
+        key="l_orderkey", value_col="qc",
+        out_col="sum_qty_cents", min_sum=25_000,
+    ).materialize()
     if surv.count() > 5_000_000:  # guard-before-collect: HAVING survivors
         raise ValueError("q18: surviving order keys exceed the broadcast bound")
     sdf = surv.to_pandas().sort_values("l_orderkey")

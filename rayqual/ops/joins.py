@@ -512,6 +512,52 @@ def asof_bucketed_join(
     )
 
 
+def auto_hash_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 64,
+    max_broadcast_rows: int = 2_000_000,
+):
+    """Measured-count INNER-join auto-plan (the exact-dedup auto-plan
+    pattern applied to joins): materialize and COUNT the right side —
+    when it fits the broadcast bound AND its keys are unique, it ships
+    once via ``ray.put`` and the left side streams through one local
+    probe (no shuffle at all); otherwise both sides take the wide
+    :func:`shuffle_hash_join`. The caller puts the smaller/filtered
+    side on the right — a selective dimension filter (the TPC-H Q5
+    orders-in-1996 case) usually collapses the plan to zero exchanges.
+    Output columns match shuffle_hash_join: [left_on]+left_cols+right_cols.
+    """
+    import pyarrow.compute as pc
+
+    right = right.materialize()
+    n = right.count()  # guard-before-collect
+    if n <= max_broadcast_rows:
+        rdf = right.to_pandas()
+        if rdf[right_on].is_unique:
+            # a dedicated hit marker, not is_valid(right col): a right
+            # column that is legitimately NULL must not drop its row
+            rdf = rdf.copy()
+            rdf["__hit"] = np.int64(1)
+            joined = broadcast_join(
+                left, rdf, left_on, right_on, right_cols + ["__hit"]
+            )
+            cols = [left_on] + left_cols + right_cols
+
+            def inner(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_valid(b.column("__hit"))).select(cols)
+
+            return joined.map_batches(inner, batch_format="pyarrow")
+    return shuffle_hash_join(
+        left, right, left_on=left_on, right_on=right_on,
+        left_cols=left_cols, right_cols=right_cols, n_buckets=n_buckets,
+    )
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str, take: list[str]):
     """Left join ``ds`` with a small pandas frame (broadcast).
     ``take``: right-side columns to append; misses become nulls."""

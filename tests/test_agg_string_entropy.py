@@ -116,3 +116,30 @@ def test_grouped_entropy_single_value_is_zero(ray_session):
     assert len(got) == 1
     assert got.loc[0, "n_rows"] == 10
     assert got.loc[0, "entropy"] == 0.0
+
+
+def test_bucketed_grouped_sum_matches_engine(ray_session):
+    from rayqual.ops.agg import bucketed_grouped_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5000, 20000).astype(np.int64),
+            "v": rng.integers(0, 100, 20000).astype(np.int64),
+        }
+    )
+    exp = df.groupby("k")["v"].sum()
+    for min_sum in (None, 300):
+        got = (
+            bucketed_grouped_sum(
+                ray_session.data.from_pandas(df).repartition(6),
+                key="k", value_col="v", out_col="s",
+                min_sum=min_sum, n_buckets=4,
+            )
+            .to_pandas()
+            .set_index("k")["s"]
+            .sort_index()
+        )
+        e = exp if min_sum is None else exp[exp > min_sum]
+        assert (got.index.to_numpy() == e.index.to_numpy()).all()
+        assert (got.to_numpy() == e.to_numpy()).all()

@@ -320,3 +320,55 @@ def test_asof_bucketed_join_matches_broadcast_and_pandas(ray_session):
         bc["asof_v"].dropna().astype(np.int64).to_numpy()
         == exp["v"].dropna().astype(np.int64).to_numpy()
     ).all()
+
+
+def test_auto_hash_join_both_paths(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from rayqual.ops.joins import auto_hash_join
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 2, 2, 3, 4], dtype=np.int64),
+         "lv": np.array([10, 20, 21, 30, 40], dtype=np.int64)}
+    )
+    right_uniq = pd.DataFrame(
+        {"rk": np.array([2, 3, 9], dtype=np.int64),
+         "rv": np.array([200, 300, 900], dtype=np.int64)}
+    )
+    exp = (
+        left.merge(right_uniq, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    for mbr in (10, 0):  # broadcast path, then forced shuffle fallback
+        got = (
+            auto_hash_join(
+                ray_session.data.from_pandas(left).repartition(2),
+                ray_session.data.from_pandas(right_uniq),
+                left_on="k", right_on="rk",
+                left_cols=["lv"], right_cols=["rv"],
+                n_buckets=4, max_broadcast_rows=mbr,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        assert (got[["k", "lv", "rv"]].to_numpy() == exp.to_numpy()).all(), mbr
+    # duplicate right keys under the bound must still fall back (1:N)
+    right_dup = pd.DataFrame(
+        {"rk": np.array([2, 2], dtype=np.int64),
+         "rv": np.array([200, 201], dtype=np.int64)}
+    )
+    got = (
+        auto_hash_join(
+            ray_session.data.from_pandas(left),
+            ray_session.data.from_pandas(right_dup),
+            left_on="k", right_on="rk", left_cols=["lv"], right_cols=["rv"],
+            n_buckets=2, max_broadcast_rows=10,
+        )
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    exp_dup = (
+        left.merge(right_dup, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    assert (got[["k", "lv", "rv"]].to_numpy() == exp_dup.to_numpy()).all()
