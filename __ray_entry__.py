@@ -3338,6 +3338,464 @@ def q_validation_report_events(sf_dir: str):
     return rep.map_batches(strip, batch_format="pyarrow")
 
 
+def q_first_last_event_by_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per partition collapsed to a per-key
+    aggregate: each user's first and last event_type in (ts, event_id)
+    order via ops/window.py grouped_first_last — the per-batch prune
+    ships at most 2 rows per user per input block, one hash-bucket
+    exchange, one lexsort + segment-boundary gather per bucket."""
+    from rayqual.ops.window import grouped_first_last
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    out = grouped_first_last(
+        _events(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="event_type",
+        out_first="first_event",
+        out_last="last_event",
+    )
+    return _typed(
+        out, {"user_id": "int64", "first_event": "object", "last_event": "object"}
+    )
+
+
+def q14_promo_revenue_by_month(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share) as conditional aggregation
+    over a broadcast dimension attribute: the PROMO partkey set ships
+    once via ray.put (part is dimension-sized), each lineitem batch
+    pre-combines (ship_month, promo_cents, total_cents) partials with a
+    sorted-key membership probe, and a month-sized groupby closes. The
+    share stays two exact int64 sums — no float ratio to tie-break."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    part = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("p_type"), "PROMO")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    promo_keys = np.sort(part["p_partkey"].to_numpy(np.int64))
+    ref = ray.put(promo_keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys_ = ray.get(ref)
+        sd = b.column("l_shipdate")
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(sd), pa.int64()), 100),
+            pc.cast(pc.month(sd), pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys_):
+            idx = np.minimum(np.searchsorted(keys_, pk), len(keys_) - 1)
+            promo = keys_[idx] == pk
+        else:
+            promo = np.zeros(len(pk), dtype=bool)
+        um, inv = np.unique(month, return_inverse=True)
+        tot = np.zeros(len(um), np.int64)
+        pro = np.zeros(len(um), np.int64)
+        np.add.at(tot, inv, cents)
+        np.add.at(pro, inv, np.where(promo, cents, 0))
+        return pa.table(
+            {
+                "ship_month": pa.array(um, pa.int64()),
+                "p": pa.array(pro),
+                "t": pa.array(tot),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(
+            Sum("p", alias_name="promo_cents"), Sum("t", alias_name="total_cents")
+        )
+    )
+    return _typed(
+        out, {"ship_month": "int64", "promo_cents": "int64", "total_cents": "int64"}
+    )
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """TPC-H Q12 shape (conditional aggregation over a fact⋈fact join):
+    orders reduces to (o_orderkey, is_high) and joins lineitem through
+    the measured-count auto-plan (ops/joins.py auto_hash_join —
+    broadcast when the reduced orders side fits, wide hash join
+    otherwise); each joined batch pre-combines (returnflag, high, low)
+    counts so the closing groupby sees a handful of rows per block."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import auto_hash_join
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "is_high": pc.cast(hi, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    joined = auto_hash_join(
+        lineitem,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_returnflag"],
+        right_cols=["is_high"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rf = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        hi = b.column("is_high").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(rf, sort=False)
+        h = np.zeros(len(uniq), np.int64)
+        lo = np.zeros(len(uniq), np.int64)
+        np.add.at(h, codes, hi)
+        np.add.at(lo, codes, 1 - hi)
+        return pa.table(
+            {"l_returnflag": pa.array(uniq), "h": pa.array(h), "lo": pa.array(lo)}
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("h", alias_name="high_line_count"),
+            Sum("lo", alias_name="low_line_count"),
+        )
+    )
+    return _typed(
+        out,
+        {
+            "l_returnflag": "object",
+            "high_line_count": "int64",
+            "low_line_count": "int64",
+        },
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (OR-of-ANDs join predicate): part's (brand,
+    size) attributes broadcast once as partkey-sorted arrays, each
+    lineitem batch probes with ONE searchsorted and evaluates the three
+    conjunction branches as vectorized masks — the disjunction never
+    becomes three scans or a shuffle. One int64 revenue sum closes."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    pdf = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    order = np.argsort(pdf["p_partkey"].to_numpy(np.int64))
+    pk_arr = pdf["p_partkey"].to_numpy(np.int64)[order]
+    brand_arr = pdf["p_brand"].to_numpy()[order]
+    size_arr = pdf["p_size"].to_numpy(np.int64)[order]
+    ref = ray.put((pk_arr, brand_arr, size_arr))
+
+    BRANCHES = (
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#21", 1, 15, 20.0, 30.0),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_, brand_, size_ = ray.get(ref)
+        lk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pk_, lk), len(pk_) - 1)
+        hit = pk_[idx] == lk
+        br = brand_[idx]
+        sz = size_[idx]
+        keep = np.zeros(len(lk), dtype=bool)
+        for bname, slo, shi, qlo, qhi in BRANCHES:
+            keep |= (
+                hit
+                & (br == bname)
+                & (sz >= slo)
+                & (sz <= shi)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"revenue_cents": pa.array([int(cents[keep].sum())], pa.int64())}
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return pd.DataFrame({"revenue_cents": [int(out["revenue_cents"])]}).astype(
+        {"revenue_cents": "int64"}
+    )
+
+
+def q21_sole_returned_supplier(sf_dir: str):
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt
+    dates): suppliers who were the ONLY supplier with returned ('R')
+    lines on a multi-supplier order. The nested EXISTS / NOT EXISTS
+    pair collapses to per-order aggregates: each batch pre-combines
+    distinct (orderkey, suppkey, any_r) with an Arrow group_by, ONE
+    hash-bucket exchange on orderkey, then a per-bucket lexsort derives
+    (n_supp, n_r_supp, sole R supplier) per order and emits only
+    (suppkey, partial count); a supplier-sized groupby + dimension name
+    lookup closes with the classic (numwait DESC, s_name) top-10."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.functions.hashing import bucket_hash
+
+    n_buckets = 32
+
+    def keyed(b: pa.Table) -> pa.Table:
+        is_r = pc.cast(pc.equal(b.column("l_returnflag"), "R"), pa.int8())
+        pre = (
+            pa.table(
+                {
+                    "o": b.column("l_orderkey"),
+                    "s": b.column("l_suppkey"),
+                    "r": is_r,
+                }
+            )
+            .group_by(["o", "s"])
+            .aggregate([("r", "max")])
+        )
+        kb = bucket_hash(pre.column("o").to_numpy(zero_copy_only=False)) % np.uint64(
+            n_buckets
+        )
+        return pre.append_column("_b", pa.array(kb.astype(np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["o"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        r = g["r_max"].to_numpy(np.int64)
+        if len(o) == 0:
+            return pd.DataFrame(
+                {"s_suppkey": np.array([], np.int64), "c": np.array([], np.int64)}
+            )
+        idx = np.lexsort((s, o))
+        o, s, r = o[idx], s[idx], r[idx]
+        # combine cross-batch partials of the same (order, supplier)
+        new_pair = np.concatenate([[True], (o[1:] != o[:-1]) | (s[1:] != s[:-1])])
+        grp = np.cumsum(new_pair) - 1
+        any_r = np.zeros(grp[-1] + 1, np.int64)
+        np.maximum.at(any_r, grp, r)
+        uo, us = o[new_pair], s[new_pair]
+        starts = np.flatnonzero(np.concatenate([[True], uo[1:] != uo[:-1]]))
+        counts = np.diff(np.append(starts, len(uo)))
+        n_r = np.add.reduceat(any_r, starts)
+        ordid = np.repeat(np.arange(len(starts)), counts)
+        qual = (counts[ordid] > 1) & (n_r[ordid] == 1) & (any_r == 1)
+        uk, c = np.unique(us[qual], return_counts=True)
+        return pd.DataFrame({"s_suppkey": uk, "c": c.astype(np.int64)})
+
+    waits = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("c", alias_name="numwait"))
+        .to_pandas()  # supplier-sized result
+    )
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()  # dimension table
+    m = waits.merge(names, on="s_suppkey", how="inner")
+    m = m.sort_values(["numwait", "s_name"], ascending=[False, True]).head(10)
+    return m[["s_name", "numwait"]].reset_index(drop=True).astype(
+        {"s_name": "object", "numwait": "int64"}
+    )
+
+
+def q16_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (grouped COUNT DISTINCT with a NOT-IN filter):
+    part attributes and the negative-balance supplier blocklist
+    broadcast once; each lineitem batch packs (brand·type group,
+    suppkey) into one int64 and pre-dedups, a packed-key groupby makes
+    the global distinct set, and a second tiny groupby counts suppliers
+    per group — distinct-pair volume bounds both exchanges, the fact
+    table never shuffles raw rows."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    pdf = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+    ).to_pandas()
+    pdf = pdf[pdf["p_brand"] != "Brand#1"].reset_index(drop=True)
+    combo = pdf["p_brand"] + "\x00" + pdf["p_type"]
+    gid, _ = pd.factorize(combo, sort=True)
+    lut = (
+        pdf[["p_brand", "p_type"]]
+        .assign(gid=gid)
+        .drop_duplicates("gid")
+        .set_index("gid")
+        .sort_index()
+    )
+    order = np.argsort(pdf["p_partkey"].to_numpy(np.int64))
+    pk_arr = pdf["p_partkey"].to_numpy(np.int64)[order]
+    gid_arr = gid.astype(np.int64)[order]
+
+    sdf = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad = np.sort(sdf.loc[sdf["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64))
+    smax = int(sdf["s_suppkey"].max()) + 1
+    ref = ray.put((pk_arr, gid_arr, bad, smax))
+
+    def packed(b: pa.Table) -> pa.Table:
+        pk_, gid_, bad_, smax_ = ray.get(ref)
+        lk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(pk_, lk), max(len(pk_) - 1, 0))
+        hit = (pk_[idx] == lk) if len(pk_) else np.zeros(len(lk), bool)
+        keep = hit & ~np.isin(sk, bad_) & (sk < smax_)
+        p = gid_[idx[keep]] * smax_ + sk[keep]
+        return pa.table({"packed": pa.array(np.unique(p), pa.int64())})
+
+    distinct = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(packed, batch_format="pyarrow")
+        .groupby("packed")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def regroup(b: pa.Table) -> pa.Table:
+        p = b.column("packed").to_numpy(zero_copy_only=False)
+        g = p // smax
+        ug, c = np.unique(g, return_counts=True)
+        return pa.table(
+            {"gid": pa.array(ug, pa.int64()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        distinct.map_batches(regroup, batch_format="pyarrow")
+        .groupby("gid")
+        .aggregate(Sum("c", alias_name="supplier_cnt"))
+        .to_pandas()  # (brand × type)-sized
+    )
+    gids = counts["gid"].to_numpy(np.int64)
+    counts["p_brand"] = lut["p_brand"].to_numpy()[gids]
+    counts["p_type"] = lut["p_type"].to_numpy()[gids]
+    return counts[["p_brand", "p_type", "supplier_cnt"]].astype(
+        {"p_brand": "object", "p_type": "object", "supplier_cnt": "int64"}
+    )
+
+
+def q_cust_orders_left(sf_dir: str):
+    """LEFT OUTER join with COALESCE null-fill: BUILDING-segment
+    customers keep their row even with zero orders. The orders side
+    pre-aggregates to (custkey, n_orders, spend_cents) partials per
+    batch before the join, so the wide shuffle_hash_join(how='left')
+    carries dimension-sized rows on both sides; unmatched customers
+    fill (0, 0) inside each bucket (right_fill — the SQL COALESCE)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import shuffle_hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {"o_custkey": pa.array(uk), "n": pa.array(n), "s": pa.array(s)}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="spend_cents"))
+    )
+    out = shuffle_hash_join(
+        cust,
+        agg,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_cols=[],
+        right_cols=["n_orders", "spend_cents"],
+        how="left",
+        right_fill={"n_orders": 0, "spend_cents": 0},
+    )
+    return _typed(
+        out, {"c_custkey": "int64", "n_orders": "int64", "spend_cents": "int64"}
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3358,6 +3816,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     HUGEINT dtype artifact), then this round's new operators, then
     re-confirmation slots."""
     return {
+        # --- round-4c additions (newest first) -------------------------
+        "first_last_event_by_user": q_first_last_event_by_user,
+        "q14_promo_revenue_by_month": q14_promo_revenue_by_month,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_sole_returned_supplier": q21_sole_returned_supplier,
+        "q16_supplier_counts": q16_supplier_counts,
+        "cust_orders_left": q_cust_orders_left,
         # --- never driver-checked before round 4 (r3 positions 51-84) ---
         "urgent_lineitem_by_flag": q_urgent_lineitem_by_flag,
         "order_count_histogram": q_order_count_histogram,
@@ -3488,6 +3954,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "first_last_event_by_user": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rl
+              FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rf = 1 THEN event_type END) AS first_event,
+                   MAX(CASE WHEN rl = 1 THEN event_type END) AS last_event
+            FROM w GROUP BY user_id
+        """,
+        "q14_promo_revenue_by_month": """
+            SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                        + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1
+        """,
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_sole_returned_supplier": """
+            WITH os AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r
+              FROM lineitem GROUP BY 1, 2
+            ), o AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp, SUM(any_r) AS n_r,
+                     MAX(CASE WHEN any_r = 1 THEN l_suppkey END) AS r_supp
+              FROM os GROUP BY 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM o JOIN supplier ON r_supp = s_suppkey
+            WHERE n_supp > 1 AND n_r = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "cust_orders_left": """
+            SELECT c_custkey,
+                   CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(a.spend_cents, 0) AS BIGINT) AS spend_cents
+            FROM customer LEFT JOIN (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+              FROM orders GROUP BY o_custkey) a ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
         "doc_stats_by_source": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

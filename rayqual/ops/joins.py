@@ -46,6 +46,7 @@ def shuffle_hash_join(
     right_cols: list[str],
     n_buckets: int = 64,
     how: str = "inner",
+    right_fill: dict | None = None,
 ):
     """Distributed hash join for TWO LARGE sides (neither broadcast):
     both datasets are bucketed on a stable hash of the join key, the
@@ -53,6 +54,12 @@ def shuffle_hash_join(
     with a vectorized pandas merge inside ``groupby(bucket).map_groups``
     — python dispatch per bucket, not per key. Output columns:
     ``[left_on] + left_cols + right_cols`` (names must be disjoint).
+
+    ``how="left"`` keeps unmatched left rows with NaN right-side
+    slots. Pass ``right_fill`` ({col: sentinel}) to COALESCE them
+    inside each bucket — callers that need int64 output cast after
+    the fill (the union's null slots already ride as float64 in the
+    per-bucket pandas frame, so the cast is lossless below 2^53).
 
     Partitioning assumption (documented): one bucket of (left+right)
     rows fits a worker — size ``n_buckets`` accordingly (~10^5-10^6 at
@@ -127,6 +134,9 @@ def shuffle_hash_join(
         l = g.loc[g["__role"] == 0, lcols]
         r = g.loc[g["__role"] == 1, rcols]
         m = l.merge(r, on="__key", how=how)
+        if right_fill:
+            for c, v in right_fill.items():
+                m[c] = m[c].fillna(v)
         return m.rename(columns={"__key": left_on})[[left_on] + left_cols + right_cols]
 
     return (

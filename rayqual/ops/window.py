@@ -559,3 +559,81 @@ def drop_late_events(
         return b.filter(pa.array(~late))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def grouped_first_last(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_first: str = "first_val",
+    out_last: str = "last_val",
+    n_buckets: int = 32,
+):
+    """One row per ``key``: the ``value_col`` at the smallest and the
+    largest ``(order_cols...)`` position — SQL ``FIRST_VALUE`` /
+    ``LAST_VALUE`` collapsed to a per-key aggregate (``arg_min`` /
+    ``arg_max`` by a composite order). The entry/exit-event shape a
+    funnel or sessionization pipeline reaches for.
+
+    Scale shape: a PER-BATCH vectorized prune keeps only each key's
+    first and last row of the batch, so the exchange carries at most
+    2 rows per key per input block; keys are then hash-bucketed and
+    each bucket resolves the global first/last in ONE lexsort +
+    segment-boundary gather (one Python dispatch per bucket, never per
+    key). ``order_cols`` must be int64-castable and ``(key,
+    *order_cols)`` unique for a deterministic result; ``value_col``
+    only rides along (any dtype), it never sorts.
+    """
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def prune(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        n = len(b)
+        if n == 0:
+            return b.append_column("__bucket", pa.array(np.empty(0, np.int64)))
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        ovals = tuple(
+            b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in order_cols
+        )
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(tuple(reversed(ovals)) + (codes,))
+        starts = _segment_starts(codes[idx])
+        ends = np.append(starts[1:], len(idx)) - 1
+        keep = np.unique(np.concatenate([idx[starts], idx[ends]]))
+        b = b.take(pa.array(keep))
+        bucket = (bucket_hash(kv[keep]) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {key: g[key], out_first: g[value_col], out_last: g[value_col]}
+            )
+        kv = g[key].to_numpy()
+        ovals = tuple(g[c].to_numpy(np.int64) for c in order_cols)
+        codes = pd.factorize(kv)[0].astype(np.int64)
+        idx = np.lexsort(tuple(reversed(ovals)) + (codes,))
+        starts = _segment_starts(codes[idx])
+        ends = np.append(starts[1:], n) - 1
+        v = g[value_col].to_numpy()
+        return pd.DataFrame(
+            {
+                key: kv[idx[starts]],
+                out_first: v[idx[starts]],
+                out_last: v[idx[ends]],
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )

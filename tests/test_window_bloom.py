@@ -375,3 +375,72 @@ def test_grouped_approx_quantiles_bound_and_invariance(ray_session):
         for qc, q in (("q5", 0.5), ("q99", 0.99)):
             true = vals[int(np.floor(q * (len(vals) - 1)))]
             assert abs(outs[0].loc[k, qc] - true) <= 0.0101 * true  # DDSketch bound
+
+
+def test_grouped_first_last_matches_pandas(ray_session):
+    """grouped_first_last == pandas sort + groupby first/last, invariant
+    to partitioning, with a string value column and composite order."""
+    from rayqual.ops.window import grouped_first_last
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "t": rng.integers(0, 50, n).astype(np.int64),
+            "tid": rng.permutation(n).astype(np.int64),  # tiebreak → unique order
+            "v": np.array([f"v{i % 13}" for i in range(n)], dtype=object),
+        }
+    )
+    srt = df.sort_values(["k", "t", "tid"])
+    exp = (
+        srt.groupby("k")["v"]
+        .agg(first_val="first", last_val="last")
+        .reset_index()
+        .rename(columns={"k": "k"})
+    )
+    for parts in (1, 6):
+        ds = ray_session.data.from_pandas(df).repartition(parts)
+        got = (
+            grouped_first_last(
+                ds, key="k", order_cols=["t", "tid"], value_col="v", n_buckets=8
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "first_val", "last_val"]],
+            exp.sort_values("k").reset_index(drop=True),
+        )
+
+
+def test_shuffle_hash_join_left_right_fill(ray_session):
+    """how='left' keeps unmatched left rows; right_fill COALESCEs their
+    right-side slots to the sentinel inside each bucket."""
+    from rayqual.ops.joins import shuffle_hash_join
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 20, 2, dtype=np.int64),
+         "val": np.arange(0, 20, 2, dtype=np.int64) * 10}
+    )
+    got = (
+        shuffle_hash_join(
+            ray_session.data.from_pandas(left).repartition(3),
+            ray_session.data.from_pandas(right).repartition(2),
+            left_on="k",
+            right_on="rk",
+            left_cols=[],
+            right_cols=["val"],
+            n_buckets=4,
+            how="left",
+            right_fill={"val": -1},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 20
+    exp = np.where(np.arange(20) % 2 == 0, np.arange(20) * 10, -1)
+    assert (got["val"].to_numpy(np.int64) == exp).all()
