@@ -3796,6 +3796,27 @@ def q_cust_orders_left(sf_dir: str):
     )
 
 
+# fixed probe set for the Count-Min sketch query: frequent corpus
+# tokens + one absent token (its estimate is pure collision mass)
+_CMS_PROBES = [
+    "join", "hash", "batch", "scan", "window", "stream", "spark",
+    "quantile", "shuffle", "zzz-absent-token",
+]
+
+
+def q_cms_token_freq_docs(sf_dir: str):
+    """Count-Min sketch token-frequency estimates for a fixed probe
+    list (ops/sketch.py cms_token_estimates): fixed-memory frequency
+    oracle whose only exchange is the nonzero sketch cells (≤
+    depth·width rows per batch regardless of corpus size). Fixture
+    oracle — the estimate is hash-defined, not SQL-expressible."""
+    from rayqual.ops.sketch import cms_token_estimates
+
+    return cms_token_estimates(
+        _docs(sf_dir).select_columns(["text"]), probes=_CMS_PROBES
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3817,6 +3838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     re-confirmation slots."""
     return {
         # --- round-4c additions (newest first) -------------------------
+        "cms_token_freq_docs": q_cms_token_freq_docs,
         "first_last_event_by_user": q_first_last_event_by_user,
         "q14_promo_revenue_by_month": q14_promo_revenue_by_month,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -4862,6 +4884,10 @@ def oracle_sql() -> dict[str, str]:
         # tools/make_fixtures.py. Fixtures encode sf0.01 (the driver's
         # correctness scale) — regenerate with the tool if the synthetic
         # tables or operator specs change.
+        "cms_token_freq_docs": f"""
+            SELECT token, est_count
+            FROM read_parquet('{_REPO_DIR}/tests/fixtures/cms_token_freq_docs_sf001_expected.parquet')
+        """,
         "minhash_dedup_docs": f"""
             SELECT doc_id
             FROM read_parquet('{_REPO_DIR}/tests/fixtures/minhash_dedup_docs_sf001_expected.parquet')

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayqual.functions.hashing import bucket_hash
+from rayqual.functions.hashing import bucket_hash, splitmix64
 
 
 def _alpha(m: int) -> float:
@@ -391,3 +391,85 @@ def grouped_approx_quantiles(
         .groupby("_bucket")
         .map_groups(extract, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+_CMS_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cms_slots(tokens: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) slot matrix for a token array: row i uses
+    splitmix64(siphash(token) + i·golden) % width — depth independent
+    hash rows from ONE base hash pass (the base is pandas' fixed-key
+    siphash via bucket_hash, identical in the naive oracle)."""
+    base = bucket_hash(tokens)
+    out = np.empty((depth, len(tokens)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(depth):
+            out[i] = (splitmix64(base + np.uint64(i) * _CMS_GOLDEN)
+                      % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_token_estimates(
+    ds,
+    probes: list[str],
+    text_col: str = "text",
+    width: int = 4096,
+    depth: int = 4,
+):
+    """Count-Min frequency estimates for ``probes`` over the
+    whitespace-token stream of ``text_col`` — the fixed-memory
+    frequency oracle for when even the vocabulary-sized heavy-hitters
+    exchange (ops/heavyhitters.py) is too wide. Estimates are
+    deterministic upper bounds: est ≥ true always, and
+    est ≤ true + εN with probability 1−δ for width = ⌈e/ε⌉,
+    depth = ⌈ln 1/δ⌉ (Cormode–Muthukrishnan).
+
+    Scale shape: each batch pre-combines its tokens with ONE
+    value_counts hash pass and scatters them into a local sketch; the
+    only exchange is the NONZERO sketch cells (≤ depth·width rows per
+    batch, 16 k at the defaults — independent of corpus size), merged
+    by an integer Sum (order-independent, bit-reproducible). The merged
+    sketch is fixed-size, so the driver collect is O(depth·width)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = pc.value_counts(flat)
+        tokens = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        dense = np.zeros(depth * width, dtype=np.int64)
+        if len(tokens):
+            slots = cms_slots(tokens, width, depth)
+            for i in range(depth):
+                np.add.at(dense, i * width + slots[i], counts)
+        nz = np.flatnonzero(dense)
+        return pa.table({"j": pa.array(nz, pa.int64()),
+                         "c": pa.array(dense[nz], pa.int64())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ depth·width rows by construction
+    )
+    dense = np.zeros(depth * width, dtype=np.int64)
+    dense[merged["j"].to_numpy(np.int64)] = merged["c"].to_numpy(np.int64)
+    parr = np.asarray(probes, dtype=object)
+    slots = cms_slots(parr, width, depth)
+    est = dense[np.arange(depth)[:, None] * width + slots].min(axis=0)
+    return pd.DataFrame({"token": parr, "est_count": est.astype(np.int64)})

@@ -509,3 +509,44 @@ def grouped_approx_distinct_py(keys, values, p: int = 12) -> list[tuple]:
             est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
         out.append((k, round(float(est), 6)))
     return sorted(out)
+
+
+def cms_token_estimates_py(
+    texts, probes, width: int = 4096, depth: int = 4
+) -> list[tuple]:
+    """Naive single-process Count-Min sketch: one python regex token
+    loop into a Counter, python-int splitmix64 rehash rows from the
+    same fixed-key siphash base as the vectorized sketch (the hash IS
+    the spec), dense matrix adds, min-over-rows probe. Mergeability of
+    integer partial sketches makes the distributed result exactly equal
+    by construction — this checks the whole pipeline, not just the
+    estimator."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    golden = 0x9E3779B97F4A7C15
+    cnt: Counter = Counter()
+    ws = re.compile(r"\s+")
+    for t in texts:
+        if t:
+            for tok in ws.split(t):
+                if tok:
+                    cnt[tok] += 1
+    mat = [[0] * width for _ in range(depth)]
+    toks = list(cnt)
+    base = pd.util.hash_array(np.asarray(toks, dtype=object))
+    for tok, b in zip(toks, base):
+        c = cnt[tok]
+        for i in range(depth):
+            mat[i][_splitmix64_py((int(b) + i * golden) % _MOD) % width] += c
+    out = []
+    pbase = pd.util.hash_array(np.asarray(list(probes), dtype=object))
+    for tok, b in zip(probes, pbase):
+        est = min(
+            mat[i][_splitmix64_py((int(b) + i * golden) % _MOD) % width]
+            for i in range(depth)
+        )
+        out.append((tok, int(est)))
+    return out

@@ -780,3 +780,36 @@ def test_minhash_propose_pair_guard(ray_session):
     )
     assert 0 < len(star) <= 29  # deduped: one edge per clone
     assert set(star["id_a"]) == {0}  # every clone links to the min id
+
+
+def test_cms_upper_bound_and_partition_invariance(ray_session):
+    """Count-Min estimates are ≥ the exact token counts, equal for
+    tokens whose slots are collision-free, and bit-identical across
+    partitionings (integer partial sketches merge associatively)."""
+    import pandas as pd
+
+    from rayqual.ops.sketch import cms_token_estimates
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(400)
+    ]
+    df = pd.DataFrame({"text": texts})
+    exact = pd.Series(" ".join(texts).split()).value_counts()
+    probes = vocab[:10] + ["never-seen"]
+    results = []
+    for parts in (1, 7):
+        ds = ray_session.data.from_pandas(df).repartition(parts)
+        got = (
+            cms_token_estimates(ds, probes=probes, width=1024, depth=4)
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        results.append(got)
+        for tok, est in zip(got["token"], got["est_count"]):
+            true = int(exact.get(tok, 0))
+            assert est >= true, (tok, est, true)
+            assert est <= true + len(exact) * 4, (tok, est, true)
+    pd.testing.assert_frame_equal(results[0], results[1])

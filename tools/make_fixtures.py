@@ -152,6 +152,14 @@ def main():
     write_fixture("ivf_topk_embeddings", exp,
                   pa.schema([("query_id", pa.int64()), ("id", pa.int64())]))
 
+    # --- Count-Min sketch probe estimates ---
+    ests = oo.cms_token_estimates_py(docs["text"].tolist(), m._CMS_PROBES)
+    exp = pd.DataFrame({"token": pd.Series([t for t, _ in ests], dtype="object"),
+                        "est_count": pd.Series([c for _, c in ests], dtype="int64")})
+    check_equal("cms_token_freq_docs", m.q_cms_token_freq_docs(SF), exp)
+    write_fixture("cms_token_freq_docs", exp,
+                  pa.schema([("token", pa.string()), ("est_count", pa.int64())]))
+
     # --- grouped DDSketch quantiles ---
     rows = []
     for src, grp in docs.groupby("source"):
