@@ -2917,8 +2917,8 @@ def q_orphan_lineitems(sf_dir: str):
     probe; the fact table never shuffles; the per-key rollup exchanges
     pre-combined (key, count) rows only."""
     import ray.data
-    from ray.data.aggregate import Count
 
+    from rayqual.ops.agg import bucketed_grouped_sum
     from rayqual.ops.bloom import bloom_semijoin
 
     lineitem = ray.data.read_parquet(
@@ -2932,19 +2932,18 @@ def q_orphan_lineitems(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     ).map_batches(parents, batch_format="pyarrow")
-    orphans = bloom_semijoin(lineitem, orders, "l_orderkey", "o_orderkey", anti=True)
-    out = orphans.groupby("l_orderkey").aggregate(Count(alias_name="n_lines"))
-
-    def to64(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"l_orderkey": b.column("l_orderkey"),
-             "n_lines": b.column("n_lines").cast(pa.int64())}
-        )
-
-    return _typed(
-        out.map_batches(to64, batch_format="pyarrow"),
-        {"l_orderkey": "int64", "n_lines": "int64"},
+    orphans = bloom_semijoin(
+        lineitem, orders, "l_orderkey", "o_orderkey", anti=True
+    ).map_batches(
+        lambda b: b.append_column("_one", pa.array(np.ones(len(b), np.int64))),
+        batch_format="pyarrow",
     )
+    # high-cardinality count: bucketed grouped sum (engine hash-agg on
+    # ~orderkey-many keys pays blocks² tiny-object overhead — q18 lesson)
+    out = bucketed_grouped_sum(
+        orphans, key="l_orderkey", value_col="_one", out_col="n_lines"
+    )
+    return _typed(out, {"l_orderkey": "int64", "n_lines": "int64"})
 
 
 def q_funnel_events(sf_dir: str):
@@ -3796,6 +3795,82 @@ def q_cust_orders_left(sf_dir: str):
     )
 
 
+def q_retention_cohorts_events(sf_dir: str):
+    """Cohort retention matrix — users grouped by first-activity month,
+    distinct active users per (cohort_month, months_since). The classic
+    product-analytics composition: per-batch np.unique pre-combines
+    (user, month) pairs, ONE hash-bucket exchange on user co-locates
+    each user's months, the per-bucket pass derives cohort = min month
+    and emits (cohort, months_since, partial count) only (disjoint user
+    sets per bucket make the final Sum exact), and a matrix-sized
+    groupby closes. User-month volume bounds the exchange; raw events
+    never shuffle."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.functions.hashing import bucket_hash
+
+    n_buckets = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        lm = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+            pc.cast(pc.month(ts), pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pack = np.unique(u * np.int64(1 << 16) + lm)
+        uu = pack >> 16
+        kb = (bucket_hash(uu) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(uu, pa.int64()),
+                "m": pa.array(pack & np.int64((1 << 16) - 1), pa.int64()),
+                "_b": pa.array(kb),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        m = g["m"].to_numpy(np.int64)
+        if len(u) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_month": np.array([], np.int64),
+                    "months_since": np.array([], np.int64),
+                    "n": np.array([], np.int64),
+                }
+            )
+        pack = np.unique(u * np.int64(1 << 16) + m)  # cross-batch dedup
+        u, m = pack >> 16, pack & np.int64((1 << 16) - 1)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(m[starts], counts)
+        key = cohort * np.int64(1 << 16) + (m - cohort)
+        uk, c = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_month": uk >> 16,
+                "months_since": uk & np.int64((1 << 16) - 1),
+                "n": c.astype(np.int64),
+            }
+        )
+
+    out = (
+        _events(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_month", "months_since"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return _typed(
+        out,
+        {"cohort_month": "int64", "months_since": "int64", "n_users": "int64"},
+    )
+
+
 # fixed probe set for the Count-Min sketch query: frequent corpus
 # tokens + one absent token (its estimate is pure collision mass)
 _CMS_PROBES = [
@@ -3839,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4c additions (newest first) -------------------------
         "cms_token_freq_docs": q_cms_token_freq_docs,
+        "retention_cohorts_events": q_retention_cohorts_events,
         "first_last_event_by_user": q_first_last_event_by_user,
         "q14_promo_revenue_by_month": q14_promo_revenue_by_month,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -3976,6 +4052,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "retention_cohorts_events": """
+            WITH am AS (
+              SELECT DISTINCT user_id,
+                     CAST(EXTRACT(year FROM ts) * 12
+                          + EXTRACT(month FROM ts) AS BIGINT) AS m
+              FROM events
+            ), fm AS (
+              SELECT user_id, MIN(m) AS cohort_month FROM am GROUP BY user_id
+            )
+            SELECT fm.cohort_month,
+                   am.m - fm.cohort_month AS months_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM am JOIN fm ON am.user_id = fm.user_id
+            GROUP BY 1, 2
+        """,
         "first_last_event_by_user": """
             WITH w AS (
               SELECT user_id, event_type,

@@ -11,11 +11,13 @@ enter any downstream exchange.
 
 Two phases, both streaming:
 
-1. BUILD — the key side emits one fixed-size local bitmap per batch
-   (``n_bits`` bits, a few hundred KB); the driver ORs the per-batch
-   bitmaps (n_batches small rows — never the keys themselves). On a
-   real cluster this OR is a tree reduce; the bitmap count is
-   O(input/batch_size), not O(rows).
+1. BUILD — ONE pass over the key side emits, per block, a fixed-size
+   local bitmap (``n_bits`` bits, a few hundred KB) plus the block's
+   distinct keys; the driver ORs the bitmaps and folds the keys with
+   periodic np.unique compaction, so its memory stays
+   O(max_exact_keys) and an oversized key side hits a ValueError
+   refusal mid-stream — never an OOM. On a real cluster the bitmap OR
+   is a tree reduce; nothing here is an exchange.
 2. PROBE — the big side tests ``n_hashes`` splitmix64 probes per key
    against the broadcast bitmap, fully vectorized. Bloom hits include
    FALSE POSITIVES (rate ~(1-e^{-kn/m})^k), so the survivors are
@@ -64,12 +66,89 @@ def build_bloom(key_ds, key_col: str, n_bits: int = 1 << 22, n_hashes: int = 4) 
         return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
 
     acc = np.zeros(n_bytes, dtype=np.uint8)
-    for batch in key_ds.map_batches(bitmap, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for batch in key_ds.map_batches(
+        bitmap, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
         for buf in batch.column("bitmap").to_pylist():
             acc |= np.frombuffer(buf, dtype=np.uint8)
     return acc
+
+
+def build_bloom_and_keys(
+    key_ds,
+    key_col: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+    max_exact_keys: int = 5_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE streaming pass over the key side producing both the bloom
+    bitmap and the SORTED distinct key array the probe verifies
+    against. Each block emits its local bitmap plus its block-distinct
+    keys (nulls dropped — a NULL key matches nothing in semi-join
+    semantics); the driver ORs bitmaps and folds keys with periodic
+    np.unique compaction, so driver memory stays O(max_exact_keys)
+    and an oversized key side hits the ValueError refusal mid-stream —
+    never an OOM. Replaces the former two-pass shape (a separate
+    full groupby-distinct exchange + lazy re-read of the key side)
+    with zero exchanges and a single scan."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    n_bytes = n_bits // 8
+
+    def bitmap_and_keys(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        keys = np.unique(col.to_numpy(zero_copy_only=False))
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        if len(keys):
+            pos = _probe_positions(keys, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8)).astype(
+                    np.uint8
+                ),
+            )
+        n = max(len(keys), 1)
+        bm = pa.array([bits.tobytes()] + [None] * (n - 1), pa.binary())
+        if len(keys):
+            karr = pa.array(keys)
+        else:
+            karr = pa.nulls(1, col.type)
+        return pa.table({"bitmap": bm, "k": karr})
+
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    parts: list[np.ndarray] = []
+    total = 0
+
+    def compact() -> np.ndarray:
+        u = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+        if len(u) > max_exact_keys:
+            raise ValueError(
+                f"bloom semi-join: >{max_exact_keys} distinct keys exceed "
+                f"max_exact_keys — chain the bloom survivors into "
+                f"shuffle_hash_join instead"
+            )
+        return u
+
+    for batch in key_ds.map_batches(
+        bitmap_and_keys, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in batch.column("bitmap").drop_null().to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        karr = batch.column("k").drop_null()
+        if len(karr):
+            arr = karr.to_numpy(zero_copy_only=False)
+            parts.append(arr)
+            total += len(arr)
+            if total > 2 * max_exact_keys + 1024:
+                u = compact()
+                parts, total = [u], len(u)
+    return acc, np.sort(compact())
 
 
 def bloom_semijoin(
@@ -93,30 +172,17 @@ def bloom_semijoin(
 
     _stw()
     import ray
-    from ray.data.aggregate import Count
 
-    bits = build_bloom(key_ds, key_on, n_bits=n_bits, n_hashes=n_hashes)
-
-    # exact verify set: distinct keys, pre-shrunk by a groupby — refuse
-    # rather than silently materialize an oversized driver array.
-    # GUARD BEFORE COLLECT: materialize to the (spillable) object store,
-    # count there, and only then pull into driver heap — an oversized
-    # key side must hit the refusal, never a driver OOM (same fix class
-    # as decontam's guard-before-collect).
-    distinct = (
-        key_ds.groupby(key_on)
-        .aggregate(Count(alias_name="__c"))
-        .drop_columns(["__c"])
-        .materialize()
+    # ONE streaming pass builds the bitmap AND the exact verify set:
+    # driver memory stays O(max_exact_keys) via mid-stream compaction,
+    # and the oversized-key-set refusal fires during the fold — never a
+    # driver OOM. (The former shape paid a second lazy re-read of the
+    # key side plus a full groupby-distinct exchange just to count
+    # before collecting; measured 2-3 s of the TPC-H Q4/Q22 walls.)
+    bits, exact = build_bloom_and_keys(
+        key_ds, key_on, n_bits=n_bits, n_hashes=n_hashes,
+        max_exact_keys=max_exact_keys,
     )
-    n_distinct = distinct.count()
-    if n_distinct > max_exact_keys:
-        raise ValueError(
-            f"bloom_semijoin: {n_distinct} distinct keys exceed max_exact_keys="
-            f"{max_exact_keys}; chain the bloom survivors into shuffle_hash_join instead"
-        )
-    keys_df = distinct.to_pandas()
-    exact = np.sort(keys_df[key_on].to_numpy())
     ref = ray.put((bits, exact))
 
     def probe(b: pa.Table) -> pa.Table:
@@ -126,7 +192,7 @@ def bloom_semijoin(
         byte = bits_[(pos >> np.uint64(3)).astype(np.int64)]
         hit = (byte & np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8))) != 0
         maybe = hit.all(axis=1)
-        if not maybe.any():
+        if not maybe.any() or len(exact_) == 0:
             return b if anti else b.slice(0, 0)
         member = np.zeros(len(b), dtype=bool)
         skeys = keys[maybe]
