@@ -84,14 +84,21 @@ def _prune_singleton_buckets(keys_ds, broadcast_threshold: int = 2_000_000):
     broadcast."""
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count
 
-    counts = keys_ds.groupby("bkey").aggregate(Count(alias_name="n"))
+    from rayqual.ops.agg import bucketed_grouped_sum
 
-    def hot_only(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b.column("n"), 1)).select(["bkey"])
-
-    hot = counts.map_batches(hot_only, batch_format="pyarrow").materialize()
+    # high-cardinality count (bands × docs keys): bucketed grouped sum
+    # with the HAVING pushed into the bucket pass — the engine hash-agg
+    # here measured 4.3 s vs ~1 s at sf0.1 (the q18 lesson)
+    pre = keys_ds.map_batches(
+        lambda b: b.select(["bkey"]).append_column(
+            "_one", pa.array(np.ones(len(b), np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    hot = bucketed_grouped_sum(
+        pre, key="bkey", value_col="_one", out_col="n", min_sum=1
+    ).materialize()
     if hot.count() > broadcast_threshold:
         logger.warning(
             "singleton-bucket pruning skipped: %d hot buckets exceed broadcast threshold",
@@ -518,7 +525,26 @@ def minhash_dedup_losers_distributed(
     # --- distributed est verify -----------------------------------------
     # pair key packs both ids (injective for ids < 1_000_000_007 since
     # id_b < the multiplier; beyond that switch to a 128-bit hash);
-    # duplicates across bands collapse in the final per-pair group
+    # duplicates across bands collapse in the final per-pair pass.
+    # Both verify exchanges dispatch per hash BUCKET, never per node or
+    # per pair: attach is one pandas merge per node-bucket, compare is
+    # one vectorized row-pair equality per pair-bucket. Signatures ride
+    # the exchanges as PACKED BINARY (num_perm × 8 bytes), never as
+    # list<uint64> — a list column in a groupby block demotes Ray's
+    # exchange to pickled objects (the r2 uint64-band-key lesson; the
+    # list variant measured ~14 s of this path's 19 s at sf0.1).
+    from rayqual.functions.hashing import bucket_hash
+
+    n_vb = 32
+
+    def _sig_binary(mat: np.ndarray) -> pa.Array:
+        """(n, num_perm) uint64 → variable-binary rows of 8·num_perm
+        bytes, zero-copy buffers (no per-row python)."""
+        n, w = mat.shape
+        values = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+        offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * (8 * w)).tobytes())
+        return pa.Array.from_buffers(pa.binary(), n, [None, offsets, values])
+
     def memberships(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -528,58 +554,70 @@ def minhash_dedup_losers_distributed(
                 "remap ids or switch the pair key to a wider hash"
             )
         pk = a * np.int64(1_000_000_007) + bb
+        node = np.concatenate([a, bb])
         return pa.table(
             {
-                "node": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "node": pa.array(node, pa.int64()),
                 "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
-                "sig": pa.array([None] * (2 * len(a)), pa.list_(pa.uint64())),
+                "sig": pa.nulls(2 * len(a), pa.binary()),
+                "_nb": pa.array(
+                    (bucket_hash(node) % np.uint64(n_vb)).astype(np.int64)
+                ),
             }
         )
 
     def sig_rows(b: pa.Table) -> pa.Table:
-        col = b.column("sig")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        node = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "node": b.column("id").cast(pa.int64()),
+                "node": pa.array(node, pa.int64()),
                 "pk": pa.array(np.full(len(b), -1), pa.int64()),
-                "sig": col.cast(pa.list_(pa.uint64())),
+                "sig": _sig_binary(_sig_matrix(b)),
+                "_nb": pa.array(
+                    (bucket_hash(node) % np.uint64(n_vb)).astype(np.int64)
+                ),
             }
         )
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sig = g.loc[g["pk"] == -1, "sig"]
-        pks = g.loc[g["pk"] != -1, "pk"].drop_duplicates()
-        if len(sig) == 0 or len(pks) == 0:
-            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
-                                 "node": pd.Series([], dtype="int64"),
-                                 "sig": pd.Series([], dtype="object")})
-        s = sig.iloc[0]
-        node = int(g["node"].iloc[0])
-        return pd.DataFrame({"pk": pks.to_numpy(),
-                             "node": np.full(len(pks), node, dtype="int64"),
-                             "sig": [s] * len(pks)})
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sigs = g.loc[g["pk"] == -1, ["node", "sig"]].drop_duplicates(subset=["node"])
+        prs = g.loc[g["pk"] != -1, ["node", "pk"]].drop_duplicates()
+        m = prs.merge(sigs, on="node", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"pk": pd.Series([], dtype="int64"),
+                 "node": pd.Series([], dtype="int64"),
+                 "sig": pd.Series([], dtype="object"),
+                 "_pb": pd.Series([], dtype="int64")}
+            )
+        m["_pb"] = (
+            bucket_hash(m["pk"].to_numpy(np.int64)) % np.uint64(n_vb)
+        ).astype(np.int64)
+        return m[["pk", "node", "sig", "_pb"]]
 
-    def compare(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["node"]).sort_values("node")
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        sa = np.asarray(g["sig"].iloc[0], dtype=np.uint64)
-        sb = np.asarray(g["sig"].iloc[1], dtype=np.uint64)
-        if float((sa == sb).mean()) < threshold:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"id_a": [int(g["node"].iloc[0])], "id_b": [int(g["node"].iloc[1])]})
+    def compare_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates(subset=["pk", "node"]).sort_values(["pk", "node"])
+        if len(g) == 0:
+            return empty
+        if len(g) % 2:  # every pair key has exactly two member nodes
+            raise AssertionError("minhash verify: odd (pk, node) group")
+        mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64).reshape(len(g), -1)
+        est = (mat[0::2] == mat[1::2]).mean(axis=1)
+        keep = est >= threshold
+        node = g["node"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"id_a": node[0::2][keep], "id_b": node[1::2][keep]}
+        )
 
     good_pairs = (
         pairs_ds.map_batches(memberships, batch_format="pyarrow")
         .union(sig_ds.map_batches(sig_rows, batch_format="pyarrow"))
-        .groupby("node")
-        .map_groups(attach, batch_format="pandas")
-        .groupby("pk")
-        .map_groups(compare, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(attach_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(compare_bucket, batch_format="pandas")
     )
 
     return component_losers(good_pairs, max_rounds=cc_rounds)
