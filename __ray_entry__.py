@@ -3892,6 +3892,635 @@ def q_cms_token_freq_docs(sf_dir: str):
     )
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the pure scan-filter-aggregate: three pruned
+    columns leave the parquet reader, every batch folds its survivors
+    into ONE int64 partial locally (numpy masked sum), and the only
+    exchange is one row per block. The cheapest possible plan at any
+    scale — no shuffle, no broadcast, no driver loop."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from datetime import date
+
+    lo_us = (date(1996, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1997, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = (
+            (sd >= lo_us) & (sd < hi_us)
+            & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0)
+        )
+        cents = _cents(
+            pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"revenue_cents": pa.array([int(cents[keep].sum())], pa.int64())}
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return pd.DataFrame({"revenue_cents": [int(out["revenue_cents"])]}).astype(
+        {"revenue_cents": "int64"}
+    )
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two trading blocs —
+    region↔region rather than the classic nation pair, so the query is
+    non-degenerate at every scale factor): the two region-filtered
+    dimension key sets (supplier, customer) broadcast once as sorted
+    key arrays; lineitem and orders each probe-and-drop before the
+    single fact-fact auto_hash_join on the order key (the
+    measured-count plan broadcasts the filtered orders side when it is
+    small); the cross-region predicate then prunes the stream and each
+    batch pre-combines into packed (supp, cust, year) int64 partials —
+    the final groupby exchanges a handful of rows per block."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import auto_hash_join
+
+    from datetime import date
+
+    lo_us = (date(1995, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1997, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    REGIONS = ("ASIA", "EUROPE")  # the (supp, cust) bloc pair, both ways
+
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    rk = set(reg.loc[reg["r_name"].isin(REGIONS), "r_regionkey"].astype("int64"))
+    nat_in = nat[nat["n_regionkey"].astype("int64").isin(rk)]
+    NATIONS = set(nat_in["n_nationkey"].astype("int64"))
+    names_by_nk = dict(
+        zip(nat["n_nationkey"].astype("int64"), nat["n_name"], strict=True)
+    )
+    # nationkey -> regionkey lookup array for the cross-bloc predicate
+    reg_of_nk = np.full(int(nat["n_nationkey"].max()) + 1, -1, np.int64)
+    reg_of_nk[nat["n_nationkey"].to_numpy(np.int64)] = nat[
+        "n_regionkey"
+    ].to_numpy(np.int64)
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(NATIONS)]
+    s_order = np.argsort(sup["s_suppkey"].to_numpy(np.int64))
+    s_keys = sup["s_suppkey"].to_numpy(np.int64)[s_order]
+    s_nk = sup["s_nationkey"].to_numpy(np.int64)[s_order]
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(NATIONS)]
+    c_order = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    c_keys = cust["c_custkey"].to_numpy(np.int64)[c_order]
+    c_nk = cust["c_nationkey"].to_numpy(np.int64)[c_order]
+    ref = ray.put((s_keys, s_nk, c_keys, c_nk))
+
+    def _probe(keys_sorted, vals, probe):
+        if not len(keys_sorted):
+            return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
+        idx = np.minimum(np.searchsorted(keys_sorted, probe), len(keys_sorted) - 1)
+        hit = keys_sorted[idx] == probe
+        return hit, vals[idx]
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        s_keys_, s_nk_, _, _ = ray.get(ref)
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, nk = _probe(s_keys_, s_nk_, lk)
+        keep = hit & (sd >= lo_us) & (sd < hi_us)
+        b = b.filter(pa.array(keep))
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_cents": cents,
+                "supp_nk": pa.array(nk[keep]),
+                "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+            }
+        )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        _, _, c_keys_, c_nk_ = ray.get(ref)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, nk = _probe(c_keys_, c_nk_, ck)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").filter(pa.array(hit)),
+                "cust_nk": pa.array(nk[hit]),
+            }
+        )
+
+    l_proj = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    ).map_batches(l_prep, batch_format="pyarrow")
+    o_proj = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    joined = auto_hash_join(
+        l_proj, o_proj,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev_cents", "supp_nk", "l_year"], right_cols=["cust_nk"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        snk = b.column("supp_nk").to_numpy(zero_copy_only=False)
+        cnk = b.column("cust_nk").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = reg_of_nk[snk] != reg_of_nk[cnk]  # cross-bloc shipments only
+        yr = b.column("l_year").to_numpy(zero_copy_only=False)[keep]
+        cents = b.column("rev_cents").to_numpy(zero_copy_only=False)[keep]
+        packed = (snk[keep] * 64 + cnk[keep]) * 4096 + yr
+        uk, inv = np.unique(packed, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table({"k": pa.array(uk, pa.int64()), "v": pa.array(tot)})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    dtypes = {
+        "supp_nation": "object", "cust_nation": "object",
+        "l_year": "int64", "revenue_cents": "int64",
+    }
+    if len(agg) == 0 or "k" not in agg.columns:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in dtypes.items()})
+    k = agg["k"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "supp_nation": [names_by_nk[x] for x in (k // 4096) // 64],
+            "cust_nation": [names_by_nk[x] for x in (k // 4096) % 64],
+            "l_year": k % 4096,
+            "revenue_cents": agg["revenue_cents"].to_numpy(np.int64),
+        }
+    ).astype(dtypes)
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): region-filtered customer
+    keys and type-filtered part keys broadcast as sorted arrays, the
+    supplier→nation map broadcasts alongside, the one fact-fact
+    exchange is auto_hash_join on the order key, and each batch folds
+    into per-year (nation_cents, total_cents) int64 partials. The
+    share ratio is derived from the two exact sums at the close —
+    IEEE division of identical ints is engine-portable."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import auto_hash_join
+
+    from datetime import date
+
+    lo_us = (date(1996, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1998, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    FOCUS_NK = 2  # NATION_2, an ASIA nation
+
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    asia_nk = set(
+        nat.merge(
+            reg[reg["r_name"] == "ASIA"],
+            left_on="n_regionkey", right_on="r_regionkey",
+        )["n_nationkey"].astype("int64")
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    c_keys = np.sort(
+        cust.loc[cust["c_nationkey"].isin(asia_nk), "c_custkey"].to_numpy(np.int64)
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    p_keys = np.sort(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
+    )
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    s_order = np.argsort(sup["s_suppkey"].to_numpy(np.int64))
+    s_keys = sup["s_suppkey"].to_numpy(np.int64)[s_order]
+    s_nk = sup["s_nationkey"].to_numpy(np.int64)[s_order]
+    ref = ray.put((c_keys, p_keys, s_keys, s_nk))
+
+    def _member(keys_sorted, probe):
+        if not len(keys_sorted):
+            return np.zeros(len(probe), bool)
+        idx = np.minimum(np.searchsorted(keys_sorted, probe), len(keys_sorted) - 1)
+        return keys_sorted[idx] == probe
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        c_keys_, _, _, _ = ray.get(ref)
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (od >= lo_us) & (od < hi_us) & _member(c_keys_, ck)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+                "o_year": pc.cast(
+                    pc.year(b.column("o_orderdate").filter(pa.array(keep))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        _, p_keys_, s_keys_, s_nk_ = ray.get(ref)
+        lp = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _member(p_keys_, lp)
+        b = b.filter(pa.array(keep))
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s_keys_):
+            idx = np.minimum(np.searchsorted(s_keys_, ls), len(s_keys_) - 1)
+            nk = np.where(s_keys_[idx] == ls, s_nk_[idx], np.int64(-1))
+        else:
+            nk = np.full(len(ls), -1, np.int64)
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "cents": pa.array(cents),
+                "focus_cents": pa.array(np.where(nk == FOCUS_NK, cents, 0)),
+            }
+        )
+
+    o_proj = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    l_proj = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(l_prep, batch_format="pyarrow")
+
+    joined = auto_hash_join(
+        l_proj, o_proj,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["cents", "focus_cents"], right_cols=["o_year"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = b.column("o_year").to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(uy), np.int64)
+        foc = np.zeros(len(uy), np.int64)
+        np.add.at(tot, inv, b.column("cents").to_numpy(zero_copy_only=False))
+        np.add.at(foc, inv, b.column("focus_cents").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"o_year": pa.array(uy, pa.int64()), "f": pa.array(foc),
+             "t": pa.array(tot)}
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("f", alias_name="nation_cents"), Sum("t", alias_name="total_cents")
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "nation_cents": agg["nation_cents"].to_numpy(np.int64),
+            "total_cents": agg["total_cents"].to_numpy(np.int64),
+        }
+    )
+    out["share"] = out["nation_cents"].to_numpy(np.float64) / out[
+        "total_cents"
+    ].to_numpy(np.float64)
+    return out.astype(
+        {"o_year": "int64", "nation_cents": "int64", "total_cents": "int64",
+         "share": "float64"}
+    )
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (top returned-revenue customers): the quarter-
+    filtered orders side goes through auto_hash_join (measured-count
+    broadcast when small) against returnflag-filtered lineitems, the
+    per-customer sum takes the one-exchange bucketed_grouped_sum path
+    (customer keys are too many for profitable per-block pre-combine),
+    and the global top-20 is a sort/limit with a custkey tiebreak so
+    revenue ties are engine-stable. Name/nation attach to the 20
+    survivors driver-side — a constant-size close."""
+    import ray.data
+
+    from rayqual.ops.agg import bucketed_grouped_sum
+    from rayqual.ops.joins import auto_hash_join
+
+    from datetime import date
+
+    lo_us = (date(1996, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1996, 4, 1) - date(1970, 1, 1)).days * 86_400_000_000
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo_us, pa.int64())),
+            pc.less(od, pa.scalar(hi_us, pa.int64())),
+        )
+        return b.select(["o_orderkey", "o_custkey"]).filter(keep)
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "rev_cents": cents}
+        )
+
+    o_proj = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    l_proj = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(l_prep, batch_format="pyarrow")
+
+    joined = auto_hash_join(
+        l_proj, o_proj,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev_cents"], right_cols=["o_custkey"],
+    )
+    per_cust = bucketed_grouped_sum(
+        joined.map_batches(
+            lambda b: b.select(["o_custkey", "rev_cents"]), batch_format="pyarrow"
+        ),
+        key="o_custkey", value_col="rev_cents", out_col="revenue_cents",
+    )
+    top = (
+        per_cust.sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_name", "n_name", "revenue_cents"]]
+    return out.astype(
+        {"c_custkey": "int64", "c_name": "object", "n_name": "object",
+         "revenue_cents": "int64"}
+    )
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by quarter revenue): per-supplier
+    revenue folds through bucketed_grouped_sum (arrow per-batch
+    pre-combine, one bucket exchange — supplier keys are
+    dimension-bound so the grouped result is small by construction);
+    the max and the tie-set resolve on that dimension-sized frame
+    driver-side, equality-on-max rather than LIMIT so revenue ties
+    return every winner exactly as SQL does."""
+    import ray.data
+
+    from rayqual.ops.agg import bucketed_grouped_sum
+
+    from datetime import date
+
+    lo_us = (date(1996, 1, 1) - date(1970, 1, 1)).days * 86_400_000_000
+    hi_us = (date(1996, 4, 1) - date(1970, 1, 1)).days * 86_400_000_000
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(sd, pa.scalar(lo_us, pa.int64())),
+            pc.less(sd, pa.scalar(hi_us, pa.int64())),
+        )
+        b = b.filter(keep)
+        cents = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        return pa.table({"l_suppkey": b.column("l_suppkey"), "cents": cents})
+
+    rev = bucketed_grouped_sum(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(l_prep, batch_format="pyarrow"),
+        key="l_suppkey", value_col="cents", out_col="total_cents",
+    ).to_pandas()  # dimension-bound: ≤ |supplier| rows by construction
+
+    best = rev[rev["total_cents"] == rev["total_cents"].max()]
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "total_cents"]
+    ]
+    return out.astype(
+        {"s_suppkey": "int64", "s_name": "object", "total_cents": "int64"}
+    )
+
+
+def q_new_users_daily_events(sf_dir: str):
+    """Growth accounting — per event type per day: first-seen (new)
+    users and the running cumulative distinct-user count. The classic
+    cumulative COUNT(DISTINCT) decomposes into one exchange: each batch
+    pre-combines (type, user) → min(day) with Arrow group_by, users
+    hash-bucket so every pair meets exactly once, and each bucket emits
+    (type, first_day, n) counts — the only thing that leaves a bucket
+    is calendar-bounded. The running sum closes on that tiny frame
+    driver-side (|types| × |days| rows by construction)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+    n_buckets = 32
+    US_PER_DAY = 86_400_000_000
+
+    def keyed(b: pa.Table) -> pa.Table:
+        day = pa.array(
+            pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_DAY,
+            pa.int64(),
+        )
+        pre = (
+            pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "user_id": b.column("user_id"),
+                    "day": day,
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([("day", "min")])
+        )
+        kb = bucket_hash(
+            pre.column("user_id").to_numpy(zero_copy_only=False)
+        ) % np.uint64(n_buckets)
+        return pre.append_column("_b", pa.array(kb.astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            g.groupby(["event_type", "user_id"], sort=False)["day_min"]
+            .min()
+            .reset_index()
+        )
+        out = (
+            first.groupby(["event_type", "day_min"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "day": out["day_min"].astype("int64"),
+                "n": out["n"].astype("int64"),
+            }
+        )
+
+    daily = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts"]
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="new_users"))
+        .to_pandas()
+    )
+    daily = daily.sort_values(["event_type", "day"]).reset_index(drop=True)
+    daily["cum_users"] = daily.groupby("event_type")["new_users"].cumsum()
+    return daily.astype(
+        {"event_type": "object", "day": "int64", "new_users": "int64",
+         "cum_users": "int64"}
+    )
+
+
+def q_order_gap_days_by_segment(sf_dir: str):
+    """Inter-arrival analysis — days between a customer's consecutive
+    orders, aggregated per market segment: grouped_shift lags the order
+    date within each customer (hash-bucketed lexsort, orderkey
+    tiebreak), the customer→segment map broadcasts once, and each batch
+    folds gaps into per-segment (count, day-sum) int64 partials — the
+    average stays two exact integers, never a float in the exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rayqual.ops.joins import broadcast_join
+    from rayqual.ops.window import grouped_shift
+
+    US_PER_DAY = 86_400_000_000
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+            }
+        )
+
+    lagged = grouped_shift(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["odate_us", "o_orderkey"],
+        value_col="odate_us",
+        periods=1,
+        out_col="prev_us",
+        fill_value=-1,
+    )
+    seg = broadcast_join(lagged, cust, "o_custkey", "c_custkey", ["c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        prev = b.column("prev_us").to_numpy(zero_copy_only=False)
+        keep = prev >= 0  # -1 = first order of the customer, no gap
+        cur = b.column("odate_us").to_numpy(zero_copy_only=False)[keep]
+        gaps = (cur - prev[keep]) // US_PER_DAY
+        segs = b.column("c_mktsegment").to_numpy(zero_copy_only=False)[keep]
+        uk, inv = np.unique(segs, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, gaps)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uk, pa.string()),
+                "cnt": pa.array(n),
+                "tot": pa.array(tot),
+            }
+        )
+
+    out = (
+        seg.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("cnt", alias_name="n_gaps"),
+            Sum("tot", alias_name="gap_days_total"),
+        )
+    )
+    return _typed(
+        out,
+        {"c_mktsegment": "object", "n_gaps": "int64", "gap_days_total": "int64"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3913,6 +4542,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     re-confirmation slots."""
     return {
         # --- round-4c additions (newest first) -------------------------
+        "new_users_daily_events": q_new_users_daily_events,
+        "order_gap_days_by_segment": q_order_gap_days_by_segment,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
         "cms_token_freq_docs": q_cms_token_freq_docs,
         "retention_cohorts_events": q_retention_cohorts_events,
         "first_last_event_by_user": q_first_last_event_by_user,
@@ -4052,6 +4688,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "new_users_daily_events": """
+            WITH f AS (
+              SELECT event_type, user_id,
+                     MIN(CAST(FLOOR(EXTRACT(epoch FROM ts) / 86400) AS BIGINT))
+                       AS first_day
+              FROM events GROUP BY 1, 2
+            ), d AS (
+              SELECT event_type, first_day AS day,
+                     CAST(COUNT(*) AS BIGINT) AS new_users
+              FROM f GROUP BY 1, 2)
+            SELECT event_type, day, new_users,
+                   CAST(SUM(new_users) OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS cum_users
+            FROM d
+        """,
+        "order_gap_days_by_segment": """
+            WITH w AS (
+              SELECT o_custkey, o_orderdate,
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                       AS prev_d
+              FROM orders)
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(DATEDIFF('day', prev_d, o_orderdate)) AS BIGINT)
+                     AS gap_days_total
+            FROM w JOIN customer ON c_custkey = o_custkey
+            WHERE prev_d IS NOT NULL
+            GROUP BY 1
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+            JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+            WHERE rs.r_name IN ('ASIA', 'EUROPE')
+              AND rc.r_name IN ('ASIA', 'EUROPE')
+              AND rs.r_name <> rc.r_name
+              AND l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS cents,
+                     s_nationkey
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN part     ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation   ON n_nationkey = c_nationkey
+              JOIN region   ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1998-01-01')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 2 THEN cents ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(sum(CASE WHEN s_nationkey = 2 THEN cents ELSE 0 END)
+                        AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE) AS share
+            FROM vol GROUP BY o_year
+        """,
+        "q10_returned_items": """
+            WITH r AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1996-04-01'
+              GROUP BY 1
+              ORDER BY revenue_cents DESC, o_custkey
+              LIMIT 20)
+            SELECT c_custkey, c_name, n_name, revenue_cents
+            FROM r
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_cents
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        """,
         "retention_cohorts_events": """
             WITH am AS (
               SELECT DISTINCT user_id,

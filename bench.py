@@ -147,6 +147,16 @@ def run_queries(sf_dir: str) -> dict:
         "building_event_users", "value_histogram_by_type",
         "len_cont_quantiles_by_source", "top_tokens_by_source",
         "topk_bigrams_docs",
+        # round 4c
+        "first_last_event_by_user", "q14_promo_revenue_by_month",
+        "q12_priority_by_returnflag", "q19_disjunctive_revenue",
+        "q21_sole_returned_supplier", "q16_supplier_counts",
+        "cust_orders_left", "retention_cohorts_events",
+        "cms_token_freq_docs",
+        # round 4d
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q10_returned_items", "q15_top_supplier",
+        "new_users_daily_events", "order_gap_days_by_segment",
     ]
     qs = entrymod.queries()
     out = {}
