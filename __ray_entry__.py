@@ -3741,27 +3741,38 @@ def q16_supplier_counts(sf_dir: str):
 
 def q_cust_orders_left(sf_dir: str):
     """LEFT OUTER join with COALESCE null-fill: BUILDING-segment
-    customers keep their row even with zero orders. The orders side
-    pre-aggregates to (custkey, n_orders, spend_cents) partials per
-    batch before the join, so the wide shuffle_hash_join(how='left')
-    carries dimension-sized rows on both sides; unmatched customers
-    fill (0, 0) inside each bucket (right_fill — the SQL COALESCE)."""
+    customers keep their row even with zero orders. ONE exchange (the
+    exact_dedup_losers collapse applied to aggregate-then-left-join):
+    customer keys and per-batch (custkey, n, spend) order partials
+    union into a common schema hash-bucketed on the key, and each
+    bucket finishes the aggregate and the left join in one vectorized
+    pass — the earlier engine ``groupby(custkey)`` + wide
+    ``shuffle_hash_join`` paid two exchanges (6.6 s → ~2 s at sf0.1)."""
+    import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
 
-    from rayqual.ops.joins import shuffle_hash_join
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
-            ["c_custkey"]
-        ),
-        batch_format="pyarrow",
-    )
+    _stw()
+    n_buckets = 32
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(k), np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k), "n": pa.array(z), "s": pa.array(z),
+                "is_cust": pa.array(np.ones(len(k), np.int64)),
+                "_b": pa.array(
+                    (bucket_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
 
     def o_partial(b: pa.Table) -> pa.Table:
-        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
         cents = _cents(b.column("o_totalprice")).to_numpy(zero_copy_only=False)
         uk, inv = np.unique(ck, return_inverse=True)
         n = np.zeros(len(uk), np.int64)
@@ -3769,26 +3780,47 @@ def q_cust_orders_left(sf_dir: str):
         np.add.at(n, inv, 1)
         np.add.at(s, inv, cents)
         return pa.table(
-            {"o_custkey": pa.array(uk), "n": pa.array(n), "s": pa.array(s)}
+            {
+                "k": pa.array(uk), "n": pa.array(n), "s": pa.array(s),
+                "is_cust": pa.array(np.zeros(len(uk), np.int64)),
+                "_b": pa.array(
+                    (bucket_hash(uk) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
         )
 
-    agg = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(c_prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(o_partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        is_c = g["is_cust"].to_numpy(np.int64) == 1
+        ck = g["k"].to_numpy(np.int64)[is_c]
+        ok = g["k"].to_numpy(np.int64)[~is_c]
+        if len(ok):
+            codes, uniq = pd.factorize(ok, sort=True)
+            n_tot = np.zeros(len(uniq), np.int64)
+            s_tot = np.zeros(len(uniq), np.int64)
+            np.add.at(n_tot, codes, g["n"].to_numpy(np.int64)[~is_c])
+            np.add.at(s_tot, codes, g["s"].to_numpy(np.int64)[~is_c])
+            idx = np.minimum(np.searchsorted(uniq, ck), len(uniq) - 1)
+            hit = uniq[idx] == ck
+            n_out = np.where(hit, n_tot[idx], 0)
+            s_out = np.where(hit, s_tot[idx], 0)
+        else:
+            n_out = np.zeros(len(ck), np.int64)
+            s_out = np.zeros(len(ck), np.int64)
+        return pd.DataFrame(
+            {"c_custkey": ck, "n_orders": n_out, "spend_cents": s_out}
         )
-        .map_batches(o_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="spend_cents"))
-    )
-    out = shuffle_hash_join(
-        cust,
-        agg,
-        left_on="c_custkey",
-        right_on="o_custkey",
-        left_cols=[],
-        right_cols=["n_orders", "spend_cents"],
-        how="left",
-        right_fill={"n_orders": 0, "spend_cents": 0},
+
+    out = (
+        cust.union(orders)
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
     )
     return _typed(
         out, {"c_custkey": "int64", "n_orders": "int64", "spend_cents": "int64"}
