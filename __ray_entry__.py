@@ -3665,14 +3665,23 @@ def q16_supplier_counts(sf_dir: str):
     """TPC-H Q16 shape (grouped COUNT DISTINCT with a NOT-IN filter):
     part attributes and the negative-balance supplier blocklist
     broadcast once; each lineitem batch packs (brand·type group,
-    suppkey) into one int64 and pre-dedups, a packed-key groupby makes
-    the global distinct set, and a second tiny groupby counts suppliers
-    per group — distinct-pair volume bounds both exchanges, the fact
-    table never shuffles raw rows."""
+    suppkey) into one int64 and pre-dedups, ONE hash-bucket exchange
+    lands every copy of a pair in the same bucket where a vectorized
+    unique finishes the distinct AND the per-group count (an engine
+    groupby on the distinct-pair key paid the high-cardinality
+    hash-agg tax — the bucketed_grouped_sum lesson), and a (brand ×
+    type)-sized groupby closes. The fact table never shuffles raw
+    rows."""
     import pandas as pd
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+
+    _stw()
+    n_buckets = 32
 
     pdf = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
@@ -3705,28 +3714,28 @@ def q16_supplier_counts(sf_dir: str):
         idx = np.minimum(np.searchsorted(pk_, lk), max(len(pk_) - 1, 0))
         hit = (pk_[idx] == lk) if len(pk_) else np.zeros(len(lk), bool)
         keep = hit & ~np.isin(sk, bad_) & (sk < smax_)
-        p = gid_[idx[keep]] * smax_ + sk[keep]
-        return pa.table({"packed": pa.array(np.unique(p), pa.int64())})
+        p = np.unique(gid_[idx[keep]] * smax_ + sk[keep])
+        return pa.table(
+            {
+                "packed": pa.array(p, pa.int64()),
+                "_b": pa.array(
+                    (bucket_hash(p) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
 
-    distinct = (
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.unique(g["packed"].to_numpy(np.int64))
+        ug, c = np.unique(p // smax, return_counts=True)
+        return pd.DataFrame({"gid": ug, "c": c.astype(np.int64)})
+
+    counts = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
         )
         .map_batches(packed, batch_format="pyarrow")
-        .groupby("packed")
-        .aggregate(Count(alias_name="_n"))
-    )
-
-    def regroup(b: pa.Table) -> pa.Table:
-        p = b.column("packed").to_numpy(zero_copy_only=False)
-        g = p // smax
-        ug, c = np.unique(g, return_counts=True)
-        return pa.table(
-            {"gid": pa.array(ug, pa.int64()), "c": pa.array(c.astype(np.int64))}
-        )
-
-    counts = (
-        distinct.map_batches(regroup, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("gid")
         .aggregate(Sum("c", alias_name="supplier_cnt"))
         .to_pandas()  # (brand × type)-sized
