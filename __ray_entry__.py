@@ -3587,11 +3587,10 @@ def q21_sole_returned_supplier(sf_dir: str):
     distinct (orderkey, suppkey, any_r) with an Arrow group_by, ONE
     hash-bucket exchange on orderkey, then a per-bucket lexsort derives
     (n_supp, n_r_supp, sole R supplier) per order and emits only
-    (suppkey, partial count); a supplier-sized groupby + dimension name
-    lookup closes with the classic (numwait DESC, s_name) top-10."""
+    (suppkey, partial count); the dimension-bound partials collect and
+    close driver-side with the classic (numwait DESC, s_name) top-10."""
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
 
     from rayqual.functions.hashing import bucket_hash
 
@@ -3639,7 +3638,7 @@ def q21_sole_returned_supplier(sf_dir: str):
         uk, c = np.unique(us[qual], return_counts=True)
         return pd.DataFrame({"s_suppkey": uk, "c": c.astype(np.int64)})
 
-    waits = (
+    parts = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_returnflag"],
@@ -3647,9 +3646,12 @@ def q21_sole_returned_supplier(sf_dir: str):
         .map_batches(keyed, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(final, batch_format="pandas")
-        .groupby("s_suppkey")
-        .aggregate(Sum("c", alias_name="numwait"))
-        .to_pandas()  # supplier-sized result
+        .to_pandas()  # ≤ n_buckets × |supplier| rows — dimension-bound
+    )
+    waits = (
+        parts.groupby("s_suppkey", as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "numwait"})
     )
     names = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -3675,8 +3677,6 @@ def q16_supplier_counts(sf_dir: str):
     import pandas as pd
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
-
     from rayqual import ship_to_workers as _stw
     from rayqual.functions.hashing import bucket_hash
 
@@ -3729,16 +3729,19 @@ def q16_supplier_counts(sf_dir: str):
         ug, c = np.unique(p // smax, return_counts=True)
         return pd.DataFrame({"gid": ug, "c": c.astype(np.int64)})
 
-    counts = (
+    parts = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
         )
         .map_batches(packed, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby("gid")
-        .aggregate(Sum("c", alias_name="supplier_cnt"))
-        .to_pandas()  # (brand × type)-sized
+        .to_pandas()  # ≤ n_buckets × (brand × type) rows — dimension-bound
+    )
+    counts = (
+        parts.groupby("gid", as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "supplier_cnt"})
     )
     gids = counts["gid"].to_numpy(np.int64)
     counts["p_brand"] = lut["p_brand"].to_numpy()[gids]
