@@ -968,14 +968,23 @@ def q3_shipping_priority(sf_dir: str):
     key array (count-guarded collect — the small dimension side);
     (2) date-filtered orders semijoined per batch (np.isin, no
     shuffle); (3) date-filtered lineitem projected to (orderkey,
-    exact-cents revenue); (4) ONE shuffle_hash_join on the orderkey —
-    the only wide exchange; (5) pre-combined group sum and a top-10
-    sort over the already-tiny aggregate."""
+    exact-cents revenue); (4) auto_hash_join on the orderkey — the
+    measured-count plan broadcasts the doubly-filtered orders side
+    (sub-1% of orders), so the join is usually shuffle-free; (5)
+    per-batch (orderkey, odate) pre-combined sums hash-bucket ONCE,
+    each bucket finishes the sum and keeps only its top-10, and
+    ≤ 10·n_buckets rows close driver-side — no engine groupby on the
+    order key, no global sort."""
+    import pandas as pd
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
-    from rayqual.ops.joins import shuffle_hash_join
+    from rayqual import ship_to_workers as _stw
+    from rayqual.functions.hashing import bucket_hash
+    from rayqual.ops.joins import auto_hash_join
+
+    _stw()
+    n_buckets = 32
 
     from datetime import date
 
@@ -1032,16 +1041,54 @@ def q3_shipping_priority(sf_dir: str):
         )
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev_cents": rev})
 
-    joined = shuffle_hash_join(
+    joined = auto_hash_join(
         line.map_batches(l_prep, batch_format="pyarrow"),
         o_proj,
         left_on="l_orderkey", right_on="o_orderkey",
         left_cols=["rev_cents"], right_cols=["odate_us"],
     )
-    agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
-        Sum("rev_cents", alias_name="revenue_cents")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = b.column("odate_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = b.column("rev_cents").to_numpy(zero_copy_only=False)
+        uk, first, inv = np.unique(ok, return_index=True, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, rv)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk),
+                "odate_us": pa.array(od[first]),  # functional on the order key
+                "v": pa.array(tot),
+                "_b": pa.array(
+                    (bucket_hash(uk) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(ok, sort=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, codes, g["v"].to_numpy(np.int64))
+        od = np.zeros(len(uniq), np.int64)
+        od[codes] = g["odate_us"].to_numpy(np.int64)
+        # bucket-local exact top-10 (buckets partition order keys)
+        idx = np.lexsort((uniq, -tot))[:10]
+        return pd.DataFrame(
+            {"l_orderkey": uniq[idx], "odate_us": od[idx],
+             "revenue_cents": tot[idx]}
+        )
+
+    parts = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()  # ≤ 10 × n_buckets rows
     )
-    out = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    out = parts.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
     return _typed(
         out, {"l_orderkey": "int64", "odate_us": "int64", "revenue_cents": "int64"}
     )
