@@ -4456,6 +4456,88 @@ def q15_top_supplier(sf_dir: str):
     )
 
 
+def q_dup_cluster_sizes_docs(sf_dir: str):
+    """Exact-duplicate cluster-size distribution — the audit that sizes
+    a dedup plan before running it (ops/audit.py dup_cluster_sizes):
+    one (sha, count) bucket exchange, per-bucket cluster close, tiny
+    driver-side histogram sum."""
+    from rayqual.ops.audit import dup_cluster_sizes
+
+    return dup_cluster_sizes(_docs(sf_dir).select_columns(["text"]))
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication audit: docs whose text occurs >1 time in
+    the WHOLE corpus, attributed to every source holding a replica
+    (ops/audit.py dup_rate_by_group — group labels ride the same single
+    sha bucket exchange)."""
+    from rayqual.ops.audit import dup_rate_by_group
+
+    out = dup_rate_by_group(_docs(sf_dir).select_columns(["text", "source"]))
+    return _typed(out, {"source": "object", "n_docs": "int64", "n_dup": "int64"})
+
+
+def q_stopword_ratio_docs(sf_dir: str):
+    """Per-doc boilerplate density numerators against the corpus-learned
+    top-10 df vocabulary (ops/vocab.py stopword_counts): one
+    vocabulary-sized df exchange, then a zero-shuffle membership count.
+    Integer outputs — no float-sort hash hazard."""
+    from rayqual.ops.vocab import stopword_counts
+
+    out = stopword_counts(_docs(sf_dir), top_n=10)
+    return _typed(out, {"doc_id": "int64", "n_tok": "int64", "n_stop": "int64"})
+
+
+def q_cume_dist_len_by_source(sf_dir: str):
+    """Exact CUME_DIST numerator (n_le = group rows with length <=
+    mine) per doc — the integer form of the per-source length CDF
+    (ops/audit.py cume_counts_by_group): one distinct-(source, length)
+    count exchange broadcast as sorted CDF arrays, wide table streams
+    through a searchsorted lookup."""
+    from rayqual.ops.audit import cume_counts_by_group
+
+    out = cume_counts_by_group(_docs(sf_dir), "source", "n_chars", "doc_id")
+    return _typed(
+        out,
+        {"doc_id": "int64", "source": "object", "n_chars": "int64", "n_le": "int64"},
+    )
+
+
+def q_source_token_dot(sf_dir: str):
+    """Pairwise inter-source token-count dot products (exact int64) —
+    the corpus-redundancy audit whose diagonal gives cosine norms
+    (ops/audit.py group_token_dot): one token-bucketed exchange where
+    each token's rank-1 outer product accumulates per bucket."""
+    from rayqual.ops.audit import group_token_dot
+
+    out = group_token_dot(_docs(sf_dir).select_columns(["text", "source"]))
+    return _typed(out, {"s1": "object", "s2": "object", "dot": "int64"})
+
+
+def q_events_by_hour(sf_dir: str):
+    """Hour-of-day x event-type activity profile — the time-locality
+    audit before picking a time-partitioned layout. Hour derives per
+    batch from the µs timestamp (zero shuffle); the groupby exchange is
+    <= 24 x |types| keys, pre-combined by Ray's hash aggregate."""
+    from ray.data.aggregate import Count
+
+    def hod(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        h = pc.divide(us, 3_600_000_000)
+        hour = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))
+        return pa.table(
+            {"hour": pc.cast(hour, pa.int64()), "event_type": b.column("event_type")}
+        )
+
+    out = (
+        _events(sf_dir)
+        .map_batches(hod, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return _typed(out, {"hour": "int64", "event_type": "object", "n": "int64"})
+
+
 def q_new_users_daily_events(sf_dir: str):
     """Growth accounting — per event type per day: first-seen (new)
     users and the running cumulative distinct-user count. The classic
@@ -4632,7 +4714,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     HUGEINT dtype artifact), then this round's new operators, then
     re-confirmation slots."""
     return {
-        # --- round-4c additions (newest first) -------------------------
+        # --- round-4e additions (newest first) -------------------------
+        "dup_cluster_sizes_docs": q_dup_cluster_sizes_docs,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "stopword_ratio_docs": q_stopword_ratio_docs,
+        "cume_dist_len_by_source": q_cume_dist_len_by_source,
+        "source_token_dot": q_source_token_dot,
+        "events_by_hour": q_events_by_hour,
+        # --- round-4c additions -----------------------------------------
         "new_users_daily_events": q_new_users_daily_events,
         "order_gap_days_by_segment": q_order_gap_days_by_segment,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -4779,6 +4868,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_cluster_sizes_docs": """
+            SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM (SELECT COUNT(*) AS csize FROM documents GROUP BY text)
+            GROUP BY csize ORDER BY csize
+        """,
+        "dup_rate_by_source": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM (SELECT source, COUNT(*) OVER (PARTITION BY text) AS c
+                  FROM documents)
+            GROUP BY source ORDER BY source
+        """,
+        "stopword_ratio_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            ), t AS (
+              SELECT doc_id, token FROM toks WHERE token <> ''
+            ), top AS (
+              SELECT token FROM (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM t GROUP BY token ORDER BY df DESC, token LIMIT 10)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(CASE WHEN token IN (SELECT token FROM top)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+            FROM t GROUP BY doc_id ORDER BY doc_id
+        """,
+        "cume_dist_len_by_source": """
+            SELECT doc_id, source, n_chars,
+                   CAST(count(*) OVER (PARTITION BY source ORDER BY n_chars
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_le
+            FROM documents ORDER BY doc_id
+        """,
+        "source_token_dot": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            ), t AS (
+              SELECT source, token FROM toks WHERE token <> ''
+            ), tc AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM t GROUP BY source, token
+            )
+            SELECT a.source AS s1, b.source AS s2,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM tc a JOIN tc b ON a.token = b.token AND a.source <= b.source
+            GROUP BY s1, s2 ORDER BY s1, s2
+        """,
+        "events_by_hour": """
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+        """,
         "new_users_daily_events": """
             WITH f AS (
               SELECT event_type, user_id,

@@ -157,6 +157,10 @@ def run_queries(sf_dir: str) -> dict:
         "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
         "q10_returned_items", "q15_top_supplier",
         "new_users_daily_events", "order_gap_days_by_segment",
+        # round 4e (corpus-audit family)
+        "dup_cluster_sizes_docs", "dup_rate_by_source",
+        "stopword_ratio_docs", "cume_dist_len_by_source",
+        "source_token_dot", "events_by_hour",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1,0 +1,277 @@
+"""Corpus-audit operators — the "how dirty is this corpus?" family a
+training-data pipeline runs BEFORE committing to a dedup / filter plan.
+
+All four ops share one scale discipline: content bytes never enter a
+shuffle. What moves is per-batch pre-combined partials — (sha64-bucket,
+count) pairs, (group, token, count) triples, or fixed-size histogram
+rows — so exchange volume is bounded by distinct keys per batch, not by
+corpus rows, and the close is either a tiny engine groupby or a
+driver-side sum over <= buckets x groups rows (the round-4d lesson:
+an engine groupby whose output immediately re-groups is two exchanges;
+finish per bucket instead).
+
+Reference analogue: none (the reference validates cells,
+dp_data_quality/validation_rulebook.py); these are training-pipeline
+extension ops per SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayqual.functions.hashing import bucket_hash, sha256_array
+
+
+def _sha_partials(ds, text_col: str, group_col: str | None, n_buckets: int):
+    """Per-batch (h=sha256-hex, [group], cnt, _b) partials — the shared
+    pre-combine of the dup-audit ops. One row per distinct text (x
+    group) per batch; the 64-char hex rides the exchange only once per
+    distinct text per batch, bucketed by a stable int64 hash so every
+    replica of a text lands in one bucket."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    keys = [c for c in ([group_col] if group_col else [])]
+
+    def project(b: pa.Table) -> pa.Table:
+        h = sha256_array(b.column(text_col))
+        cols = {"h": h}
+        for c in keys:
+            cols[c] = b.column(c)
+        t = pa.table(cols)
+        pre = t.group_by(["h", *keys]).aggregate([([], "count_all")])
+        hb = bucket_hash(pre.column("h").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "h": pre.column("h"),
+                **{c: pre.column(c) for c in keys},
+                "cnt": pc.cast(pre.column("count_all"), pa.int64()),
+                "_b": pa.array((hb % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def dup_cluster_sizes(ds, text_col: str = "text", n_buckets: int = 32) -> pd.DataFrame:
+    """Exact-duplicate cluster-size distribution: for each cluster size
+    ``csize`` (rows sharing identical ``text_col`` bytes), how many
+    clusters have that size. The first audit a dedup plan reads — it
+    decides broadcast vs partitioned anti-join (ops/dedup.py
+    ``dedup_plan``) and predicts the loser volume.
+
+    ONE bucket exchange of (sha, cnt) batch partials; each bucket
+    closes its own clusters (a text's replicas all land in one bucket)
+    and emits a <= |distinct csize|-row histogram; the cross-bucket sum
+    is driver-side over <= buckets x sizes rows."""
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["h"].to_numpy(), sort=False)
+        tot = np.zeros(codes.max() + 1 if len(codes) else 0, np.int64)
+        np.add.at(tot, codes, g["cnt"].to_numpy(np.int64))
+        sizes, n = np.unique(tot, return_counts=True)
+        return pd.DataFrame({"csize": sizes, "n_clusters": n.astype(np.int64)})
+
+    parts = (
+        _sha_partials(ds, text_col, None, n_buckets)
+        .groupby("_b")
+        .map_groups(close_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("csize", as_index=False)["n_clusters"]
+        .sum()
+        .sort_values("csize")
+        .reset_index(drop=True)
+    )
+    out["csize"] = out["csize"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out
+
+
+def dup_rate_by_group(
+    ds, text_col: str = "text", group_col: str = "source", n_buckets: int = 32
+):
+    """Per-group duplication audit: ``n_docs`` and ``n_dup`` = rows
+    whose text occurs more than once in the WHOLE corpus (cross-group
+    duplicates count for every group holding a replica). The
+    per-source report that decides which ingestion feeds need dedup.
+
+    The group label rides the same single (sha, group, cnt) bucket
+    exchange as :func:`dup_cluster_sizes` — a text's replicas from
+    every group land in one bucket, where the global count per sha and
+    the per-group dup attribution both close; the final engine groupby
+    sees <= buckets x groups partial rows."""
+    from ray.data.aggregate import Sum
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["h"].to_numpy(), sort=False)
+        cnt = g["cnt"].to_numpy(np.int64)
+        tot = np.zeros(codes.max() + 1 if len(codes) else 0, np.int64)
+        np.add.at(tot, codes, cnt)
+        dup_rows = np.where(tot[codes] > 1, cnt, 0)
+        part = pd.DataFrame(
+            {group_col: g[group_col].to_numpy(), "n_docs": cnt, "n_dup": dup_rows}
+        )
+        return part.groupby(group_col, as_index=False).sum()
+
+    return (
+        _sha_partials(ds, text_col, group_col, n_buckets)
+        .groupby("_b")
+        .map_groups(close_bucket, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dup", alias_name="n_dup"))
+    )
+
+
+def cume_counts_by_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    max_pairs: int = 5_000_000,
+):
+    """Exact CUME_DIST numerator per row: ``n_le`` = rows in the same
+    group with value <= this row's value (SQL ``COUNT(*) OVER
+    (PARTITION BY g ORDER BY v RANGE UNBOUNDED PRECEDING)``). Kept as
+    an INTEGER count (the group size is a groupby away) so the result
+    is bit-exact — a float cume_dist would re-introduce the float-sort
+    hash hazard BASELINE.md documents.
+
+    Shape: one (group, value) count exchange (distinct pairs only,
+    pre-combined per batch), cumulated per group on the driver and
+    broadcast via ``ray.put`` as sorted arrays; the wide table then
+    streams through a zero-shuffle searchsorted lookup. Partitioning
+    assumption (documented per the custom-operator rule): distinct
+    (group, value) pairs fit one heap — true for bounded-domain
+    numeric signals (lengths, scores); ``max_pairs`` refuses above,
+    where the TeraSort rank path (ops/rank.py) is the fallback."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.select_columns([group_col, value_col])
+        .groupby([group_col, value_col])
+        .aggregate(Count(alias_name="n"))
+    )
+    n_pairs = pairs.count()
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"cume_counts_by_group: {n_pairs} distinct ({group_col}, {value_col}) "
+            f"pairs exceed max_pairs={max_pairs}; use the TeraSort rank path "
+            "(ops/rank.py global_rank) instead of a broadcast CDF"
+        )
+    pdf = pairs.to_pandas().sort_values([group_col, value_col])
+    cdf = {
+        g: (sub[value_col].to_numpy(), sub["n"].to_numpy(np.int64).cumsum())
+        for g, sub in pdf.groupby(group_col, sort=False)
+    }
+    cdf_ref = ray.put(cdf)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        table = ray.get(cdf_ref)
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        vv = b.column(value_col).to_numpy(zero_copy_only=False)
+        n_le = np.empty(len(gv), np.int64)
+        order = np.argsort(gv, kind="stable")
+        g_o = gv[order]
+        starts = np.flatnonzero(np.r_[True, g_o[1:] != g_o[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(g_o)]):
+            vals, cum = table[g_o[s]]
+            idx = order[s:e]
+            pos = np.searchsorted(vals, vv[idx], side="right")
+            n_le[idx] = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                group_col: b.column(group_col),
+                value_col: b.column(value_col),
+                "n_le": pa.array(n_le),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        lookup, batch_format="pyarrow"
+    )
+
+
+def group_token_dot(
+    ds, text_col: str = "text", group_col: str = "source", n_buckets: int = 32
+):
+    """Pairwise token-count dot products between groups — the exact
+    integer core of inter-source similarity (cosine = dot /
+    sqrt(dot_11 * dot_22), derivable from the diagonal). The corpus
+    drift / source-redundancy audit: near-parallel sources are mixture
+    candidates, orthogonal ones are coverage.
+
+    Shape: per-batch (group, token, count) Arrow pre-combine, ONE
+    exchange bucketed by TOKEN hash (each token's counts across all
+    groups meet in one bucket, where its rank-1 outer-product
+    contribution accumulates); buckets emit (s1, s2, dot) partials with
+    s1 <= s2, and the final engine groupby sees <= buckets x groups^2
+    rows. Token counts never overflow: int64 holds per-(group, token)
+    counts to ~3e9 squared; raise above (guard below)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    from ray.data.aggregate import Sum
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        grp = b.column(group_col).take(doc.filter(keep))
+        t = pa.table({"g": grp, "token": flat.filter(keep)})
+        pre = t.group_by(["g", "token"]).aggregate([([], "count_all")])
+        hb = bucket_hash(pre.column("token").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "g": pre.column("g"),
+                "token": pre.column("token"),
+                "c": pc.cast(pre.column("count_all"), pa.int64()),
+                "_b": pa.array((hb % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    def dots_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        if c.size and int(c.max()) > 3_000_000_000:
+            raise ValueError(
+                "group_token_dot: a (group, token) count exceeds 3e9; its square "
+                "overflows int64 — shard the corpus or switch to float128 close"
+            )
+        tok_codes, _ = pd.factorize(g["token"].to_numpy(), sort=False)
+        grp_codes, grps = pd.factorize(g["g"].to_numpy(), sort=True)
+        n_g = len(grps)
+        # dense (token x group) count matrix per bucket; tokens are the
+        # bucketed axis so rows stay bounded per bucket
+        m = np.zeros((tok_codes.max() + 1 if len(tok_codes) else 0, n_g), np.int64)
+        np.add.at(m, (tok_codes, grp_codes), c)
+        dots = m.T @ m  # exact int64 (guard above)
+        i, j = np.triu_indices(n_g)
+        keep = dots[i, j] != 0
+        return pd.DataFrame(
+            {
+                "s1": np.asarray(grps)[i[keep]],
+                "s2": np.asarray(grps)[j[keep]],
+                "dot": dots[i[keep], j[keep]],
+            }
+        )
+
+    return (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dots_bucket, batch_format="pandas")
+        .groupby(["s1", "s2"])
+        .aggregate(Sum("dot", alias_name="dot"))
+    )

@@ -123,6 +123,54 @@ def _df_table(ds, text_col: str):
     )
 
 
+def stopword_counts(
+    ds, text_col: str = "text", id_col: str = "doc_id", top_n: int = 10
+):
+    """Per-document boilerplate ratio numerators: ``n_tok`` = tokens in
+    the doc, ``n_stop`` = tokens that belong to the corpus's ``top_n``
+    document-frequency vocabulary (ties at the cut broken df desc,
+    token asc — the same total order :func:`df_vocab` and its oracle
+    use). The classic quality prong (stopword/boilerplate density) with
+    the stopword list LEARNED from the corpus itself, not a fixed
+    lexicon — integer outputs so the result is bit-exact.
+
+    Two streaming passes: the df_vocab exchange (vocabulary-sized)
+    yields the top set, broadcast by closure (top_n strings); the wide
+    table then streams through one zero-shuffle membership count
+    (``pc.is_in`` + per-doc sum). Docs with zero tokens emit no row
+    (SQL GROUP BY over an empty token set has no group)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    top = pa.array(df_vocab(ds, text_col, top_n=top_n)["token"].tolist(), pa.string())
+
+    def count(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column(text_col), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=top).to_numpy(zero_copy_only=False)
+        n_tok = np.zeros(len(b), np.int64)
+        n_stop = np.zeros(len(b), np.int64)
+        np.add.at(n_tok, doc[keep], 1)
+        np.add.at(n_stop, doc[keep & is_stop], 1)
+        nonempty = n_tok > 0
+        return pa.table(
+            {
+                id_col: b.column(id_col).filter(pa.array(nonempty)),
+                "n_tok": pa.array(n_tok[nonempty]),
+                "n_stop": pa.array(n_stop[nonempty]),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
 def tfidf_top_terms(
     ds,
     text_col: str = "text",

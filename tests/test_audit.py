@@ -1,0 +1,160 @@
+"""Tests for the corpus-audit ops (rayqual/ops/audit.py,
+rayqual/ops/vocab.py stopword_counts) against independent pandas/duckdb
+oracles, plus partition-invariance — the property the bucket exchanges
+must guarantee."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayqual.ops.audit import (
+    cume_counts_by_group,
+    dup_cluster_sizes,
+    dup_rate_by_group,
+    group_token_dot,
+)
+from rayqual.ops.vocab import stopword_counts
+
+
+def _corpus(rng, n=80, dup_every=7):
+    words = ["fn", "let", "mut", "impl", "match", "self", "use", "pub"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12))) for _ in range(n)]
+    for i in range(0, n, dup_every):  # seeded exact duplicates
+        texts[i] = texts[(i + 1) % n]
+    src = [f"s{i % 5}" for i in range(n)]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(n), dtype="int64"),
+            "text": texts,
+            "source": src,
+            "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def _ds(ray, df, nparts=4):
+    return ray.data.from_pandas(df).repartition(nparts)
+
+
+def test_dup_cluster_sizes_matches_naive(ray_session):
+    df = _corpus(np.random.default_rng(3))
+    got = dup_cluster_sizes(_ds(ray_session, df), "text")
+    counts = df.groupby("text").size()
+    exp = (
+        counts.value_counts()
+        .rename_axis("csize")
+        .reset_index(name="n_clusters")
+        .sort_values("csize")
+        .reset_index(drop=True)
+        .astype({"csize": "int64", "n_clusters": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["csize"] > 1).any(), "corpus must contain real duplicate clusters"
+
+
+def test_dup_rate_by_group_matches_naive(ray_session):
+    df = _corpus(np.random.default_rng(5))
+    got = (
+        dup_rate_by_group(_ds(ray_session, df), "text", "source")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    c = df.groupby("text")["text"].transform("size")
+    exp = (
+        df.assign(dup=(c > 1).astype("int64"))
+        .groupby("source", as_index=False)
+        .agg(n_docs=("text", "size"), n_dup=("dup", "sum"))
+        .astype({"n_docs": "int64", "n_dup": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["n_dup"].sum() > 0
+
+
+def test_dup_audit_partition_invariance(ray_session):
+    df = _corpus(np.random.default_rng(8))
+    a = dup_cluster_sizes(_ds(ray_session, df, nparts=1), "text")
+    b = dup_cluster_sizes(_ds(ray_session, df, nparts=7), "text")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cume_counts_matches_naive(ray_session):
+    df = _corpus(np.random.default_rng(13))
+    got = (
+        cume_counts_by_group(_ds(ray_session, df), "source", "n_chars", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = df[["doc_id", "source", "n_chars"]].copy()
+    exp["n_le"] = (
+        df.groupby("source")["n_chars"]
+        .transform(lambda s: s.apply(lambda v: int((s <= v).sum())))
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cume_counts_guard_refuses_before_collect(ray_session):
+    df = _corpus(np.random.default_rng(17))
+    with pytest.raises(ValueError, match="max_pairs"):
+        cume_counts_by_group(
+            _ds(ray_session, df), "source", "n_chars", "doc_id", max_pairs=3
+        )
+
+
+def test_group_token_dot_matches_naive(ray_session):
+    df = _corpus(np.random.default_rng(19))
+    got = (
+        group_token_dot(_ds(ray_session, df), "text", "source")
+        .to_pandas()
+        .sort_values(["s1", "s2"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in df.iterrows():
+        rows.extend((r["source"], t) for t in r["text"].split() if t)
+    tc = (
+        pd.DataFrame(rows, columns=["source", "token"])
+        .groupby(["source", "token"])
+        .size()
+        .reset_index(name="c")
+    )
+    m = tc.merge(tc, on="token")
+    m = m[m["source_x"] <= m["source_y"]]
+    exp = (
+        m.assign(dot=m["c_x"] * m["c_y"])
+        .groupby(["source_x", "source_y"], as_index=False)["dot"]
+        .sum()
+        .rename(columns={"source_x": "s1", "source_y": "s2"})
+        .sort_values(["s1", "s2"])
+        .reset_index(drop=True)
+        .astype({"dot": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stopword_counts_matches_naive(ray_session):
+    df = _corpus(np.random.default_rng(29))
+    got = (
+        stopword_counts(_ds(ray_session, df), top_n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in df.iterrows():
+        rows.extend((r["doc_id"], t) for t in r["text"].split() if t)
+    t = pd.DataFrame(rows, columns=["doc_id", "token"])
+    dfreq = t.groupby("token")["doc_id"].nunique().reset_index(name="df")
+    top = set(
+        dfreq.sort_values(["df", "token"], ascending=[False, True]).head(3)["token"]
+    )
+    exp = (
+        t.assign(stop=t["token"].isin(top).astype("int64"))
+        .groupby("doc_id", as_index=False)
+        .agg(n_tok=("token", "size"), n_stop=("stop", "sum"))
+        .astype({"n_tok": "int64", "n_stop": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_stop"] > 0).any()
