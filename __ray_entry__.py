@@ -4538,6 +4538,33 @@ def q_events_by_hour(sf_dir: str):
     return _typed(out, {"hour": "int64", "event_type": "object", "n": "int64"})
 
 
+def q_daily_activity_full(sf_dir: str):
+    """FULL OUTER join of two per-day COUNT aggregates — event days
+    with no orders and order days with no events both survive, the
+    absent side COALESCEd to 0 (ops/joins.py full_outer_counts: one
+    bucketed exchange finishes both aggregates and the outer merge;
+    the engine-groupby-then-join plan would pay three)."""
+    import ray.data
+
+    from rayqual.ops.joins import full_outer_counts
+
+    US_DAY = 86_400_000_000
+
+    def day_of(col):
+        def f(b: pa.Table) -> pa.Table:
+            us = pc.cast(b.column(col), pa.int64())
+            return pa.table({"day": pc.divide(us, US_DAY)})
+
+        return f
+
+    ev = _events(sf_dir).map_batches(day_of("ts"), batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).map_batches(day_of("o_orderdate"), batch_format="pyarrow")
+    out = full_outer_counts(ev, orders, "day", a_col="n_events", b_col="n_orders")
+    return _typed(out, {"day": "int64", "n_events": "int64", "n_orders": "int64"})
+
+
 def q_new_users_daily_events(sf_dir: str):
     """Growth accounting — per event type per day: first-seen (new)
     users and the running cumulative distinct-user count. The classic
@@ -4721,6 +4748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_len_by_source": q_cume_dist_len_by_source,
         "source_token_dot": q_source_token_dot,
         "events_by_hour": q_events_by_hour,
+        "daily_activity_full": q_daily_activity_full,
         # --- round-4c additions -----------------------------------------
         "new_users_daily_events": q_new_users_daily_events,
         "order_gap_days_by_segment": q_order_gap_days_by_segment,
@@ -4924,6 +4952,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+        """,
+        "daily_activity_full": """
+            WITH e AS (
+              SELECT CAST(FLOOR(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY day
+            ), o AS (
+              SELECT CAST(FLOOR(EXTRACT(epoch FROM o_orderdate) / 86400) AS BIGINT)
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY day
+            )
+            SELECT COALESCE(e.day, o.day) AS day,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL OUTER JOIN o ON e.day = o.day
+            ORDER BY day
         """,
         "new_users_daily_events": """
             WITH f AS (

@@ -160,7 +160,7 @@ def run_queries(sf_dir: str) -> dict:
         # round 4e (corpus-audit family)
         "dup_cluster_sizes_docs", "dup_rate_by_source",
         "stopword_ratio_docs", "cume_dist_len_by_source",
-        "source_token_dot", "events_by_hour",
+        "source_token_dot", "events_by_hour", "daily_activity_full",
     ]
     qs = entrymod.queries()
     out = {}

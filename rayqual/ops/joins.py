@@ -677,3 +677,54 @@ def asof_broadcast_join(
         return batch.append_column(out_col, res)
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def full_outer_counts(ds_a, ds_b, key_col: str, a_col: str = "n_a", b_col: str = "n_b", n_buckets: int = 32):
+    """FULL OUTER join of two per-key COUNT aggregates in ONE exchange:
+    every key present on either side appears once, with the absent
+    side's count COALESCEd to 0. Both inputs are projected to their
+    int64 ``key_col``; each batch pre-combines to (key, cnt, side)
+    partials hash-bucketed on the key, and each bucket finishes both
+    aggregates and the outer merge in one factorize + two scatter-adds
+    — the aggregate-then-outer-join collapse (same single-exchange
+    argument as the left-join variant in ``__ray_entry__``
+    cust_orders_left and the exact-dedup rewrite in ops/dedup.py).
+
+    Scale: exchange volume is distinct keys per batch per side; no
+    wide row ever moves. Skewed keys cost nothing extra (partials are
+    already collapsed per batch)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def partial(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, cnt = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(uk),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                    "side": pa.array(np.full(len(uk), side, np.int64)),
+                    "_b": pa.array(
+                        (bucket_hash(uk) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(k, sort=True)
+        n_a = np.zeros(len(uniq), np.int64)
+        n_b = np.zeros(len(uniq), np.int64)
+        np.add.at(n_a, codes[side == 0], cnt[side == 0])
+        np.add.at(n_b, codes[side == 1], cnt[side == 1])
+        return pd.DataFrame({key_col: uniq, a_col: n_a, b_col: n_b})
+
+    a = ds_a.map_batches(partial(0), batch_format="pyarrow")
+    b = ds_b.map_batches(partial(1), batch_format="pyarrow")
+    return a.union(b).groupby("_b").map_groups(merge_bucket, batch_format="pandas")

@@ -158,3 +158,36 @@ def test_stopword_counts_matches_naive(ray_session):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert (got["n_stop"] > 0).any()
+
+
+def test_full_outer_counts_matches_naive(ray_session):
+    import ray.data
+
+    from rayqual.ops.joins import full_outer_counts
+
+    rng = np.random.default_rng(31)
+    a = pd.DataFrame({"k": rng.integers(0, 12, 60).astype("int64")})
+    b = pd.DataFrame({"k": rng.integers(6, 20, 45).astype("int64")})
+    got = (
+        full_outer_counts(
+            ray.data.from_pandas(a).repartition(3),
+            ray.data.from_pandas(b).repartition(4),
+            "k",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ca, cb = a["k"].value_counts(), b["k"].value_counts()
+    keys = sorted(set(ca.index) | set(cb.index))
+    exp = pd.DataFrame(
+        {
+            "k": pd.Series(keys, dtype="int64"),
+            "n_a": pd.Series([int(ca.get(k, 0)) for k in keys], dtype="int64"),
+            "n_b": pd.Series([int(cb.get(k, 0)) for k in keys], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # both outer sides must be exercised
+    assert ((exp["n_a"] == 0) & (exp["n_b"] > 0)).any()
+    assert ((exp["n_b"] == 0) & (exp["n_a"] > 0)).any()
