@@ -160,6 +160,8 @@ def cume_counts_by_group(
         ds.select_columns([group_col, value_col])
         .groupby([group_col, value_col])
         .aggregate(Count(alias_name="n"))
+        .materialize()  # tiny by the guard below; avoids re-executing the
+        # input scan for count() and then again for to_pandas()
     )
     n_pairs = pairs.count()
     if n_pairs > max_pairs:
