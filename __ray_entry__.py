@@ -4565,6 +4565,75 @@ def q_daily_activity_full(sf_dir: str):
     return _typed(out, {"day": "int64", "n_events": "int64", "n_orders": "int64"})
 
 
+def q_reject_reasons_by_source(sf_dir: str):
+    """Per-source quality-gate rejection report — the reference's
+    validation-report rollup semantics (per-rule fail counts by group,
+    reference quality_report.py table_validation_results) expressed as
+    one SQL-checkable query over the documents table: how many docs
+    each heuristic gate (too short / too long / low alnum / few
+    tokens) rejects, per source, plus the kept count. The alnum-ratio
+    compare is INTEGER (alnum*10 vs n*8) in both engines — no float
+    boundary ties. Zero shuffle: per-batch masks pre-combine to
+    per-source partials; the groupby exchange is |sources| keys."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        alnum = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, "[^0-9A-Za-z]", "")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        tok = pc.cast(
+            pc.count_substring_regex(text, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        short = n < 100
+        long_ = n > 400
+        low = alnum * 10 < n * 8
+        few = tok < 20
+        kept = ~(short | long_ | low | few)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(src, return_inverse=True)
+        out = {
+            "source": pa.array(uniq, pa.string()),
+            "n_docs": np.bincount(codes, minlength=len(uniq)),
+        }
+        for name, mask in [
+            ("n_too_short", short), ("n_too_long", long_),
+            ("n_low_alnum", low), ("n_few_tokens", few), ("n_kept", kept),
+        ]:
+            out[name] = np.bincount(codes, weights=mask, minlength=len(uniq)).astype(
+                np.int64
+            )
+        return pa.table(
+            {k: (pa.array(v.astype(np.int64)) if isinstance(v, np.ndarray) else v)
+             for k, v in out.items()}
+        )
+
+    out = (
+        _docs(sf_dir)
+        .select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_too_short", alias_name="n_too_short"),
+            Sum("n_too_long", alias_name="n_too_long"),
+            Sum("n_low_alnum", alias_name="n_low_alnum"),
+            Sum("n_few_tokens", alias_name="n_few_tokens"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+    )
+    return _typed(
+        out,
+        {
+            "source": "object", "n_docs": "int64", "n_too_short": "int64",
+            "n_too_long": "int64", "n_low_alnum": "int64",
+            "n_few_tokens": "int64", "n_kept": "int64",
+        },
+    )
+
+
 def q_new_users_daily_events(sf_dir: str):
     """Growth accounting — per event type per day: first-seen (new)
     users and the running cumulative distinct-user count. The classic
@@ -4755,6 +4824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_events": q_lag_events,
         "lead_events": q_lead_events,
         "validation_report_events": q_validation_report_events,
+        "reject_reasons_by_source": q_reject_reasons_by_source,
         # --- round-4c additions -----------------------------------------
         "new_users_daily_events": q_new_users_daily_events,
         "order_gap_days_by_segment": q_order_gap_days_by_segment,
@@ -4952,6 +5022,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+        """,
+        "reject_reasons_by_source": """
+            WITH m AS (
+              SELECT source,
+                     length(text) AS n,
+                     length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) AS alnum,
+                     length(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_too_short,
+                   CAST(SUM(CASE WHEN n > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_too_long,
+                   CAST(SUM(CASE WHEN alnum * 10 < n * 8 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low_alnum,
+                   CAST(SUM(CASE WHEN tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_few_tokens,
+                   CAST(SUM(CASE WHEN n >= 100 AND n <= 400
+                                  AND alnum * 10 >= n * 8 AND tok >= 20
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM m GROUP BY source ORDER BY source
         """,
         "daily_activity_full": """
             WITH e AS (
