@@ -4634,6 +4634,26 @@ def q_reject_reasons_by_source(sf_dir: str):
     )
 
 
+def q_join_size_orders_lineitem(sf_dir: str):
+    """Exact inner-join cardinality |orders ⋈ lineitem| on the order
+    key WITHOUT materializing the join (ops/joins.py join_size_exact:
+    Σ_k cA(k)·cB(k) from one keys-only bucket exchange, each bucket
+    emitting ONE partial) — the planning primitive that decides
+    broadcast vs wide vs skew-salted before any shuffle join runs."""
+    import pandas as pd
+    import ray.data
+
+    from rayqual.ops.joins import join_size_exact
+
+    n = join_size_exact(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+        key_col="o_orderkey",
+        key_col_b="l_orderkey",
+    )
+    return pd.DataFrame({"n_join_rows": pd.Series([n], dtype="int64")})
+
+
 def q_new_users_daily_events(sf_dir: str):
     """Growth accounting — per event type per day: first-seen (new)
     users and the running cumulative distinct-user count. The classic
@@ -4825,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_events": q_lead_events,
         "validation_report_events": q_validation_report_events,
         "reject_reasons_by_source": q_reject_reasons_by_source,
+        "join_size_orders_lineitem": q_join_size_orders_lineitem,
         # --- round-4c additions -----------------------------------------
         "new_users_daily_events": q_new_users_daily_events,
         "order_gap_days_by_segment": q_order_gap_days_by_segment,
@@ -5022,6 +5043,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+        """,
+        "join_size_orders_lineitem": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         """,
         "reject_reasons_by_source": """
             WITH m AS (

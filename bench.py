@@ -161,7 +161,7 @@ def run_queries(sf_dir: str) -> dict:
         "dup_cluster_sizes_docs", "dup_rate_by_source",
         "stopword_ratio_docs", "cume_dist_len_by_source",
         "source_token_dot", "events_by_hour", "daily_activity_full",
-        "reject_reasons_by_source",
+        "reject_reasons_by_source", "join_size_orders_lineitem",
     ]
     qs = entrymod.queries()
     out = {}

@@ -728,3 +728,63 @@ def full_outer_counts(ds_a, ds_b, key_col: str, a_col: str = "n_a", b_col: str =
     a = ds_a.map_batches(partial(0), batch_format="pyarrow")
     b = ds_b.map_batches(partial(1), batch_format="pyarrow")
     return a.union(b).groupby("_b").map_groups(merge_bucket, batch_format="pandas")
+
+
+def join_size_exact(
+    ds_a, ds_b, key_col: str, key_col_b: str | None = None, n_buckets: int = 32
+) -> int:
+    """EXACT inner-join output cardinality |A ⋈ B| on ``key_col``
+    WITHOUT materializing the join: |A ⋈ B| = Σ_k cA(k)·cB(k). The
+    join-planning primitive — run it before a shuffle join to decide
+    broadcast vs wide vs skew-salted (a hot key shows up as a huge
+    single product), at the cost of one keys-only exchange instead of
+    moving either table.
+
+    Same single-exchange shape as :func:`full_outer_counts`, but each
+    bucket closes its own dot product and emits ONE partial row, so the
+    driver sums ≤ ``n_buckets`` ints — never a per-key collect. Exact
+    int64; a 3e9×3e9 hot key would overflow, so products accumulate as
+    Python ints via per-bucket numpy dot in object precision when the
+    guard trips (counts above 3e9 per key per side)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+
+    def partial(side: int, col: str):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, cnt = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(uk),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                    "side": pa.array(np.full(len(uk), side, np.int64)),
+                    "_b": pa.array(
+                        (bucket_hash(uk) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    def dot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(k, sort=False)
+        ca = np.zeros(len(uniq), np.int64)
+        cb = np.zeros(len(uniq), np.int64)
+        np.add.at(ca, codes[side == 0], cnt[side == 0])
+        np.add.at(cb, codes[side == 1], cnt[side == 1])
+        if len(ca) and (int(ca.max()) > 3_000_000_000 or int(cb.max()) > 3_000_000_000):
+            total = int(sum(int(a) * int(b) for a, b in zip(ca, cb)))  # py ints
+        else:
+            total = int(ca @ cb)
+        return pd.DataFrame({"n": [total]})
+
+    a = ds_a.map_batches(partial(0, key_col), batch_format="pyarrow")
+    b = ds_b.map_batches(partial(1, key_col_b or key_col), batch_format="pyarrow")
+    parts = (
+        a.union(b).groupby("_b").map_groups(dot_bucket, batch_format="pandas")
+    ).to_pandas()
+    return int(parts["n"].sum())

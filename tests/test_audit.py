@@ -191,3 +191,21 @@ def test_full_outer_counts_matches_naive(ray_session):
     # both outer sides must be exercised
     assert ((exp["n_a"] == 0) & (exp["n_b"] > 0)).any()
     assert ((exp["n_b"] == 0) & (exp["n_a"] > 0)).any()
+
+
+def test_join_size_exact_matches_naive(ray_session):
+    import ray.data
+
+    from rayqual.ops.joins import join_size_exact
+
+    rng = np.random.default_rng(37)
+    a = pd.DataFrame({"x": rng.integers(0, 15, 70).astype("int64")})
+    b = pd.DataFrame({"y": rng.integers(5, 25, 55).astype("int64")})
+    got = join_size_exact(
+        ray.data.from_pandas(a).repartition(3),
+        ray.data.from_pandas(b).repartition(5),
+        key_col="x",
+        key_col_b="y",
+    )
+    exp = len(a.merge(b, left_on="x", right_on="y"))
+    assert got == exp and exp > 0
