@@ -205,7 +205,11 @@ def cume_counts_by_group(
 
 
 def group_token_dot(
-    ds, text_col: str = "text", group_col: str = "source", n_buckets: int = 32
+    ds,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 32,
+    max_groups: int = 10_000,
 ):
     """Pairwise token-count dot products between groups — the exact
     integer core of inter-source similarity (cosine = dot /
@@ -219,7 +223,16 @@ def group_token_dot(
     contribution accumulates); buckets emit (s1, s2, dot) partials with
     s1 <= s2, and the final engine groupby sees <= buckets x groups^2
     rows. Token counts never overflow: int64 holds per-(group, token)
-    counts to ~3e9 squared; raise above (guard below)."""
+    counts to ~3e9 squared; raise above (guard below).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    ``group_col`` is a MODEST-cardinality corpus axis (sources,
+    domains, languages) — the output is inherently |groups|^2 and each
+    bucket holds a dense (tokens x groups) count matrix; ``max_groups``
+    refuses in-bucket before that matrix is built. Pairwise similarity
+    over a high-cardinality axis (per-repo, per-doc) is the near-dup /
+    ANN operator family's job (ops/neardup.py, ops/similarity.py), not
+    this audit's."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
@@ -255,6 +268,13 @@ def group_token_dot(
         tok_codes, _ = pd.factorize(g["token"].to_numpy(), sort=False)
         grp_codes, grps = pd.factorize(g["g"].to_numpy(), sort=True)
         n_g = len(grps)
+        if n_g > max_groups:
+            raise ValueError(
+                f"group_token_dot: {n_g} distinct groups in one bucket exceeds "
+                f"max_groups={max_groups}; the dense token x group matrix and the "
+                "groups^2 output do not fit this op — use the near-dup / ANN "
+                "operators for high-cardinality pairwise similarity"
+            )
         # dense (token x group) count matrix per bucket; tokens are the
         # bucketed axis so rows stay bounded per bucket
         m = np.zeros((tok_codes.max() + 1 if len(tok_codes) else 0, n_g), np.int64)

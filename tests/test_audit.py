@@ -209,3 +209,57 @@ def test_join_size_exact_matches_naive(ray_session):
     )
     exp = len(a.merge(b, left_on="x", right_on="y"))
     assert got == exp and exp > 0
+
+
+def test_group_token_dot_refuses_high_cardinality_groups(ray_session):
+    df = _corpus(np.random.default_rng(41))
+    df["source"] = [f"g{i}" for i in range(len(df))]  # one group per doc
+    with pytest.raises(Exception, match="max_groups"):
+        group_token_dot(
+            _ds(ray_session, df), "text", "source", max_groups=5
+        ).to_pandas()
+
+
+def test_audit_ops_partition_invariance_property(ray_session):
+    """The bucket exchanges must give bit-identical answers for ANY
+    input partitioning — the property that makes them safe at 10^12
+    rows where block layout is arbitrary."""
+    df = _corpus(np.random.default_rng(43), n=120, dup_every=5)
+    for nparts in (1, 2, 11):
+        got_rate = (
+            dup_rate_by_group(_ds(ray_session, df, nparts), "text", "source")
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        got_dot = (
+            group_token_dot(_ds(ray_session, df, nparts), "text", "source")
+            .to_pandas()
+            .sort_values(["s1", "s2"])
+            .reset_index(drop=True)
+        )
+        if nparts == 1:
+            base_rate, base_dot = got_rate, got_dot
+        else:
+            pd.testing.assert_frame_equal(got_rate, base_rate)
+            pd.testing.assert_frame_equal(got_dot, base_dot)
+
+
+def test_join_size_partition_invariance(ray_session):
+    import ray.data
+
+    from rayqual.ops.joins import join_size_exact
+
+    rng = np.random.default_rng(47)
+    a = pd.DataFrame({"k": rng.integers(0, 9, 200).astype("int64")})
+    b = pd.DataFrame({"k": rng.integers(0, 9, 150).astype("int64")})
+    vals = {
+        join_size_exact(
+            ray.data.from_pandas(a).repartition(p),
+            ray.data.from_pandas(b).repartition(p + 2),
+            "k",
+        )
+        for p in (1, 4, 9)
+    }
+    assert len(vals) == 1
+    assert vals.pop() == len(a.merge(b, on="k"))
