@@ -178,6 +178,16 @@ def cume_counts_by_group(
     cdf_ref = ray.put(cdf)
 
     def lookup(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # Ray Data can hand map_batches an empty block;
+            # np.r_[True, ...] below would yield starts=[0] and index g_o[0]
+            return pa.table(
+                {
+                    id_col: b.column(id_col),
+                    group_col: b.column(group_col),
+                    value_col: b.column(value_col),
+                    "n_le": pa.array([], pa.int64()),
+                }
+            )
         table = ray.get(cdf_ref)
         gv = b.column(group_col).to_numpy(zero_copy_only=False)
         vv = b.column(value_col).to_numpy(zero_copy_only=False)
@@ -222,8 +232,11 @@ def group_token_dot(
     groups meet in one bucket, where its rank-1 outer-product
     contribution accumulates); buckets emit (s1, s2, dot) partials with
     s1 <= s2, and the final engine groupby sees <= buckets x groups^2
-    rows. Token counts never overflow: int64 holds per-(group, token)
-    counts to ~3e9 squared; raise above (guard below).
+    rows. int64-exact with an overflow REFUSAL on the ACCUMULATED dot:
+    each bucket bounds its whole partial (float64 shadow matmul)
+    against 2^63/n_buckets before emitting, so neither the in-bucket
+    sum of per-token products nor the engine Sum across buckets can
+    wrap silently (guard below).
 
     Partitioning assumption (documented per the custom-operator rule):
     ``group_col`` is a MODEST-cardinality corpus axis (sources,
@@ -260,11 +273,6 @@ def group_token_dot(
 
     def dots_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = g["c"].to_numpy(np.int64)
-        if c.size and int(c.max()) > 3_000_000_000:
-            raise ValueError(
-                "group_token_dot: a (group, token) count exceeds 3e9; its square "
-                "overflows int64 — shard the corpus or switch to float128 close"
-            )
         tok_codes, _ = pd.factorize(g["token"].to_numpy(), sort=False)
         grp_codes, grps = pd.factorize(g["g"].to_numpy(), sort=True)
         n_g = len(grps)
@@ -279,7 +287,23 @@ def group_token_dot(
         # bucketed axis so rows stay bounded per bucket
         m = np.zeros((tok_codes.max() + 1 if len(tok_codes) else 0, n_g), np.int64)
         np.add.at(m, (tok_codes, grp_codes), c)
-        dots = m.T @ m  # exact int64 (guard above)
+        # overflow guard on the ACCUMULATED dot, not just single counts:
+        # the dot is a sum of many per-token products, so per-count caps
+        # alone cannot keep the sum under 2^63. A float64 shadow matmul
+        # bounds every partial (products are non-negative, so every
+        # int64 intermediate partial sum <= the final dot <= this
+        # estimate / (1 - ~1e-13)); the engine Sum across buckets adds
+        # at most n_buckets partials per (s1, s2), hence the /n_buckets
+        # headroom. Rel-error margin 0.98 dwarfs float64 dot error.
+        fm = m.astype(np.float64)
+        fdots = fm.T @ fm
+        if fdots.size and float(fdots.max()) >= 0.98 * ((2**63 - 1) / n_buckets):
+            raise ValueError(
+                "group_token_dot: a per-bucket dot-product partial approaches "
+                "int64 range (accumulated, not per-count) — shard the corpus "
+                "or reduce tokens per (group, token) before this audit"
+            )
+        dots = m.T @ m  # exact int64 (accumulated-value guard above)
         i, j = np.triu_indices(n_g)
         keep = dots[i, j] != 0
         return pd.DataFrame(

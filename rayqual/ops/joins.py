@@ -679,6 +679,25 @@ def asof_broadcast_join(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def _int64_keys(col) -> np.ndarray:
+    """int64 view of a key column that ERRORS instead of corrupting:
+    a null key would become NaN under ``.to_numpy().astype(int64)``
+    and silently cast to an arbitrary integer; a non-integral dtype
+    would truncate. pc.cast raises on both, and nulls are refused with
+    the documented policy (drop/fill upstream — these count kernels
+    have no NULL-group semantics)."""
+    import pyarrow.compute as _pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "null join/count key: drop or fill null keys upstream "
+            "(SQL NULL-key semantics are out of scope for this kernel)"
+        )
+    return _pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def full_outer_counts(ds_a, ds_b, key_col: str, a_col: str = "n_a", b_col: str = "n_b", n_buckets: int = 32):
     """FULL OUTER join of two per-key COUNT aggregates in ONE exchange:
     every key present on either side appears once, with the absent
@@ -699,7 +718,7 @@ def full_outer_counts(ds_a, ds_b, key_col: str, a_col: str = "n_a", b_col: str =
 
     def partial(side: int):
         def f(b: pa.Table) -> pa.Table:
-            k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _int64_keys(b.column(key_col))
             uk, cnt = np.unique(k, return_counts=True)
             return pa.table(
                 {
@@ -742,17 +761,20 @@ def join_size_exact(
 
     Same single-exchange shape as :func:`full_outer_counts`, but each
     bucket closes its own dot product and emits ONE partial row, so the
-    driver sums ≤ ``n_buckets`` ints — never a per-key collect. Exact
-    int64; a 3e9×3e9 hot key would overflow, so products accumulate as
-    Python ints via per-bucket numpy dot in object precision when the
-    guard trips (counts above 3e9 per key per side)."""
+    driver folds ≤ ``n_buckets`` values — never a per-key collect.
+    EXACT at any magnitude: the in-bucket dot is bounded on its
+    ACCUMULATED value (float64 shadow dot vs 2^62), falling back to
+    arbitrary-precision Python ints past the bound; partials cross the
+    block boundary as strings (an oversized Python int in an object
+    column can fail or truncate on Arrow conversion) and the driver
+    folds them with Python ints."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
 
     def partial(side: int, col: str):
         def f(b: pa.Table) -> pa.Table:
-            k = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _int64_keys(b.column(col))
             uk, cnt = np.unique(k, return_counts=True)
             return pa.table(
                 {
@@ -776,15 +798,26 @@ def join_size_exact(
         cb = np.zeros(len(uniq), np.int64)
         np.add.at(ca, codes[side == 0], cnt[side == 0])
         np.add.at(cb, codes[side == 1], cnt[side == 1])
-        if len(ca) and (int(ca.max()) > 3_000_000_000 or int(cb.max()) > 3_000_000_000):
-            total = int(sum(int(a) * int(b) for a, b in zip(ca, cb)))  # py ints
-        else:
+        # the int64 dot can wrap even with every count under 3e9 (it is
+        # a SUM of per-key products): bound the ACCUMULATED value with a
+        # float64 shadow dot — products are non-negative, so every int64
+        # intermediate partial sum <= the final total <= this estimate
+        # within ~1e-13 relative error; 2^62 leaves a 2x margin. Past the
+        # bound, fall back to exact arbitrary-precision Python ints.
+        est = float(ca.astype(np.float64) @ cb.astype(np.float64))
+        if est < float(1 << 62):
             total = int(ca @ cb)
-        return pd.DataFrame({"n": [total]})
+        else:
+            total = sum(int(x) * int(y) for x, y in zip(ca, cb))  # exact py ints
+        # partials cross the map_groups boundary as STRINGS: a Python int
+        # past int64 in an object column can fail or truncate on the
+        # Arrow block conversion; strings stay exact at any magnitude and
+        # the driver sums them back with Python ints.
+        return pd.DataFrame({"n": [str(total)]})
 
     a = ds_a.map_batches(partial(0, key_col), batch_format="pyarrow")
     b = ds_b.map_batches(partial(1, key_col_b or key_col), batch_format="pyarrow")
     parts = (
         a.union(b).groupby("_b").map_groups(dot_bucket, batch_format="pandas")
     ).to_pandas()
-    return int(parts["n"].sum())
+    return sum(int(s) for s in parts["n"])  # exact python-int fold

@@ -263,3 +263,38 @@ def test_join_size_partition_invariance(ray_session):
     }
     assert len(vals) == 1
     assert vals.pop() == len(a.merge(b, on="k"))
+
+
+def test_cume_counts_handles_empty_blocks(ray_session):
+    """Ray Data can hand map_batches an empty block (ADVICE r4): the
+    broadcast-CDF lookup must pass it through instead of indexing into
+    an empty group array."""
+    df = _corpus(np.random.default_rng(53), n=40)
+    ds = ray_session.data.from_pandas([df, df.iloc[0:0]])  # one empty block
+    got = (
+        cume_counts_by_group(ds, "source", "n_chars", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+
+
+def test_count_kernels_refuse_null_keys(ray_session):
+    """A null key must ERROR, not silently cast NaN to an arbitrary
+    int64 (ADVICE r4): both single-exchange count kernels share the
+    checked _int64_keys cast."""
+    import ray.data
+
+    from rayqual.ops.joins import full_outer_counts, join_size_exact
+
+    a = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64")})
+    b = pd.DataFrame({"k": pd.Series([1, 2, 2, 3], dtype="int64")})
+    with pytest.raises(Exception, match="null join/count key"):
+        join_size_exact(
+            ray.data.from_pandas(a), ray.data.from_pandas(b), "k"
+        )
+    with pytest.raises(Exception, match="null join/count key"):
+        full_outer_counts(
+            ray.data.from_pandas(a), ray.data.from_pandas(b), "k"
+        ).to_pandas()
