@@ -765,43 +765,211 @@ def ngram_jaccard_losers(
 
 def ngram_jaccard_losers_distributed(
     ds, id_col: str, text_col: str, shingle_size: int = 12, threshold: float = 0.7,
-    cc_rounds: int = 10, **minhash_kw
+    cc_rounds: int = 10, num_perm: int = 64, bands: int = 8,
+    max_bucket: int = 200, strict: bool = False,
 ):
-    """:func:`ngram_jaccard_losers` with the clustering distributed:
-    the VERIFIED pair dataset feeds hash-bucketed min-label propagation
-    (:func:`rayqual.ops.cc.component_losers`) instead of a driver
-    union-find, so cluster resolution scales with the exchange, not the
-    driver. Remaining driver bound (documented): the CANDIDATE pair
-    list from the MinHash propose stage still transits the driver to
-    index the verify cohorts — bounded by the duplicate rate; a corpus
-    whose candidate list alone overflows the driver should use
-    :func:`minhash_dedup_losers_distributed` (approximate-threshold,
-    zero driver contact). Returns a Dataset of one ``id`` column."""
+    """:func:`ngram_jaccard_losers` — exact byte-shingle Jaccard, not
+    the MinHash estimate — with EVERY stage distributed. Round-5
+    rewrite: the candidate pair list no longer transits the driver to
+    index verify cohorts (the r4 bound: a template-heavy 960 k-doc
+    corpus measured 65 M candidates, which hit the refusal). Shape:
+
+    1. LSH propose as a DATASET of (id_a, id_b) rows — the same
+       (bkey, id)-only band shuffle as
+       :func:`minhash_dedup_losers_distributed`;
+    2. a bloom bitmap over candidate node ids is the ONLY driver
+       artifact — fixed 512 KB regardless of candidate volume
+       (``ray.put`` once); docs whose id misses the bloom never compute
+       or ship a shingle set, so the set exchange is bounded by the
+       duplicate rate, not the corpus. False positives just ship a
+       wasted set row, dropped at the attach merge;
+    3. exact-Jaccard verify via the two bucketed exchanges of the
+       minhash path: memberships (node → pair key) union per-candidate
+       shingle-set rows (packed variable-width BINARY, never
+       list<u64> — the r2 pickled-exchange lesson), grouped by node
+       bucket to attach sets, then by pair bucket to compare;
+    4. clusters via distributed connected components; losers = every
+       component member except its minimum.
+
+    Returns a Dataset with one ``id`` column; equal to the driver
+    variant (verified in tests)."""
+    from rayqual import ship_to_workers as _stw
+
+    _stw()
+    import ray
+    import ray.data
+
+    from rayqual.functions.hashing import bucket_hash
     from rayqual.functions.textstats import shingle_hashes, string_bytes
+    from rayqual.ops.bloom import _probe_positions, build_bloom
     from rayqual.ops.cc import component_losers
 
-    cand = minhash_propose_pairs(ds, id_col, text_col, shingle_size=shingle_size, **minhash_kw)
-    if len(cand) == 0:
-        import ray.data
+    sig_ds = minhash_sig_dataset(ds, id_col, text_col, num_perm, shingle_size)
 
+    def keys_only(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch)
+        keys = minhash_band_keys(sig, bands)
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        # int64 VIEW of the uint64 key (see minhash_dedup_losers_distributed)
+        bkey = (keys ^ (np.arange(bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))).ravel()
+        return pa.table(
+            {"bkey": pa.array(bkey.view(np.int64), pa.int64()),
+             "id": pa.array(np.repeat(ids, bands))}
+        )
+
+    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        if len(g) > max_bucket:
+            return _oversized_pairs(g["id"].to_numpy(), max_bucket, strict, "ngram-jaccard")
+        ids = g["id"].to_numpy()
+        a_idx, b_idx = np.triu_indices(len(g), k=1)
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
+
+    # materialized: read three times (bloom build, memberships, CC) —
+    # at 16 B/pair it is the verified-candidate working set, spillable
+    pairs_ds = (
+        _prune_singleton_buckets(sig_ds.map_batches(keys_only, batch_format="pyarrow"))
+        .groupby("bkey")
+        .map_groups(pair_up, batch_format="pandas")
+        .materialize()
+    )
+    if pairs_ds.count() == 0:
         return ray.data.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
 
-    def payload(sub: pa.Table) -> list:
-        sets = []
+    # --- bloom prune: candidate node membership without a driver set ----
+    n_bits, n_hashes = 1 << 22, 4
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        node = np.concatenate(
+            [b.column("id_a").to_numpy(zero_copy_only=False),
+             b.column("id_b").to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"id": pa.array(node, pa.int64())})
+
+    bits = build_bloom(
+        pairs_ds.map_batches(nodes_of, batch_format="pyarrow"), "id", n_bits, n_hashes
+    )
+    bits_ref = ray.put(bits)
+
+    # --- distributed exact verify (minhash-path exchange shape) ---------
+    n_vb = 32
+
+    def memberships(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= 1_000_000_007 or bb.max() >= 1_000_000_007 or a.min() < 0):
+            raise ValueError(
+                "pair-key packing requires 0 <= id < 1_000_000_007 for injectivity; "
+                "remap ids or switch the pair key to a wider hash"
+            )
+        pk = a * np.int64(1_000_000_007) + bb
+        node = np.concatenate([a, bb])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+                "sig": pa.nulls(2 * len(a), pa.binary()),
+                "_nb": pa.array(
+                    (bucket_hash(node) % np.uint64(n_vb)).astype(np.int64)
+                ),
+            }
+        )
+
+    def _sets_binary(sets: list) -> pa.Array:
+        """Variable-length uint64 sets → binary rows, zero-copy buffers."""
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        offsets = np.zeros(len(sets) + 1, dtype=np.int32)
+        np.cumsum(lens * 8, out=offsets[1:])
+        values = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        return pa.Array.from_buffers(
+            pa.binary(), len(sets),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+        )
+
+    def set_rows(b: pa.Table) -> pa.Table:
+        bits_ = ray.get(bits_ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _probe_positions(ids, n_bits, n_hashes)
+        byte = bits_[(pos >> np.uint64(3)).astype(np.int64)]
+        maybe = (
+            (byte & np.left_shift(1, (pos & np.uint64(7)).astype(np.uint8))) != 0
+        ).all(axis=1)
+        sub = b.filter(pa.array(maybe))
+        sub_ids = ids[maybe]
         sb = string_bytes(sub.column(text_col))
-        for i in range(sb.n_docs):
-            b = sb.data[sb.starts[i]: sb.ends[i]]
-            sets.append(np.unique(shingle_hashes(b, shingle_size)))
-        return sets
+        sets = [
+            np.unique(shingle_hashes(sb.data[sb.starts[i]: sb.ends[i]], shingle_size))
+            for i in range(sb.n_docs)
+        ]
+        return pa.table(
+            {
+                "node": pa.array(sub_ids, pa.int64()),
+                "pk": pa.array(np.full(len(sub_ids), -1), pa.int64()),
+                "sig": _sets_binary(sets),
+                "_nb": pa.array(
+                    (bucket_hash(sub_ids) % np.uint64(n_vb)).astype(np.int64)
+                ),
+            }
+        )
 
-    def verify(sa, sb_):
-        if len(sa) == 0 or len(sb_) == 0:
-            return None
-        inter = len(np.intersect1d(sa, sb_, assume_unique=True))
-        j = inter / (len(sa) + len(sb_) - inter)
-        return j if j >= threshold else None
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sigs = g.loc[g["pk"] == -1, ["node", "sig"]].drop_duplicates(subset=["node"])
+        prs = g.loc[g["pk"] != -1, ["node", "pk"]].drop_duplicates()
+        m = prs.merge(sigs, on="node", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"pk": pd.Series([], dtype="int64"),
+                 "node": pd.Series([], dtype="int64"),
+                 "sig": pd.Series([], dtype="object"),
+                 "_pb": pd.Series([], dtype="int64")}
+            )
+        m["_pb"] = (
+            bucket_hash(m["pk"].to_numpy(np.int64)) % np.uint64(n_vb)
+        ).astype(np.int64)
+        return m[["pk", "node", "sig", "_pb"]]
 
-    good = _pair_key_verify(ds, id_col, cand, payload, verify)
+    def compare_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates(subset=["pk", "node"]).sort_values(["pk", "node"])
+        if len(g) == 0:
+            return empty
+        if len(g) % 2:  # both members of every pair key have set rows
+            raise AssertionError("ngram-jaccard verify: odd (pk, node) group")
+        bufs = g["sig"].to_numpy()
+        lens = np.fromiter((len(x) // 8 for x in bufs), dtype=np.int64, count=len(bufs))
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        arr = np.frombuffer(b"".join(bufs), dtype=np.uint64)
+        node = g["node"].to_numpy(np.int64)
+        id_a, id_b = [], []
+        for i in range(0, len(g), 2):  # per-pair exact Jaccard, µs-scale
+            sa = arr[bounds[i]: bounds[i + 1]]
+            sb_ = arr[bounds[i + 1]: bounds[i + 2]]
+            if len(sa) == 0 or len(sb_) == 0:
+                continue
+            inter = np.intersect1d(sa, sb_, assume_unique=True).size
+            if inter / (len(sa) + len(sb_) - inter) >= threshold:
+                id_a.append(node[i])
+                id_b.append(node[i + 1])
+        if not id_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.asarray(id_a, dtype=np.int64),
+             "id_b": np.asarray(id_b, dtype=np.int64)}
+        )
+
+    good = (
+        pairs_ds.map_batches(memberships, batch_format="pyarrow")
+        .union(ds.map_batches(set_rows, batch_format="pyarrow"))
+        .groupby("_nb")
+        .map_groups(attach_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(compare_bucket, batch_format="pandas")
+    )
     return component_losers(good, max_rounds=cc_rounds)
 
 
