@@ -23,6 +23,30 @@ nodes): each round is exactly two vectorized exchanges —
    +inf), so convergence (any node with new < old) falls out of the
    SAME aggregate — no extra union+groupby pass per round.
 
+Round-5 additions:
+
+* **Measured-count single-task fast path** — the edge set is already
+  materialized (every round re-reads it), so its exact size is free;
+  at or below ``single_task_edges`` the whole graph is resolved by ONE
+  worker task (``repartition(1)`` + a vectorized numpy min-label /
+  pointer-jumping loop — never the driver). 2M int64 pairs ≈ 32 MB in
+  one block; the iterative exchanges cost a fixed ~1.7 s per round on
+  this box regardless of data size, so small graphs were paying pure
+  orchestration. Same measured-count auto-plan pattern as
+  ``ops/joins.py:auto_hash_join``. A 100-TB-corpus edge set takes the
+  iterative path.
+* **Pointer-jumping shortcut** in the iterative path: each round first
+  rewrites ``label[x] := label[label[x]]`` (one extra bucketed
+  exchange, fused into the SAME lazy execution as the propagate
+  round), so reach roughly doubles per round and convergence is
+  O(log diameter) rounds instead of O(diameter) — chain-shaped
+  near-dup clusters (template corpora) were paying a round per hop.
+  The shortcut key is always resolvable in its bucket because label
+  values are node ids, and the convergence check stays sound: it
+  compares the propagate output against the post-shortcut labels, and
+  "no change in a propagate round" still implies labels are constant
+  along every edge, i.e. minimal.
+
 Partitioning assumption (SURVEY.md custom-operator rule): one hash
 bucket of (offers + labels) rows fits a worker — size ``n_buckets``
 so that holds (a node's incident edges always share its bucket, so
@@ -62,12 +86,52 @@ def _labels_from_edges(edges_ds):
     )
 
 
-def connected_components(edges_ds, max_rounds: int = 10, n_buckets: int = 64):
+def _single_task_components(edges_ds):
+    """All edges in ONE worker task: numpy min-label + pointer jumping
+    (the same algorithm as the distributed loop, in-memory). O(E log d)
+    fully-vectorized work; at the 2M-edge default cap ≈ 32 MB / tens of
+    ms — data never visits the driver."""
+
+    def uf_all(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, bb]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        lab = np.arange(len(nodes))
+        while True:
+            prev = lab.copy()
+            # edge relaxation (unbuffered: duplicate indices fold correctly)
+            np.minimum.at(lab, ia, lab[ib])
+            np.minimum.at(lab, ib, lab[ia])
+            lab = lab[lab]  # pointer jump — reach doubles per pass
+            if np.array_equal(prev, lab):
+                break
+        # nodes is sorted, so min index == min id
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "label": pa.array(nodes[lab], pa.int64())}
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        uf_all, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def connected_components(
+    edges_ds, max_rounds: int = 10, n_buckets: int = 64,
+    single_task_edges: int = 2_000_000,
+):
     """Dataset of (node, label) where label = min node id of the
-    component. ``edges_ds`` columns: id_a, id_b (int64)."""
+    component. ``edges_ds`` columns: id_a, id_b (int64).
+
+    ``single_task_edges``: measured-count plan switch — the edge set is
+    materialized anyway, so at/below this many edges the graph resolves
+    in one worker task (see module docstring); 0 forces the iterative
+    path (tests pin it that way)."""
     from rayqual import ship_to_workers as _stw
 
     _stw()
+    import ray.data
     from ray.data.aggregate import Min
 
     import pyarrow.compute as pc
@@ -76,9 +140,15 @@ def connected_components(edges_ds, max_rounds: int = 10, n_buckets: int = 64):
     # (e.g. the whole propose+verify pipeline feeding the pairs) would
     # re-execute once per round
     edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+    if n_edges <= single_task_edges:
+        return _single_task_components(edges_ds)
     labels = _labels_from_edges(edges_ds).materialize()
-    if labels.count() == 0:
-        return labels
 
     def offers_of(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False)
@@ -127,10 +197,46 @@ def connected_components(edges_ds, max_rounds: int = 10, n_buckets: int = 64):
             }
         )
 
+    def shortcut_rows(b: pa.Table) -> pa.Table:
+        # provider rows (key=node → val=label) ∪ request rows
+        # (key=label, origin=node): per bucket, label[x] := label[label[x]]
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        key = np.concatenate([node, lab])
+        val = np.concatenate([lab, np.full(len(node), -1, dtype=np.int64)])
+        origin = np.concatenate([np.full(len(node), -1, dtype=np.int64), node])
+        return pa.table(
+            {
+                "bucket": pa.array((splitmix64(key) % np.uint64(n_buckets)).astype(np.int64)),
+                "key": pa.array(key, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "origin": pa.array(origin, pa.int64()),
+            }
+        )
+
+    def shortcut_resolve(g: pd.DataFrame) -> pd.DataFrame:
+        is_prov = g["origin"].to_numpy() == -1
+        prov = g[is_prov]
+        req = g[~is_prov]
+        lookup = pd.Series(prov["val"].to_numpy(), index=prov["key"].to_numpy())
+        # label values are node ids, so the provider row shares the
+        # request's bucket by construction; fall back to the label
+        # itself defensively
+        lab2 = req["key"].map(lookup).to_numpy(dtype="int64", na_value=_OLD_INF)
+        lab2 = np.where(lab2 == _OLD_INF, req["key"].to_numpy(), lab2)
+        return pd.DataFrame({"node": req["origin"].to_numpy(), "label": lab2})
+
     n_changed = None
     for _ in range(max_rounds):
+        # pointer-jump then propagate, fused into ONE lazy execution:
+        # three bucketed exchanges, O(log diameter) rounds total
+        sc = (
+            labels.map_batches(shortcut_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(shortcut_resolve, batch_format="pandas")
+        )
         agg = (
-            offers.union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            offers.union(sc.map_batches(label_rows, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(resolve_bucket, batch_format="pandas")
             .groupby("node")
@@ -159,12 +265,12 @@ def connected_components(edges_ds, max_rounds: int = 10, n_buckets: int = 64):
     return labels
 
 
-def component_losers(edges_ds, max_rounds: int = 10):
+def component_losers(edges_ds, max_rounds: int = 10, single_task_edges: int = 2_000_000):
     """Loser nodes (every component member except its minimum) as a
     Dataset — the distributed replacement for driver union-find."""
     import pyarrow.compute as pc
 
-    labels = connected_components(edges_ds, max_rounds)
+    labels = connected_components(edges_ds, max_rounds, single_task_edges=single_task_edges)
 
     def losers(b: pa.Table) -> pa.Table:
         mask = pc.not_equal(b.column("node"), b.column("label"))

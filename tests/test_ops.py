@@ -278,9 +278,16 @@ def test_connected_components_matches_union_find(ray_session):
             "id_b": pa.array([b for _, b in ed], pa.int64()),
         }
     )
-    got_ds = component_losers(ray_session.data.from_arrow(t).repartition(3), max_rounds=15)
+    # iterative min-label path pinned (single_task_edges=0) …
+    got_ds = component_losers(
+        ray_session.data.from_arrow(t).repartition(3), max_rounds=15, single_task_edges=0
+    )
     got = sorted(got_ds.to_pandas()["id"].tolist())
     assert got == exp
+    # … and the measured-count single-task fast path must agree
+    fast_ds = component_losers(ray_session.data.from_arrow(t).repartition(3), max_rounds=15)
+    fast = sorted(fast_ds.to_pandas()["id"].tolist())
+    assert fast == exp
 
 
 def test_minhash_dedup_distributed_matches_driver(ray_session):
@@ -567,7 +574,10 @@ def test_connected_components_warns_on_nonconvergence(ray_session, caplog):
     )
     ds = ray_session.data.from_arrow(t).repartition(2)
     with caplog.at_level(logging.WARNING, logger="rayqual.ops.cc"):
-        connected_components(ds, max_rounds=3)
+        # single_task_edges=0 pins the iterative path; with pointer
+        # jumping each round roughly doubles reach, so 3 rounds cover
+        # distance ~15 < 30 and the warning must still fire
+        connected_components(ds, max_rounds=3, single_task_edges=0)
     assert any("did not converge" in r.message for r in caplog.records)
 
 
