@@ -34,6 +34,26 @@ CORPUS_DIR = f"/tmp/rayqual_bench_corpus_{BENCH_ROWS}_{BENCH_SEED}"
 OUT_DIR = "/tmp/rayqual_bench_out"
 
 
+def _mem_bw_probe_gbps(size_mb: int = 128, reps: int = 3) -> float:
+    """Single-process memcpy bandwidth (GB/s, read+write bytes) —
+    context stamped into every bench record: identical pipeline code
+    measured 14.3 GB/s single-process in a quiet phase and 1.7 GB/s
+    under neighbor load (BASELINE.md), a ~20x host-phase swing that
+    moves every absolute wall but neither correctness nor the paired
+    (adjacent-in-time) scaling ratios. A bench record with a low probe
+    reading is a degraded-host sample, not a code regression."""
+    import numpy as np
+
+    n = size_mb * 1024 * 1024 // 8
+    a = np.ones(n)
+    b = np.empty(n)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.copyto(b, a)
+    dt = time.perf_counter() - t0
+    return round(reps * 2 * n * 8 / dt / 1e9, 2)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -216,6 +236,7 @@ def main():
         # efficiency (best/min are exposed alongside; per-level bests
         # are also reported for absolute throughput).
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        bw_start = _mem_bw_probe_gbps()
         best: dict = {}
         rep_effs = []
         for _ in range(reps):
@@ -261,11 +282,14 @@ def main():
             "efficiency_8_to_32_min": min(s_effs),
             "per_rep": rep_effs,
             "rows": BENCH_ROWS,
+            "host_mem_bw_gbps_start": bw_start,
+            "host_mem_bw_gbps_end": _mem_bw_probe_gbps(),
         }))
         return
 
     import ray
 
+    bw_start = _mem_bw_probe_gbps()
     _init_ray(num_cpus)
     try:
         ensure_corpus(num_cpus)
@@ -292,6 +316,8 @@ def main():
             "flagship_sec": flagship["sec"],
             "files_per_sec": flagship["files_per_sec"],
             "kept": flagship["kept"],
+            "host_mem_bw_gbps_start": bw_start,
+            "host_mem_bw_gbps_end": _mem_bw_probe_gbps(),
         }))
     finally:
         ray.shutdown()
