@@ -34,24 +34,36 @@ CORPUS_DIR = f"/tmp/rayqual_bench_corpus_{BENCH_ROWS}_{BENCH_SEED}"
 OUT_DIR = "/tmp/rayqual_bench_out"
 
 
-def _mem_bw_probe_gbps(size_mb: int = 128, reps: int = 3) -> float:
-    """Single-process memcpy bandwidth (GB/s, read+write bytes) —
-    context stamped into every bench record: identical pipeline code
-    measured 14.3 GB/s single-process in a quiet phase and 1.7 GB/s
-    under neighbor load (BASELINE.md), a ~20x host-phase swing that
-    moves every absolute wall but neither correctness nor the paired
-    (adjacent-in-time) scaling ratios. A bench record with a low probe
-    reading is a degraded-host sample, not a code regression."""
+def _mem_bw_probe_gbps(size_mb: int = 128, reps: int = 3) -> dict:
+    """Two single-process host-phase numbers stamped into every bench
+    record (GB/s, read+write bytes):
+
+    * ``mapped`` — memcpy over already-faulted pages: the stream
+      bandwidth the pipeline's steady-state kernels see.
+    * ``fault`` — the same copy onto a FRESH (untouched) destination,
+      so the kernel services a first-touch fault per page: the path
+      every new Ray worker/object-store page pays at startup. Measured
+      ~14x slower than ``mapped`` on this VM at the same instant
+      (0.94 vs 13.26 GB/s — BASELINE.md round-5 closing section), and
+      it is the reading that swings with host pressure.
+
+    A bench record with healthy ``mapped`` but slow walls and a low
+    ``fault`` reading is a degraded-host sample (fault-bound worker
+    startup/allocation), not a code regression; neither number affects
+    correctness or the paired adjacent-in-time scaling ratios."""
     import numpy as np
 
     n = size_mb * 1024 * 1024 // 8
     a = np.ones(n)
-    b = np.empty(n)
+    b = np.empty(n)  # untouched: first pass pays a fault per page
+    t0 = time.perf_counter()
+    np.copyto(b, a)
+    fault = 2 * n * 8 / (time.perf_counter() - t0) / 1e9
     t0 = time.perf_counter()
     for _ in range(reps):
         np.copyto(b, a)
-    dt = time.perf_counter() - t0
-    return round(reps * 2 * n * 8 / dt / 1e9, 2)
+    mapped = reps * 2 * n * 8 / (time.perf_counter() - t0) / 1e9
+    return {"mapped": round(mapped, 2), "fault": round(fault, 2)}
 
 
 def _init_ray(num_cpus: int):
@@ -282,8 +294,8 @@ def main():
             "efficiency_8_to_32_min": min(s_effs),
             "per_rep": rep_effs,
             "rows": BENCH_ROWS,
-            "host_mem_bw_gbps_start": bw_start,
-            "host_mem_bw_gbps_end": _mem_bw_probe_gbps(),
+            "host_bw_start": bw_start,
+            "host_bw_end": _mem_bw_probe_gbps(),
         }))
         return
 
@@ -316,8 +328,8 @@ def main():
             "flagship_sec": flagship["sec"],
             "files_per_sec": flagship["files_per_sec"],
             "kept": flagship["kept"],
-            "host_mem_bw_gbps_start": bw_start,
-            "host_mem_bw_gbps_end": _mem_bw_probe_gbps(),
+            "host_bw_start": bw_start,
+            "host_bw_end": _mem_bw_probe_gbps(),
         }))
     finally:
         ray.shutdown()
