@@ -13,7 +13,11 @@ prints ONE JSON line:
 --scaling: runs the flagship job twice in FRESH processes
 (num_cpus=8 then num_cpus=32) on the same corpus and reports both
 throughputs + scaling efficiency (the sandbox substitute for the
-N vs 4N cluster-size criterion, see BASELINE.md).
+N vs 4N cluster-size criterion, see BASELINE.md). Add --wait-healthy
+to gate the run start on a recovered host fault-path probe
+(GRAFT_FAULT_MIN_GBPS, default 3.0; bounded by GRAFT_WAIT_HEALTHY_S,
+default 3600 s) so a 20-minute run isn't burned inside a degraded
+window; the wait outcome is stamped into the JSON as "phase_wait".
 
 This script OWNS its Ray session (the only places allowed to:
 bench.py, CLI entry points, tests' conftest).
@@ -64,6 +68,36 @@ def _mem_bw_probe_gbps(size_mb: int = 128, reps: int = 3) -> dict:
         np.copyto(b, a)
     mapped = reps * 2 * n * 8 / (time.perf_counter() - t0) / 1e9
     return {"mapped": round(mapped, 2), "fault": round(fault, 2)}
+
+
+def _wait_healthy_phase(
+    fault_min: float, deadline_s: float, interval_s: float = 45.0, consecutive: int = 2
+) -> dict:
+    """Block until the host's first-touch fault path reads >= fault_min
+    GB/s on `consecutive` probes in a row (spaced interval_s apart), or
+    until deadline_s elapses — then return a summary either way.
+
+    Rationale (BASELINE.md round-5 closing section): what degrades under
+    neighbor load is the page-fault path every fresh Ray worker pays at
+    startup, not mapped stream bandwidth; degraded windows last tens of
+    minutes and produce scaling samples the probe itself flags as
+    invalid. Gating the run start on a recovered fault path is cheaper
+    than burning a 20-minute run to learn the phase was bad. Two
+    consecutive probes are required because the fault reading can flip
+    within ~90 s; the post-run probe stamp still makes the final call."""
+    probes = 0
+    ok = 0
+    t0 = time.monotonic()
+    while True:
+        p = _mem_bw_probe_gbps()
+        probes += 1
+        ok = ok + 1 if p["fault"] >= fault_min else 0
+        waited = time.monotonic() - t0
+        if ok >= consecutive:
+            return {"healthy": True, "waited_s": round(waited, 1), "probes": probes, "last": p}
+        if waited >= deadline_s:
+            return {"healthy": False, "waited_s": round(waited, 1), "probes": probes, "last": p}
+        time.sleep(interval_s)
 
 
 def _init_ray(num_cpus: int):
@@ -248,6 +282,14 @@ def main():
         # efficiency (best/min are exposed alongside; per-level bests
         # are also reported for absolute throughput).
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        phase_wait = None
+        if "--wait-healthy" in sys.argv:
+            # don't start the reps inside a degraded-host window: wait
+            # (bounded) for the fault-path probe to recover first
+            phase_wait = _wait_healthy_phase(
+                fault_min=float(os.environ.get("GRAFT_FAULT_MIN_GBPS", "3.0")),
+                deadline_s=float(os.environ.get("GRAFT_WAIT_HEALTHY_S", "3600")),
+            )
         bw_start = _mem_bw_probe_gbps()
         best: dict = {}
         rep_effs = []
@@ -296,6 +338,7 @@ def main():
             "rows": BENCH_ROWS,
             "host_bw_start": bw_start,
             "host_bw_end": _mem_bw_probe_gbps(),
+            "phase_wait": phase_wait,
         }))
         return
 
