@@ -1,0 +1,50 @@
+"""Unit tests for bench.py's --wait-healthy phase gate (no Ray needed)."""
+
+import importlib.util
+import os
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+@pytest.fixture()
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _scripted_probe(mod, readings):
+    it = iter(readings)
+
+    def probe(*a, **k):
+        fault = next(it)
+        return {"mapped": 15.0, "fault": fault}
+
+    mod._mem_bw_probe_gbps = probe
+
+
+def test_wait_healthy_requires_consecutive_probes(bench_mod):
+    # good, bad (resets the streak), good, good -> healthy on probe 4
+    _scripted_probe(bench_mod, [5.0, 0.2, 5.0, 5.0])
+    r = bench_mod._wait_healthy_phase(fault_min=3.0, deadline_s=60.0, interval_s=0.0)
+    assert r["healthy"] is True
+    assert r["probes"] == 4
+    assert r["last"]["fault"] == 5.0
+
+
+def test_wait_healthy_deadline_returns_unhealthy(bench_mod):
+    _scripted_probe(bench_mod, [0.1] * 10)
+    r = bench_mod._wait_healthy_phase(fault_min=3.0, deadline_s=0.0, interval_s=0.0)
+    assert r["healthy"] is False
+    assert r["probes"] == 1  # deadline 0: one probe, then give up
+    assert r["last"]["fault"] == 0.1
+
+
+def test_wait_healthy_immediate_pass(bench_mod):
+    _scripted_probe(bench_mod, [9.0, 9.0])
+    r = bench_mod._wait_healthy_phase(fault_min=3.0, deadline_s=60.0, interval_s=0.0)
+    assert r["healthy"] is True
+    assert r["probes"] == 2
